@@ -1,0 +1,79 @@
+"""Bloom sketch properties (SURVEY §5.2-3; §7.3 'property-test it
+standalone'): no false negatives, bounded fpp, merge = union,
+serialization round-trip, false-positive rescue by the exact anti-join."""
+
+import numpy as np
+
+from wos_crawler_spark.operators.bloom import BloomFilter, bloom_prefilter, build_bloom
+from wos_crawler_spark.operators.dedup import dedup_frontier
+
+
+def test_no_false_negatives():
+    bf = BloomFilter.sized(10_000, 0.01)
+    keys = np.arange(-5000, 5000, dtype=np.int64) * 2654435761
+    bf.add(keys)
+    assert bf.might_contain(keys).all()
+
+
+def test_fpp_bounded():
+    bf = BloomFilter.sized(10_000, 0.01)
+    bf.add(np.arange(10_000, dtype=np.int64))
+    probe = np.arange(1_000_000, 1_100_000, dtype=np.int64)
+    fpp = bf.might_contain(probe).mean()
+    assert fpp < 0.03  # 3x headroom over nominal 1%
+
+
+def test_merge_is_union():
+    a = BloomFilter.sized(1000, 0.01)
+    b = BloomFilter.sized(1000, 0.01)
+    ka = np.arange(0, 500, dtype=np.int64)
+    kb = np.arange(500, 1000, dtype=np.int64)
+    a.add(ka)
+    b.add(kb)
+    m = a.merge(b)
+    assert m.might_contain(ka).all() and m.might_contain(kb).all()
+
+
+def test_serialization_roundtrip():
+    bf = BloomFilter.sized(1000, 0.01)
+    bf.add(np.array([1, -7, 99], dtype=np.int64))
+    rt = BloomFilter.from_bytes(bf.to_bytes())
+    assert rt.n_hashes == bf.n_hashes and (rt.bits == bf.bits).all()
+    assert rt.might_contain(np.array([1, -7, 99], dtype=np.int64)).all()
+
+
+def test_distributed_build_equals_local(spark):
+    keys = [(int(k),) for k in np.arange(2000, dtype=np.int64) * 7919]
+    df = spark.createDataFrame(keys, "url_hash long").repartition(8)
+    dist = build_bloom(df, "url_hash", capacity=2000, fpp=0.01)
+    local = BloomFilter.sized(2000, 0.01)
+    local.add(np.array([k[0] for k in keys], dtype=np.int64))
+    assert (dist.bits == local.bits).all()
+
+
+def test_prefilter_drops_seen(spark):
+    bf = BloomFilter.sized(100, 0.01)
+    bf.add(np.array([10, 20], dtype=np.int64))
+    df = spark.createDataFrame([(10,), (20,), (30,)], "url_hash long")
+    kept = bloom_prefilter(df, bf).collect()
+    assert {r["url_hash"] for r in kept} == {30}
+
+
+def test_false_positive_rescued_by_exact_antijoin(spark):
+    """A Bloom false positive must still survive dedup thanks to the
+    exact anti-join (correctness never depends on the Bloom)."""
+    # tiny bloom → huge fpp: force false positives
+    bf = BloomFilter(bits=np.zeros(8, dtype=np.uint8), n_hashes=2)
+    seen_keys = np.arange(0, 40, dtype=np.int64)
+    bf.add(seen_keys)
+    probe = np.arange(1000, 1200, dtype=np.int64)
+    fp = probe[BloomFilter.from_bytes(bf.to_bytes()).might_contain(probe)]
+    assert len(fp) > 0, "test needs at least one false positive"
+
+    cand = spark.createDataFrame(
+        [(int(k), 1, 0, f"l{k}") for k in probe],
+        "url_hash long, priority int, query_id long, lineage string",
+    )
+    seen = spark.createDataFrame([(int(k),) for k in seen_keys], "url_hash long")
+    out = {r["url_hash"] for r in dedup_frontier(cand, seen, bf).collect()}
+    assert out == set(int(x) for x in probe)  # nothing lost, incl. FPs

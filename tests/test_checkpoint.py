@@ -1,0 +1,70 @@
+"""Resume test (SURVEY §5.2-4): interrupt after wave 1, resume from
+checkpoint → identical final seen set + metrics continuity vs an
+uninterrupted run."""
+
+import os
+
+from wos_crawler_spark.fixtures.synth import (
+    links_table,
+    pages_table,
+    robots_table,
+    seeds_table,
+)
+from wos_crawler_spark.operators import checkpoint as ckpt
+from wos_crawler_spark.plans.crawl import CrawlConfig, run_crawl
+
+N = 120
+
+
+def _world(spark):
+    return (
+        pages_table(spark, N, partitions=4).cache(),
+        seeds_table(spark),
+        links_table(spark, N),
+        robots_table(spark),
+    )
+
+
+def test_resume_equals_uninterrupted(spark, tmp_path):
+    pages, seeds, links, robots = _world(spark)
+    common = dict(delay_s=1.0, quota=4, max_depth=2, rows_per_bucket=8, parse=False)
+
+    # uninterrupted 3-wave run
+    full_dir = str(tmp_path / "full")
+    cfg_full = CrawlConfig(max_waves=3, ckpt_dir=full_dir, **common)
+    run_crawl(spark, pages, seeds, links, robots, cfg_full)
+
+    # interrupted: 2 waves, then resume for the 3rd
+    part_dir = str(tmp_path / "part")
+    cfg_part = CrawlConfig(max_waves=2, ckpt_dir=part_dir, **common)
+    run_crawl(spark, pages, seeds, links, robots, cfg_part)
+    assert ckpt.latest_wave(part_dir) == 1
+    cfg_resume = CrawlConfig(max_waves=3, ckpt_dir=part_dir, **common)
+    resumed = run_crawl(spark, pages, seeds, links, robots, cfg_resume, resume=True)
+    assert resumed.waves[0].wave == 2  # picked up where it left off
+
+    # final seen sets identical
+    seen_full = {
+        r["url_hash"] for r in ckpt.read_seen(spark, full_dir, 2).collect()
+    }
+    seen_part = {
+        r["url_hash"] for r in ckpt.read_seen(spark, part_dir, 2).collect()
+    }
+    assert seen_full == seen_part
+
+    # metrics continuity: identical per-wave counters
+    for w in range(3):
+        mf = ckpt.read_metrics(full_dir, w)
+        mp = ckpt.read_metrics(part_dir, w)
+        assert mf == mp
+
+
+def test_torn_checkpoint_invisible(spark, tmp_path):
+    """A wave dir without _COMMITTED must be ignored by resume."""
+    pages, seeds, links, robots = _world(spark)
+    d = str(tmp_path / "torn")
+    cfg = CrawlConfig(max_waves=2, ckpt_dir=d, delay_s=1.0, parse=False)
+    run_crawl(spark, pages, seeds, links, robots, cfg)
+    assert ckpt.latest_wave(d) == 1
+    os.remove(os.path.join(d, "wave=1", "_COMMITTED"))
+    assert ckpt.latest_wave(d) == 0

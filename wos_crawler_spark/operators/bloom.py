@@ -1,0 +1,154 @@
+"""Broadcast-merged Bloom URL-seen filter (SURVEY.md F1/J1/A2).
+
+Reference behavior: ``dep:scrapy.dupefilters::RFPDupeFilter.request_seen``
+— an in-memory Python ``set`` of SHA1 request fingerprints, single
+process. The north_rule names its replacement: "a broadcast-merged
+Bloom/cuckoo URL-seen filter with canonicalized URL hashing".
+
+Design (scale notes for 10^10 URLs):
+
+- The Bloom is a **prefilter only** — correctness never depends on it.
+  Every candidate that survives the Bloom is still checked by an exact
+  ``left_anti`` join against the ``seen`` table, so false positives
+  are impossible at the output and false negatives cannot occur
+  (Bloom has none). The Bloom's job is to keep the anti-join's probe
+  side small: at steady state most rediscovered URLs are dropped
+  executor-side before any shuffle.
+- **Mergeable partials**: each partition builds a local bit array over
+  its ``url_hash`` values (``mapInPandas``, one row out per
+  partition), the driver ORs them (Spark's Python API has no native
+  tree-merging UDAF — documented in SURVEY.md §2.8) and re-broadcasts
+  once per wave. Partial size == final size == m/8 bytes.
+- **Sizing at 10^10**: a monolithic 1e10-key / 1%-fpp Bloom is ~12 GB
+  — too big to broadcast. The intended cluster deployment shards the
+  filter into B banks by ``url_hash`` prefix (``bank = url_hash >>>
+  (64 - log2 B)``); each executor holds only the banks for its
+  hash-partitioned frontier slice, so per-executor memory is m/B. The
+  sandbox uses one bank; the bank math is pure arithmetic on the same
+  structure. Raising fpp (the exact anti-join rescues correctness)
+  trades broadcast size for anti-join traffic.
+- Hashing: positions derive from the 64-bit ``xxhash64(url_canon)``
+  via splitmix64 double hashing — no string re-hashing in Python.
+
+All operations are vectorized numpy over Arrow batches.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64_np(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        z = (x + np.uint64(0x9E3779B97F4A7C15)) & MASK64
+        z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & MASK64
+        z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & MASK64
+        return z ^ (z >> np.uint64(31))
+
+
+@dataclass
+class BloomFilter:
+    """Fixed-size mergeable Bloom over int64 keys."""
+
+    bits: np.ndarray  # uint8 array of m/8 bytes
+    n_hashes: int
+
+    @classmethod
+    def sized(cls, capacity: int, fpp: float = 0.01) -> "BloomFilter":
+        m = max(64, int(-capacity * math.log(fpp) / (math.log(2) ** 2)))
+        m = (m + 7) // 8 * 8
+        k = max(1, round(m / max(capacity, 1) * math.log(2)))
+        return cls(bits=np.zeros(m // 8, dtype=np.uint8), n_hashes=int(k))
+
+    @property
+    def m(self) -> int:
+        return len(self.bits) * 8
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        """(len(keys), k) bit positions via double hashing."""
+        x = keys.astype(np.int64).view(np.uint64)
+        h1 = _splitmix64_np(x)
+        h2 = _splitmix64_np(h1) | np.uint64(1)
+        ks = np.arange(self.n_hashes, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            return ((h1[:, None] + ks[None, :] * h2[:, None]) & MASK64) % np.uint64(
+                self.m
+            )
+
+    def add(self, keys: np.ndarray) -> None:
+        if len(keys) == 0:
+            return
+        pos = self._positions(np.asarray(keys)).ravel()
+        np.bitwise_or.at(self.bits, (pos >> 3).astype(np.int64), (1 << (pos & np.uint64(7))).astype(np.uint8))
+
+    def might_contain(self, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(np.asarray(keys))
+        byte = self.bits[(pos >> 3).astype(np.int64)]
+        bit = (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+        return bit.all(axis=1)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.m == other.m and self.n_hashes == other.n_hashes
+        return BloomFilter(bits=self.bits | other.bits, n_hashes=self.n_hashes)
+
+    # -- checkpoint serialization (SURVEY §7.1 step 6)
+    def to_bytes(self) -> bytes:
+        return self.n_hashes.to_bytes(4, "little") + self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "BloomFilter":
+        k = int.from_bytes(raw[:4], "little")
+        return cls(bits=np.frombuffer(raw[4:], dtype=np.uint8).copy(), n_hashes=k)
+
+
+def build_bloom(df: DataFrame, hash_col: str, capacity: int, fpp: float = 0.01) -> BloomFilter:
+    """Distributed build: per-partition partial bit arrays (mapInPandas),
+    OR-merged on the driver, ready to broadcast."""
+    proto = BloomFilter.sized(capacity, fpp)
+    m_bytes, k = len(proto.bits), proto.n_hashes
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bf = BloomFilter(bits=np.zeros(m_bytes, dtype=np.uint8), n_hashes=k)
+        any_rows = False
+        for pdf in batches:
+            if len(pdf):
+                any_rows = True
+                bf.add(pdf[hash_col].to_numpy())
+        if any_rows:
+            yield pd.DataFrame({"bits": [bf.bits.tobytes()]})
+
+    partials = df.select(hash_col).mapInPandas(_partial, "bits binary").collect()
+    out = BloomFilter(bits=np.zeros(m_bytes, dtype=np.uint8), n_hashes=k)
+    for row in partials:
+        out.bits |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return out
+
+
+def bloom_prefilter(df: DataFrame, bloom: BloomFilter, hash_col: str = "url_hash", keep_maybe_seen: bool = False) -> DataFrame:
+    """Executor-side prefilter: drop rows the Bloom says are seen
+    (definitely-new rows pass; 'maybe seen' rows go to the exact
+    anti-join when ``keep_maybe_seen`` — see frontier.dedup)."""
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast(bloom.to_bytes())
+    cols = df.columns
+    schema = df.schema
+
+    def _filt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bf = BloomFilter.from_bytes(b.value)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            maybe = bf.might_contain(pdf[hash_col].to_numpy())
+            yield pdf[maybe] if keep_maybe_seen else pdf[~maybe]
+
+    return df.mapInPandas(_filt, schema).select(cols)

@@ -1,0 +1,92 @@
+"""URL-seen dedup: Bloom prefilter + exact anti-join rescue
+(SURVEY.md F1/J1/U3).
+
+Semantics equal to the reference's ``RFPDupeFilter.request_seen`` set
+lookup, distributed:
+
+1. one vectorized pandas UDF marks each candidate ``maybe_seen`` via
+   the broadcast Bloom (no shuffle, executor-local);
+2. candidates the Bloom has never seen pass through — **no join at
+   all** for the common case of genuinely-new URLs;
+3. ``maybe_seen`` candidates (true dups + Bloom false positives) hit
+   an exact ``left_anti`` join against the ``seen`` table; false
+   positives are rescued there, so the output is exactly
+   ``candidates ∖ seen`` regardless of Bloom fpp.
+
+At 10^10 the anti-join probe side is |dups| + fpp·|new| instead of
+|candidates| — the Bloom converts an all-shuffle dedup into a mostly
+shuffle-free one.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from wos_crawler_spark.operators.bloom import BloomFilter
+
+
+def _rep_order():
+    """Representative choice for intra-wave duplicates — DETERMINISTIC
+    (SURVEY §4: ordering decided by data, not arrival), unlike
+    dropDuplicates which keeps an arbitrary row per key: highest
+    priority wins, then lowest query_id, then lexicographic lineage."""
+    return [
+        F.col("priority").desc_nulls_last(),
+        F.col("query_id").asc_nulls_last(),
+        F.col("lineage").asc_nulls_last(),
+    ]
+
+
+def dedup_intra_wave(candidates: DataFrame, hash_col: str = "url_hash") -> DataFrame:
+    """One row per url_hash, deterministic representative. url_hash is
+    near-unique → the window has no skew (tiny groups)."""
+    cols = set(candidates.columns)
+    if not {"priority", "query_id", "lineage"} <= cols:
+        return candidates.dropDuplicates([hash_col])
+    w = Window.partitionBy(hash_col).orderBy(*_rep_order())
+    return (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def mark_maybe_seen(df: DataFrame, bloom: BloomFilter, hash_col: str = "url_hash") -> DataFrame:
+    """Attach boolean ``maybe_seen`` from the broadcast Bloom."""
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast(bloom.to_bytes())
+
+    @F.pandas_udf("boolean")
+    def _maybe(h: pd.Series) -> pd.Series:
+        bf = BloomFilter.from_bytes(b.value)
+        return pd.Series(bf.might_contain(h.to_numpy()))
+
+    return df.withColumn("maybe_seen", _maybe(F.col(hash_col)))
+
+
+def dedup_frontier(
+    candidates: DataFrame,
+    seen: DataFrame | None,
+    bloom: BloomFilter | None,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """Exact ``candidates ∖ seen`` with Bloom fast path.
+
+    ``seen`` must have a ``url_hash`` column. Either side may be None
+    (cold start)."""
+    candidates = dedup_intra_wave(candidates, hash_col)
+    if seen is None:
+        return candidates
+    seen_keys = seen.select(hash_col)
+    if bloom is None:
+        return candidates.join(seen_keys, hash_col, "left_anti")
+    marked = mark_maybe_seen(candidates, bloom, hash_col)
+    definitely_new = marked.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    rescued = (
+        marked.filter(F.col("maybe_seen"))
+        .drop("maybe_seen")
+        .join(seen_keys, hash_col, "left_anti")
+    )
+    return definitely_new.unionByName(rescued)

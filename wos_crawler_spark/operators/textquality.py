@@ -1,0 +1,104 @@
+"""Text-analysis operators for the training-data pipeline: language
+ID, quality scoring, token counting, document fingerprinting. All pure
+Catalyst exprs (codegen'd, oracle-checkable in DuckDB) — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wos_crawler_spark.operators.textdedup import norm_text, words_of
+
+#: Tiny per-language stopword lists for the n-gram/stopword heuristic
+#: language ID. Deterministic data, shared with the DuckDB oracle.
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "for", "with", "on"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "dans", "pour", "que"],
+}
+
+#: BPE-ish token regex: word pieces, numbers, or single non-space
+#: symbols — a deterministic stand-in for a real tokenizer's pre-split.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    w = words_of(text)
+    return [
+        (lang, F.size(F.array_intersect(w, F.array(*[F.lit(s) for s in sw]))))
+        for lang, sw in sorted(STOPWORDS.items())
+    ]
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-hit argmax; ties break to the lexicographically first
+    language; zero hits → 'und'. Deterministic, SQL-expressible."""
+    scores = lang_scores(text)
+    best_lang, best_score = scores[0]
+    best_lang = F.lit(best_lang)
+    for lang, score in scores[1:]:
+        better = score > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words_of(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish regex token count (pre-tokenizer pieces)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio features + a composite
+    quality score in [0,1] (weights documented inline — deterministic
+    contract, not a learned model)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = token_count_ws(t)
+    avg_word_len = (F.length(norm_text(t)) - (n_words - 1)) / F.greatest(n_words, F.lit(1))
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), F.lit(0)))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    all_stop = sorted({w for sw in STOPWORDS.values() for w in sw})
+    stop_hits = F.size(
+        F.array_intersect(words_of(t), F.array(*[F.lit(s) for s in all_stop]))
+    )
+    stopword_ratio = stop_hits / F.greatest(n_words, F.lit(1))
+    # composite: reward mid-length docs and low punctuation noise
+    length_score = F.least(n_words / F.lit(100.0), F.lit(1.0))
+    quality = (
+        F.lit(0.5) * length_score
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
+        + F.lit(0.2) * F.least(stopword_ratio * 5, F.lit(1.0))
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_words.alias("q_n_words"),
+        F.round(avg_word_len, 4).alias("q_avg_word_len"),
+        F.round(punct_ratio, 6).alias("q_punct_ratio"),
+        F.round(stopword_ratio, 6).alias("q_stopword_ratio"),
+        F.round(quality, 6).alias("q_score"),
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 hex of normalized text
+    (the rolling-hash family's degenerate whole-doc case; windowed
+    rolling fingerprints live in textdedup.word_shingles + xxhash64)."""
+    return F.md5(norm_text(text))
+
+
+def rolling_fingerprints(text: Column, window: int = 8) -> Column:
+    """Winnowing-style rolling fingerprints: xxhash64 of each
+    ``window``-word shingle → array<long>. Min-sampled variants are a
+    downstream array_min over slices."""
+    w = words_of(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(w) - (window - 1)))
+    return F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, window))))

@@ -1,0 +1,351 @@
+"""The batch-iterative crawl engine: checkpointed wave loop
+(SURVEY.md §3.4 — the Spark mirror of the reference's
+spider→scheduler→downloader→parser pipeline, EP1/EP2).
+
+Per wave K:
+
+    frontier_K ─ robots LPM broadcast join (F3/J2)
+               ─ Bloom prefilter + exact anti-join dedup (F1/J1)
+                 (retries carry dont_filter=true and bypass dedup,
+                  like Scrapy's Request.dont_filter on retry)
+               ─ per-host priority quota + salted token bucket (W1/F4)
+               ─ "fetch" = equi join against pages on url (J3; the
+                 sandbox stand-in for HTTP per SURVEY S2)
+               ─ parse hits (mapInPandas, P1–P15)  [optional]
+               ─ expand: hits ⋈ links → next candidates (depth+1, F8)
+               ─ misses → retry rows (attempt+1 ≤ max_retries, F7)
+    frontier_{K+1} = expansions ∪ retries (U1)
+    seen += this wave's scheduled url_hashes (U2); Bloom merged+rebroadcast
+    checkpoint(frontier, seen_delta, bloom, metrics) → atomic commit
+
+The driver holds only counters and the Bloom bytes — row data never
+reaches the driver (no collect anywhere). Each wave's plan starts from
+a parquet read, so lineage stays O(1) in the wave count.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wos_crawler_spark.functions.urlnorm import with_url_canon
+from wos_crawler_spark.operators import checkpoint as ckpt
+from wos_crawler_spark.operators.bloom import BloomFilter, build_bloom
+from wos_crawler_spark.operators.dedup import dedup_frontier
+from wos_crawler_spark.operators.parse_plaintext import parse_pages
+from wos_crawler_spark.operators.politeness import schedule_wave
+from wos_crawler_spark.operators.robots import robots_filter
+
+FRONTIER_COLS = [
+    "url",
+    "url_canon",
+    "url_hash",
+    "host",
+    "priority",
+    "depth",
+    "discovered_wave",
+    "attempt",
+    "query_id",
+    "dont_filter",
+    "lineage",
+]
+
+
+@dataclass
+class CrawlConfig:
+    delay_s: float = 1.0
+    quota: int | None = None  # per-host fetches per wave (W1)
+    max_waves: int = 4
+    max_depth: int = 3  # F8
+    max_retries: int = 2  # F7 (Scrapy RETRY_TIMES default)
+    rows_per_bucket: int = 10_000  # politeness salt granularity
+    bloom_capacity: int = 1_000_000
+    bloom_fpp: float = 0.01
+    parse: bool = True
+    ckpt_dir: str | None = None
+
+
+@dataclass
+class WaveResult:
+    wave: int
+    scheduled: int
+    hits: int
+    misses: int
+    retried: int
+    expanded: int
+    parsed_docs: int
+    next_start_ts: float
+    fetched: DataFrame | None = None
+    parsed: DataFrame | None = None
+
+
+@dataclass
+class CrawlResult:
+    waves: list[WaveResult] = field(default_factory=list)
+    seen: DataFrame | None = None
+    fetch_log: DataFrame | None = None  # all scheduled fetches, all waves
+    parsed: DataFrame | None = None
+
+    @property
+    def metrics(self) -> list[dict]:
+        return [
+            {
+                k: getattr(w, k)
+                for k in (
+                    "wave",
+                    "scheduled",
+                    "hits",
+                    "misses",
+                    "retried",
+                    "expanded",
+                    "parsed_docs",
+                )
+            }
+            for w in self.waves
+        ]
+
+
+def init_frontier(seeds: DataFrame, pages: DataFrame) -> DataFrame:
+    """S1/S3/J4: evaluate each advanced query against the pages corpus
+    — broadcast the (tiny) seeds to a theta join on contains(text,
+    term). One full pages scan, once per crawl (the reference's
+    AdvancedSearch POST analog). Returns wave-0 frontier rows."""
+    matches = pages.select("url", "text").join(
+        F.broadcast(seeds.select("query_id", "term", "priority")),
+        F.col("text").contains(F.col("term")),
+        "inner",
+    )
+    f = with_url_canon(matches.select("url", "query_id", "priority"))
+    return (
+        f.withColumn("depth", F.lit(0))
+        .withColumn("discovered_wave", F.lit(0))
+        .withColumn("attempt", F.lit(0))
+        .withColumn("dont_filter", F.lit(False))
+        .withColumn(
+            "lineage", F.concat(F.lit("seed:"), F.col("query_id").cast("string"))
+        )
+        .select(FRONTIER_COLS)
+    )
+
+
+def expand_frontier(
+    hits: DataFrame, links: DataFrame, wave: int, max_depth: int
+) -> DataFrame:
+    """Frontier expansion: fetched pages emit their outlinks (the
+    reference's pagination-request generator S5, parallelized). Depth
+    guard F8 applied at expansion time."""
+    e = hits.select(
+        F.col("url").alias("src_url"),
+        "query_id",
+        "priority",
+        F.col("depth"),
+    ).join(links, "src_url", "inner")
+    e = e.filter(F.col("depth") + 1 <= max_depth)
+    e = with_url_canon(e.select(
+        F.col("dst_url").alias("url"),
+        "query_id",
+        "priority",
+        (F.col("depth") + 1).alias("depth"),
+        F.col("src_url"),
+    ))
+    return (
+        e.withColumn("discovered_wave", F.lit(wave + 1))
+        .withColumn("attempt", F.lit(0))
+        .withColumn("dont_filter", F.lit(False))
+        .withColumn("lineage", F.concat(F.lit("link:"), F.col("src_url")))
+        .select(FRONTIER_COLS)
+    )
+
+
+def run_wave(
+    spark: SparkSession,
+    wave: int,
+    frontier: DataFrame,
+    pages: DataFrame,
+    links: DataFrame | None,
+    robots: DataFrame | None,
+    seen: DataFrame | None,
+    bloom: BloomFilter | None,
+    cfg: CrawlConfig,
+    wave_start: float,
+) -> tuple[WaveResult, DataFrame, DataFrame, BloomFilter]:
+    """One wave. Returns (result, next_frontier, seen_delta, bloom)."""
+    # F3: robots gate (map-only broadcast LPM)
+    allowed = robots_filter(frontier, robots)
+
+    # F1/J1: dedup — retries (dont_filter) bypass, like Scrapy
+    filtered = allowed.filter(~F.col("dont_filter"))
+    bypass = allowed.filter(F.col("dont_filter"))
+    fresh = dedup_frontier(filtered, seen, bloom)
+    candidates = fresh.unionByName(bypass)
+
+    # W1/F4: quota + politeness schedule
+    candidates = candidates.cache() if cfg.quota is not None else candidates
+    sched = schedule_wave(
+        candidates,
+        delay_s=cfg.delay_s,
+        wave_start=wave_start,
+        quota=cfg.quota,
+        rows_per_bucket=cfg.rows_per_bucket,
+    ).cache()
+
+    # quota overflow re-queues (the scheduler keeps its pending queue —
+    # the reference never drops requests, it pops them later)
+    if cfg.quota is not None:
+        overflow = candidates.join(sched.select("url_hash"), "url_hash", "left_anti")
+        overflow = overflow.select(FRONTIER_COLS)
+    else:
+        overflow = None
+
+    # J3: "fetch" — resolve url → page payload (left join keeps misses)
+    page_cols = pages.select(
+        "url", "text", "lang", "warc_ts"
+    )
+    fetched = sched.join(page_cols, "url", "left").cache()
+    hits = fetched.filter(F.col("text").isNotNull())
+    misses = fetched.filter(F.col("text").isNull())
+
+    scheduled_n = sched.count()
+    hits_n = hits.count()
+    misses_n = scheduled_n - hits_n
+    max_ts_row = sched.agg(F.max("scheduled_ts")).first()[0]
+    next_start = (max_ts_row + cfg.delay_s) if max_ts_row is not None else wave_start
+
+    # parse (P1–P15)
+    parsed = None
+    parsed_n = 0
+    if cfg.parse and hits_n:
+        parsed = parse_pages(hits)
+        parsed_n = hits_n  # 1 record per synthetic page; real count lazy
+
+    # F7: retries — attempt+1, dont_filter, re-queued next wave
+    retries = (
+        misses.select(FRONTIER_COLS)
+        .withColumn("attempt", F.col("attempt") + 1)
+        .withColumn("dont_filter", F.lit(True))
+        .filter(F.col("attempt") <= cfg.max_retries)
+    )
+    retried_n = retries.count()
+
+    # expansion (S5-parallel)
+    if links is not None:
+        expansions = expand_frontier(hits, links, wave, cfg.max_depth)
+    else:
+        expansions = spark.createDataFrame([], frontier.schema)
+    next_frontier = expansions.unionByName(retries.select(FRONTIER_COLS))  # U1
+    if overflow is not None:
+        next_frontier = next_frontier.unionByName(overflow)
+    expanded_n = next_frontier.count() - retried_n
+
+    # U2/A2: seen accumulates everything scheduled this wave
+    seen_delta = sched.select("url_hash").withColumn("wave", F.lit(wave))
+    wave_bloom = build_bloom(
+        seen_delta, "url_hash", capacity=cfg.bloom_capacity, fpp=cfg.bloom_fpp
+    )
+    new_bloom = bloom.merge(wave_bloom) if bloom is not None else wave_bloom
+
+    res = WaveResult(
+        wave=wave,
+        scheduled=scheduled_n,
+        hits=hits_n,
+        misses=misses_n,
+        retried=retried_n,
+        expanded=expanded_n,
+        parsed_docs=parsed_n,
+        next_start_ts=next_start,
+        fetched=fetched,
+        parsed=parsed,
+    )
+    return res, next_frontier, seen_delta, new_bloom
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: DataFrame,
+    links: DataFrame | None = None,
+    robots: DataFrame | None = None,
+    cfg: CrawlConfig | None = None,
+    resume: bool = False,
+) -> CrawlResult:
+    """Full crawl: wave loop until frontier empty / max_waves.
+    With cfg.ckpt_dir set, each wave commits atomically and
+    ``resume=True`` restarts from the last committed wave."""
+    cfg = cfg or CrawlConfig()
+    out = CrawlResult()
+
+    start_wave = 0
+    frontier = None
+    seen: DataFrame | None = None
+    bloom: BloomFilter | None = None
+    wave_start = 0.0
+
+    if resume and cfg.ckpt_dir:
+        last = ckpt.latest_wave(cfg.ckpt_dir)
+        if last is not None:
+            start_wave = last + 1
+            frontier = ckpt.read_frontier(spark, cfg.ckpt_dir, last)
+            seen = ckpt.read_seen(spark, cfg.ckpt_dir, last)
+            bloom = BloomFilter.from_bytes(ckpt.read_bloom_bytes(cfg.ckpt_dir, last))
+            wave_start = ckpt.read_metrics(cfg.ckpt_dir, last)["next_start_ts"]
+
+    if frontier is None:
+        frontier = init_frontier(seeds, pages)
+
+    fetch_logs = []
+    parsed_frames = []
+    for wave in range(start_wave, cfg.max_waves):
+        if frontier.isEmpty():
+            break
+        res, next_frontier, seen_delta, bloom = run_wave(
+            spark, wave, frontier, pages, links, robots, seen, bloom, cfg, wave_start
+        )
+        out.waves.append(res)
+        fetch_logs.append(
+            res.fetched.select(
+                "url", "url_hash", "host", "priority", "discovered_wave",
+                "scheduled_ts", "salt",
+            ).withColumn("wave", F.lit(wave))
+        )
+        if res.parsed is not None:
+            parsed_frames.append(res.parsed)
+        wave_start = res.next_start_ts
+
+        if cfg.ckpt_dir:
+            metrics = {
+                "wave": wave,
+                "scheduled": res.scheduled,
+                "hits": res.hits,
+                "misses": res.misses,
+                "retried": res.retried,
+                "expanded": res.expanded,
+                "next_start_ts": res.next_start_ts,
+            }
+            ckpt.commit_wave(
+                cfg.ckpt_dir, wave, next_frontier, seen_delta, bloom.to_bytes(), metrics
+            )
+            # lineage truncation: next wave reads back from disk
+            frontier = ckpt.read_frontier(spark, cfg.ckpt_dir, wave)
+            seen = ckpt.read_seen(spark, cfg.ckpt_dir, wave)
+        else:
+            new_seen = (
+                seen.unionByName(seen_delta) if seen is not None else seen_delta
+            )
+            seen = new_seen.localCheckpoint()  # truncate lineage in-memory
+            frontier = next_frontier.localCheckpoint()
+
+    out.seen = seen
+    if fetch_logs:
+        log = fetch_logs[0]
+        for extra in fetch_logs[1:]:
+            log = log.unionByName(extra)
+        out.fetch_log = log
+    if parsed_frames:
+        p = parsed_frames[0]
+        for extra in parsed_frames[1:]:
+            p = p.unionByName(extra)
+        out.parsed = p
+    return out

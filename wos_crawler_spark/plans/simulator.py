@@ -1,0 +1,190 @@
+"""Single-threaded reference-semantics simulator (SURVEY.md §4/§5.2-2).
+
+The determinism oracle: replays the exact contract the engine
+implements — seed matching, robots longest-prefix-match, seen-set
+dedup with retry bypass, per-host priority quota, salted token-bucket
+scheduling, retries, link expansion — in plain Python over pandas
+inputs. Tests assert the engine's fetch log (ordered by the data-
+derived key) and final seen set equal this replay bit-for-bit, which
+is what "matching the reference's crawl ordering and URL-seen set"
+(north_rule) means operationally with an empty reference tree
+(SURVEY §0): Scrapy's scheduler for this spider degenerates to
+seed-order × page-order, i.e. exactly this data-derived total order.
+
+``url_meta`` maps url → (url_canon, url_hash, host); hashes are
+xxhash64 values computed once by Spark (the sim never re-hashes).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+
+@dataclass
+class SimFetch:
+    wave: int
+    url: str
+    url_hash: int
+    host: str
+    scheduled_ts: float
+    hit: bool
+
+
+@dataclass
+class SimResult:
+    fetches: list[SimFetch] = field(default_factory=list)
+    seen: set[int] = field(default_factory=set)
+
+    def order_key(self, f: SimFetch):
+        return (f.wave, f.scheduled_ts, f.host, f.url_hash)
+
+    @property
+    def fetch_order(self) -> list[tuple]:
+        return [
+            (f.wave, f.url, round(f.scheduled_ts, 6))
+            for f in sorted(self.fetches, key=self.order_key)
+        ]
+
+
+def _robots_allows(path: str, rules: list[tuple[str, bool, int]]) -> bool:
+    matched = [(ln, allow) for (pref, allow, ln) in rules if path.startswith(pref)]
+    if not matched:
+        return True
+    # longest rule wins (ties broken by allow to mirror struct sort —
+    # identical-length matching prefixes are identical strings anyway)
+    return max(matched)[1]
+
+
+def simulate_crawl(
+    pages_urls: set[str],
+    page_texts: dict[str, str],
+    seeds: list[tuple[int, str, int]],  # (query_id, term, priority)
+    links: dict[str, list[str]],
+    robots: dict[str, list[tuple[str, bool, int]]],  # host → [(prefix, allow, len)]
+    url_meta: dict[str, tuple[str, int, str]],  # url → (canon, hash, host)
+    delay_s: float = 1.0,
+    quota: int | None = None,
+    max_waves: int = 4,
+    max_depth: int = 3,
+    max_retries: int = 2,
+    rows_per_bucket: int = 10_000,
+) -> SimResult:
+    res = SimResult()
+
+    # frontier rows: dicts with the engine's FRONTIER_COLS semantics
+    def row(url, qid, prio, depth, wave, attempt, dont_filter, lineage):
+        canon, uhash, host = url_meta[url]
+        return {
+            "url": url,
+            "url_canon": canon,
+            "url_hash": uhash,
+            "host": host,
+            "priority": prio,
+            "depth": depth,
+            "discovered_wave": wave,
+            "attempt": attempt,
+            "dont_filter": dont_filter,
+            "query_id": qid,
+            "lineage": lineage,
+        }
+
+    frontier = [
+        row(url, qid, prio, 0, 0, 0, False, f"seed:{qid}")
+        for url in sorted(page_texts)
+        for (qid, term, prio) in seeds
+        if term in page_texts[url]
+    ]
+
+    wave_start = 0.0
+    for wave in range(max_waves):
+        if not frontier:
+            break
+        # F3 robots
+        allowed = []
+        for r in frontier:
+            path = r["url_canon"].split("://", 1)[1]
+            path = "/" + path.split("/", 1)[1] if "/" in path else "/"
+            if _robots_allows(path, robots.get(r["host"], [])):
+                allowed.append(r)
+        # F1 dedup (retry rows bypass); deterministic representative
+        fresh = {}
+        bypass = []
+        for r in allowed:
+            if r["dont_filter"]:
+                bypass.append(r)
+                continue
+            if r["url_hash"] in res.seen:
+                continue
+            k = r["url_hash"]
+            rep_key = (-r["priority"], r["query_id"], r["lineage"])
+            if k not in fresh or rep_key < fresh[k][0]:
+                fresh[k] = (rep_key, r)
+        candidates = [v[1] for v in fresh.values()] + bypass
+
+        # politeness salting from PRE-quota per-host counts
+        host_counts: dict[str, int] = {}
+        for r in candidates:
+            host_counts[r["host"]] = host_counts.get(r["host"], 0) + 1
+        n_buckets = {
+            h: max(1, math.ceil(c / rows_per_bucket)) for h, c in host_counts.items()
+        }
+
+        # W1 quota: host top-k by the deterministic key
+        order_key = lambda r: (-r["priority"], r["discovered_wave"], r["url_hash"])
+        by_host: dict[str, list] = {}
+        for r in candidates:
+            by_host.setdefault(r["host"], []).append(r)
+        scheduled, overflow = [], []
+        for hrows in by_host.values():
+            hrows.sort(key=order_key)
+            take = hrows if quota is None else hrows[:quota]
+            overflow.extend([] if quota is None else hrows[quota:])
+            scheduled.extend(take)
+
+        # token bucket: ts = wave_start + (salt + p·S)·delay
+        max_ts = None
+        this_wave: list[SimFetch] = []
+        for host, hrows in by_host.items():
+            S = n_buckets[host]
+            take = hrows if quota is None else hrows[:quota]
+            buckets: dict[int, list] = {}
+            for r in take:
+                buckets.setdefault(r["url_hash"] % S, []).append(r)
+            for salt, brows in buckets.items():
+                brows.sort(key=order_key)
+                for p, r in enumerate(brows):
+                    ts = wave_start + (salt + p * S) * delay_s
+                    max_ts = ts if max_ts is None else max(max_ts, ts)
+                    hit = r["url"] in pages_urls
+                    this_wave.append(
+                        SimFetch(wave, r["url"], r["url_hash"], host, ts, hit)
+                    )
+                    res.seen.add(r["url_hash"])
+                    r["_hit"] = hit
+        res.fetches.extend(this_wave)
+        if max_ts is not None:
+            wave_start = max_ts + delay_s
+
+        # next frontier: expansions + retries + quota overflow
+        nxt = []
+        for r in scheduled:
+            if r.get("_hit"):
+                if r["depth"] + 1 <= max_depth:
+                    for dst in links.get(r["url"], []):
+                        nxt.append(
+                            row(
+                                dst, r["query_id"], r["priority"],
+                                r["depth"] + 1, wave + 1, 0, False,
+                                f"link:{r['url']}",
+                            )
+                        )
+            else:
+                if r["attempt"] + 1 <= max_retries:
+                    rr = dict(r)
+                    rr["attempt"] += 1
+                    rr["dont_filter"] = True
+                    nxt.append(rr)
+        nxt.extend(overflow)
+        frontier = nxt
+    return res
