@@ -1,0 +1,120 @@
+"""Training-data text ops: exact dedup, MinHash LSH, SimHash, n-gram
+Jaccard, language ID, quality features, token counts, fingerprints."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wos_crawler_spark.operators import textdedup as td
+from wos_crawler_spark.operators import textquality as tq
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Planted corpus: 20 base docs, near-dup pairs (one-word edits),
+    and exact dups (whitespace/case variants)."""
+    # disjoint vocabularies per doc → unrelated docs share no shingles
+    base = [" ".join(f"w{i * 40 + j}" for j in range(40)) for i in range(20)]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i, t))
+    # near-dups of docs 0..4: change the last word
+    for i in range(5):
+        rows.append((100 + i, base[i].rsplit(" ", 1)[0] + " zz"))
+    # exact dups of docs 5..7 modulo case/whitespace
+    for i in range(5, 8):
+        rows.append((200 + i, base[i].upper().replace(" ", "   ")))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(corpus):
+    d = td.exact_dedup(corpus).filter(F.col("n_dups") > 1).collect()
+    assert {r["keep_id"] for r in d} == {5, 6, 7}
+    survivors = td.exact_dedup_keep(corpus)
+    assert survivors.count() == corpus.count() - 3
+    assert survivors.filter(F.col("doc_id").isin([205, 206, 207])).count() == 0
+
+
+def test_minhash_lsh_finds_planted_near_dups(corpus):
+    pairs = td.minhash_lsh_pairs(
+        corpus, shingle_n=3, k=32, bands=16, jaccard_threshold=0.5
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    for i in range(5):
+        assert (i, 100 + i) in found, f"missed planted near-dup {i}"
+    # jaccard sanity: planted pairs differ by ~3 shingles out of ~38
+    for r in pairs:
+        if (r["id_a"], r["id_b"]) == (0, 100):
+            assert 0.8 < r["jaccard"] < 1.0
+
+
+def test_minhash_no_false_pairs_between_unrelated(corpus):
+    pairs = td.minhash_lsh_pairs(
+        corpus, shingle_n=3, k=32, bands=16, jaccard_threshold=0.5
+    ).collect()
+    for r in pairs:
+        # every surviving pair must be a planted one (a, a+100/a+200)
+        assert r["id_b"] % 100 == r["id_a"], (r["id_a"], r["id_b"])
+        assert r["jaccard"] >= 0.5
+
+
+def test_simhash_near_pairs(spark, corpus):
+    sim = td.simhash(corpus)
+    assert sim.count() == corpus.count()
+    pairs = td.simhash_near_pairs(sim, max_hamming=8, prefix_bits=8).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    hits = sum((i, 100 + i) in found for i in range(5))
+    assert hits >= 3  # probabilistic blocking; most planted pairs found
+
+
+def test_ngram_jaccard_allpairs(corpus):
+    pairs = td.ngram_jaccard_pairs(corpus, n=3, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    for i in range(5):
+        assert (i, 100 + i) in found
+
+
+def test_lang_id(spark):
+    rows = [
+        (1, "the cat sat on the mat and that is that"),
+        (2, "der hund ist von der stadt und das ist ein haus"),
+        (3, "el perro es de la casa y que bueno es por la noche"),
+        (4, "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r["lang"] for r in df.select("id", tq.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out == {1: "en", 2: "de", 3: "es", 4: "und"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42 times.")], "id long, text string")
+    r = df.select(
+        tq.token_count_ws(F.col("text")).alias("ws"),
+        tq.token_count_bpe(F.col("text")).alias("bpe"),
+    ).first()
+    assert r["ws"] == 4
+    # hello , world ! 42 times . → 7 BPE-ish pieces
+    assert r["bpe"] == 7
+
+
+def test_quality_features(corpus):
+    q = tq.quality_features(corpus)
+    rows = q.select("doc_id", "q_n_words", "q_score", "q_punct_ratio").collect()
+    for r in rows:
+        assert 0.0 <= r["q_score"] <= 1.0
+        assert r["q_n_words"] in (40, 41)
+        assert r["q_punct_ratio"] == 0.0
+
+
+def test_fingerprint_invariance(spark):
+    df = spark.createDataFrame(
+        [(1, "Some  Text\there"), (2, "some text here")], "id long, text string"
+    )
+    fps = [r["fp"] for r in df.select(tq.doc_fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_rolling_fingerprints(spark):
+    df = spark.createDataFrame([(1, " ".join(f"w{i}" for i in range(20)))], "id long, text string")
+    arr = df.select(tq.rolling_fingerprints(F.col("text"), 8).alias("r")).first()["r"]
+    assert len(arr) == 13  # 20 - 8 + 1
+    assert len(set(arr)) == 13

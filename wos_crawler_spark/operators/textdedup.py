@@ -19,6 +19,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -150,8 +152,6 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document, vectorized numpy over Arrow
     batches (the bit-twiddling path where exprs stop being sensible)."""
-    import numpy as np
-    import pandas as pd
 
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
