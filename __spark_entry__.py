@@ -1,38 +1,878 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 +
+training-data pipeline family); each callable takes (spark, sf_dir)
+and returns a DataFrame.
+``oracle_sql()`` — matching ANSI SQL for DuckDB over the same parquet
+tables. Non-SQL-expressible operators (xxhash64-based LSH/Bloom,
+mapInPandas parsers, full crawl loop) are intentionally omitted there
+and get the driver's weaker rows-only check; their exact semantics are
+pinned by pytest goldens instead (tests/).
+
+Column-name contract: every computed column is aliased identically on
+both sides (the driver's compare sorts columns by name before
+hashing). Float-valued outputs either mirror the exact IEEE expression
+order on both sides or are rounded/avoided (ranks instead of scores).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# entry — flagship pipeline (smoke check, sf0.001)
+# =====================================================================
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: text-quality + language-ID + exact dedup over the
+    documents corpus, rolled up per (lang, lang_pred)."""
+    from wos_crawler_spark.operators.textdedup import exact_dedup_keep
+    from wos_crawler_spark.operators.textquality import lang_id, quality_features
+
+    docs = _t(spark, SF_DEFAULT, "documents")
+    kept = exact_dedup_keep(docs, id_col="doc_id", text_col="text")
+    scored = quality_features(kept).withColumn("lang_pred", lang_id(F.col("text")))
+    return (
+        scored.groupBy("lang", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("q_score"), 4).alias("avg_quality"),
+            F.sum("q_n_words").alias("total_words"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+# =====================================================================
+# shared URL synthesis (both engines build identical strings from
+# doc_id, so the canonicalizer is oracle-checkable without xxhash64)
+# =====================================================================
+
+
+def _messy_url_expr() -> F.Column:
+    """Deterministically messy URL per doc_id: mixed-case scheme/host,
+    default port, unsorted query params, fragment."""
+    i = F.col("doc_id")
+    scheme = F.when(i % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https"))
+    host = F.concat(F.lit("Host"), (i % 7).cast("string"), F.lit(".Example.COM"))
+    port = F.when(i % 5 == 0, F.lit(":443")).otherwise(F.lit(""))
+    path = F.concat(F.lit("/Docs/"), i.cast("string"))
+    query = (
+        F.when(i % 3 == 0, F.lit("?b=2&a=1"))
+        .when(i % 3 == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(i % 2 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+
+
+#: DuckDB twin of the expected CANONICAL form (independent statement of
+#: the contract, not a re-run of the engine).
+_CANON_SQL = (
+    "'https://host' || (doc_id % 7) || '.example.com/Docs/' || doc_id || "
+    "CASE WHEN doc_id % 3 IN (0, 1) THEN '?a=1&b=2' ELSE '' END"
+)
+_HOST_SQL = "'host' || (doc_id % 7) || '.example.com'"
+
+
+# =====================================================================
+# queries
+# =====================================================================
+
+
+def q_f2_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: canonicalization as a pure Catalyst expression
+    (wos_crawler_spark.functions.urlnorm; ref behavior:
+    dep:w3lib.url::canonicalize_url used by Scrapy fingerprints)."""
+    from wos_crawler_spark.functions.urlnorm import canonicalize_url, url_host
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.withColumn("url_raw", _messy_url_expr())
+    return raw.select(
+        "doc_id",
+        canonicalize_url(F.col("url_raw")).alias("url_canon"),
+        url_host(F.col("url_raw")).alias("host"),
+    )
+
+
+def q_f1_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/J1/U3: exact URL-seen dedup (left_anti on canonical hash).
+    The seen side holds *differently-messy* spellings of the same URLs
+    — canonical-equivalence classes must dedup to one fetch."""
+    from wos_crawler_spark.functions.urlnorm import with_url_canon
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    frontier = with_url_canon(
+        docs.withColumn("url", _messy_url_expr())
+    )
+    # seen: every 4th doc, spelled differently (no fragment, lowercase
+    # scheme, same canonical form)
+    seen_raw = docs.filter(F.col("doc_id") % 4 == 0).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://HOST"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(F.lit("")),
+            F.lit("/Docs/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?a=1&b=2"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("?b=2&a=1"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    seen = with_url_canon(seen_raw).select("url_hash")
+    return frontier.join(seen, "url_hash", "left_anti").select("doc_id")
+
+
+def q_f3_robots_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/J2: robots.txt longest-prefix-match as a broadcast join +
+    higher-order array exprs (wos_crawler_spark.operators.robots)."""
+    from wos_crawler_spark.operators.robots import robots_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    host = F.concat(F.lit("h"), (i % 4).cast("string"), F.lit(".com"))
+    path = (
+        F.when(i % 4 == 0, F.concat(F.lit("/private/p"), i.cast("string")))
+        .when(i % 4 == 1, F.concat(F.lit("/private/pub/p"), i.cast("string")))
+        .when(i % 4 == 2, F.concat(F.lit("/p"), i.cast("string")))
+        .otherwise(F.concat(F.lit("/private/x/p"), i.cast("string")))
+    )
+    frontier = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("url_canon"),
+    )
+    rules = [
+        (f"h{k}.com", p, a, len(p))
+        for k in range(4)
+        for (p, a) in [("/private", False), ("/private/pub", True), ("/", True)]
+    ]
+    robots = spark.createDataFrame(
+        rules, "host string, rule_prefix string, allow boolean, rule_len int"
+    )
+    return robots_filter(frontier, robots).select("doc_id", "host")
+
+
+def _synthetic_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier rows for the scheduler oracles: url_hash := doc_id so
+    the deterministic ordering key is SQL-visible on both sides."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (i % 5).cast("string")).alias("host"),
+        i.alias("url_hash"),
+        (i % 3).cast("int").alias("priority"),
+        F.lit(0).alias("discovered_wave"),
+    )
+
+
+def q_f4_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: salted token-bucket politeness schedule. At this scale each
+    host fits one bucket, so scheduled_ts == (host_rank-1) * delay —
+    exactly the per-host 1 req/s contract."""
+    from wos_crawler_spark.operators.politeness import schedule_wave
+
+    f = _synthetic_frontier(spark, sf_dir)
+    sched = schedule_wave(f, delay_s=1.0, wave_start=0.0)
+    return sched.select("doc_id", "host", "scheduled_ts")
+
+
+def q_w1_priority_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: per-host priority top-k (two-phase skew-free quota)."""
+    from wos_crawler_spark.operators.politeness import schedule_wave
+
+    f = _synthetic_frontier(spark, sf_dir)
+    sched = schedule_wave(f, delay_s=1.0, wave_start=0.0, quota=7)
+    return sched.select("doc_id", "host", "scheduled_ts")
+
+
+def q_w2_pagination_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/S5: the reference's sequential 500-record pagination,
+    parallelized as a window batch-id (batch size 50 here)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.withColumn(
+            "batch_id", F.floor((F.row_number().over(w) - 1) / 50).cast("long")
+        )
+        .groupBy("source", "batch_id")
+        .agg(F.count(F.lit(1)).alias("n_recs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+def q_a1_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/S4: result-count probe per corpus slice."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_j4_seed_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/S3: advanced-query seed evaluation — broadcast theta join on
+    contains(text, term) (the AdvancedSearch POST analog)."""
+    seeds = spark.createDataFrame(
+        [("spark", 0), ("window", 1), ("vector", 2), ("zzznomatch", 3)],
+        "term string, query_id int",
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    j = F.broadcast(seeds).join(
+        docs, F.col("text").contains(F.col("term")), "left"
+    )
+    return j.groupBy("query_id").agg(F.count("doc_id").alias("n_matches"))
+
+
+def q_j1_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: anti-join shape (frontier ∖ seen) on the TPC-H-ish tables."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+def q_j2_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: broadcast dim joins (customer ⋈ nation ⋈ region) + rollup."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shape aggregation (partial+final hash agg, no UDF)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shape join + agg + top-k."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup over the events stream table (batch twin
+    of streaming.windowed_ingest_stats)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q_u_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2/U3: wave union + seen accumulation + frontier-minus-seen."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    threes = docs.filter(F.col("doc_id") % 3 == 0)
+    fives = docs.filter(F.col("doc_id") % 5 == 0)
+    return evens.unionByName(threes).dropDuplicates(["doc_id"]).exceptAll(
+        fives
+    ).select("doc_id")
+
+
+def q_p6_word_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6-shape multi-value split + explode + count."""
+    from wos_crawler_spark.operators.textdedup import words_of
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(words_of(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+# ------------------------------------------------ training-data family
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: digest → (keep_id, n_dups)."""
+    from wos_crawler_spark.operators.textdedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, id_col="doc_id", text_col="text")
+
+
+def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup survivors (min doc_id per normalized-text digest)."""
+    from wos_crawler_spark.operators.textdedup import exact_dedup_keep
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_keep(docs, id_col="doc_id", text_col="text").select("doc_id")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-shingle Jaccard near-dup pairs, blocked by source."""
+    from wos_crawler_spark.operators.textdedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=1, threshold=0.5,
+        block_col="source",
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard_r")
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (xxhash64 signatures — rows-only;
+    exact-Jaccard verification is pinned in tests/test_textops.py)."""
+    from wos_crawler_spark.operators.textdedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, id_col="doc_id", text_col="text", shingle_n=1,
+        k=32, bands=8, jaccard_threshold=0.5,
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures + near pairs (vectorized Arrow UDF — rows-only)."""
+    from wos_crawler_spark.operators.textdedup import simhash, simhash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(
+        simhash(docs, id_col="doc_id", text_col="text"),
+        max_hamming=8, prefix_bits=8,
+    )
+
+
+def q_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (JVM zip_with/aggregate dot products).
+    Output is rank-only — float scores stay out of the hash compare."""
+    from wos_crawler_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    topk = brute_force_topk(emb, queries, k=10, id_col="vec_id",
+                            vec_col="embedding")
+    return topk.select("q_id", "vec_id", "rank")
+
+
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via deterministic hyperplane LSH buckets (rows-only;
+    recall vs brute force is asserted in tests/test_similarity.py)."""
+    from wos_crawler_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return lsh_topk(emb, queries, dim=64, k=10, n_planes=6).select(
+        "q_id", "vec_id", "rank"
+    )
+
+
+def q_sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-blocked (rows-only)."""
+    from wos_crawler_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.3, dim=64, n_planes=3).select(
+        "id_a", "id_b"
+    )
+
+
+def q_sim_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs embedding-cosine ≥ threshold (the oracle-checked
+    baseline the LSH-blocked variant approximates)."""
+    from wos_crawler_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("v_a"), F.col("v_b")) >= 0.35)
+        .select("id_a", "id_b")
+    )
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID (stopword-hit argmax, pure exprs)."""
+    from wos_crawler_spark.operators.textquality import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex pieces."""
+    from wos_crawler_spark.operators.textquality import (
+        token_count_bpe,
+        token_count_ws,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws(F.col("text")).cast("long").alias("n_tokens_ws"),
+        token_count_bpe(F.col("text")).cast("long").alias("n_tokens_bpe"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring features (length/punct/stopword ratios)."""
+    from wos_crawler_spark.operators.textquality import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id",
+        F.col("q_n_chars").cast("long").alias("q_n_chars"),
+        F.col("q_n_words").cast("long").alias("q_n_words"),
+        "q_avg_word_len", "q_punct_ratio", "q_stopword_ratio", "q_score",
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (md5 of normalized text)."""
+    from wos_crawler_spark.operators.textquality import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+
+
+# ------------------------------------------- rows-only engine surfaces
+
+
+def q_parse_wos_plaintext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1–P15: vectorized WoS field-tag parser over synthetic export
+    pages (byte-identity pinned by tests/fixtures goldens)."""
+    from wos_crawler_spark.fixtures.synth import pages_table
+    from wos_crawler_spark.operators.parse_plaintext import parse_pages
+
+    pages = pages_table(spark, 200, partitions=8)
+    parsed = parse_pages(pages)
+    return parsed.select(
+        "url", "unique_id", "pub_year", "doi",
+        F.size("authors").alias("n_authors"),
+        F.size("references").alias("n_refs"),
+        F.length("extracted_text").alias("extracted_len"),
+    )
+
+
+def q_parse_bibtex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14: BibTeX parser (LaTeX de-escape + field mapping)."""
+    from wos_crawler_spark.fixtures import wosgen
+    from wos_crawler_spark.operators.parse_bibtex import parse_bib_pages
+
+    try:
+        bib_payload = wosgen.bibtex_payload  # optional generator
+        texts = [(wosgen.url_of(i), bib_payload(i, 100)) for i in range(100)]
+    except AttributeError:
+        import pandas as pd
+        from wos_crawler_spark.operators.parse_bibtex import parse_bib_text  # noqa: F401
+
+        texts = [
+            (
+                f"https://x.org/bib/{i}",
+                "@article{ rec%d,\nauthor = {Smith, John and Wu, Li},\n"
+                "title = {{Entry %d \\'{e}tude}},\nyear = {%d},\n"
+                "unique-id = {WOS:%09d}}" % (i, i, 2000 + i % 20, i),
+            )
+            for i in range(100)
+        ]
+    pages = spark.createDataFrame(texts, "url string, text string")
+    parsed = parse_bib_pages(pages)
+    return parsed.select("url", "unique_id", "title", "pub_year",
+                         F.size("authors").alias("n_authors"))
+
+
+def q_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1/EP2: the full checkpointable wave loop (robots → Bloom+anti
+    dedup → quota → token bucket → fetch join → parse → expand) on a
+    synthetic frontier. Ordering/seen-set equality vs the
+    single-threaded simulator oracle is pinned in tests/test_frontier.py."""
+    from wos_crawler_spark.fixtures.synth import (
+        links_table,
+        pages_table,
+        robots_table,
+        seeds_table,
+    )
+    from wos_crawler_spark.plans.crawl import CrawlConfig, run_crawl
+
+    n = 300
+    pages = pages_table(spark, n, partitions=8)
+    res = run_crawl(
+        spark,
+        pages=pages,
+        seeds=seeds_table(spark),
+        links=links_table(spark, n, partitions=8),
+        robots=robots_table(spark),
+        cfg=CrawlConfig(delay_s=0.1, max_waves=3, parse=False),
+    )
+    return res.fetch_log.groupBy("wave", "host").agg(
+        F.count(F.lit(1)).alias("n_fetched"),
+        F.round(F.min("scheduled_ts"), 3).alias("first_ts"),
+        F.round(F.max("scheduled_ts"), 3).alias("last_ts"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column + typed metadata +
+    Arrow-batched feature extraction (decode stubbed — rows-only)."""
+    from wos_crawler_spark.operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, 200, kind="image")
+    feats = extract_features(media, deterministic_fake=True)
+    return feats.select(
+        "asset_id",
+        F.size("features").cast("long").alias("feat_dim"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # crawl-engine operator family (SURVEY.md §2)
+        "f2_url_canonicalize": q_f2_url_canonicalize,
+        "f1_frontier_dedup": q_f1_frontier_dedup,
+        "f3_robots_lpm": q_f3_robots_lpm,
+        "f4_politeness_schedule": q_f4_politeness_schedule,
+        "w1_priority_quota": q_w1_priority_quota,
+        "w2_pagination_batches": q_w2_pagination_batches,
+        "a1_docs_per_lang": q_a1_docs_per_lang,
+        "j4_seed_match": q_j4_seed_match,
+        "j1_customers_without_orders": q_j1_customers_without_orders,
+        "j2_dim_rollup": q_j2_dim_rollup,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "tpch_q3_top_orders": q_tpch_q3_top_orders,
+        "events_hourly": q_events_hourly,
+        "u_set_ops": q_u_set_ops,
+        "p6_word_explode": q_p6_word_explode,
+        # training-data pipeline family
+        "dedup_exact": q_dedup_exact,
+        "dedup_exact_keep": q_dedup_exact_keep,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_bruteforce_topk": q_sim_bruteforce_topk,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_cosine_near_dup": q_sim_cosine_near_dup,
+        "sim_cosine_pairs_exact": q_sim_cosine_pairs_exact,
+        "text_lang_id": q_text_lang_id,
+        "text_token_counts": q_text_token_counts,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        # rows-only engine surfaces (non-SQL-expressible)
+        "parse_wos_plaintext": q_parse_wos_plaintext,
+        "parse_bibtex": q_parse_bibtex,
+        "crawl_end_to_end": q_crawl_end_to_end,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# =====================================================================
+# oracles (DuckDB SQL over the same parquet views)
+# =====================================================================
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WORDS = f"string_split({_NORM}, ' ')"
+
+_STOP = {
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"],
+    "en": ["the", "of", "and", "to", "in", "is", "that", "for", "with", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "dans", "pour", "que"],
+}
+
+
+def _stop_arr(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in _STOP[lang]) + "]"
+
+
+_LANG_SCORES = ", ".join(
+    f"len(list_intersect(w, {_stop_arr(lang)})) AS s_{lang}" for lang in _STOP
+)
+_ALL_STOP = "[" + ", ".join(
+    f"'{w}'" for w in sorted({w for sw in _STOP.values() for w in sw})
+) + "]"
+
+_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "f2_url_canonicalize": f"""
+            SELECT doc_id,
+                   {_CANON_SQL} AS url_canon,
+                   {_HOST_SQL} AS host
+            FROM documents
+        """,
+        "f1_frontier_dedup": """
+            SELECT doc_id FROM documents WHERE doc_id % 4 <> 0
+        """,
+        "f3_robots_lpm": """
+            WITH rules AS (
+                SELECT h.host, r.rule_prefix, r.allow,
+                       length(r.rule_prefix) AS rule_len
+                FROM (SELECT 'h' || k || '.com' AS host
+                      FROM generate_series(0, 3) t(k)) h
+                CROSS JOIN (VALUES ('/private', false),
+                                   ('/private/pub', true),
+                                   ('/', true)) r(rule_prefix, allow)
+            ),
+            frontier AS (
+                SELECT doc_id,
+                       'h' || (doc_id % 4) || '.com' AS host,
+                       CASE doc_id % 4
+                         WHEN 0 THEN '/private/p' || doc_id
+                         WHEN 1 THEN '/private/pub/p' || doc_id
+                         WHEN 2 THEN '/p' || doc_id
+                         ELSE '/private/x/p' || doc_id
+                       END AS path
+                FROM documents
+            ),
+            lpm AS (
+                SELECT f.doc_id, f.host, r.allow,
+                       row_number() OVER (
+                         PARTITION BY f.doc_id
+                         ORDER BY r.rule_len DESC
+                       ) AS rn
+                FROM frontier f
+                LEFT JOIN rules r
+                  ON f.host = r.host AND starts_with(f.path, r.rule_prefix)
+            )
+            SELECT doc_id, host FROM lpm
+            WHERE rn = 1 AND coalesce(allow, true)
+        """,
+        "f4_politeness_schedule": """
+            SELECT doc_id, host,
+                   CAST(rn - 1 AS DOUBLE) * 1.0 AS scheduled_ts
+            FROM (
+                SELECT doc_id, 'h' || (doc_id % 5) AS host,
+                       row_number() OVER (
+                         PARTITION BY doc_id % 5
+                         ORDER BY (doc_id % 3) DESC, doc_id ASC
+                       ) AS rn
+                FROM documents
+            )
+        """,
+        "w1_priority_quota": """
+            SELECT doc_id, host,
+                   CAST(rn - 1 AS DOUBLE) * 1.0 AS scheduled_ts
+            FROM (
+                SELECT doc_id, 'h' || (doc_id % 5) AS host,
+                       row_number() OVER (
+                         PARTITION BY doc_id % 5
+                         ORDER BY (doc_id % 3) DESC, doc_id ASC
+                       ) AS rn
+                FROM documents
+            )
+            WHERE rn <= 7
+        """,
+        "w2_pagination_batches": """
+            SELECT source, CAST(floor((rn - 1) / 50) AS BIGINT) AS batch_id,
+                   count(*) AS n_recs, min(doc_id) AS first_doc
+            FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (
+                         PARTITION BY source ORDER BY doc_id
+                       ) AS rn
+                FROM documents
+            )
+            GROUP BY source, batch_id
+        """,
+        "a1_docs_per_lang": """
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "j4_seed_match": """
+            SELECT s.query_id, count(d.doc_id) AS n_matches
+            FROM (VALUES ('spark', 0), ('window', 1), ('vector', 2),
+                         ('zzznomatch', 3)) s(term, query_id)
+            LEFT JOIN documents d ON contains(d.text, s.term)
+            GROUP BY s.query_id
+        """,
+        "j1_customers_without_orders": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        """,
+        "j2_dim_rollup": """
+            SELECT r_name, n_name, count(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "tpch_q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3_top_orders": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY hour, event_type
+        """,
+        "u_set_ops": """
+            SELECT doc_id FROM (
+                SELECT DISTINCT doc_id FROM documents
+                WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+            ) WHERE doc_id % 5 <> 0
+        """,
+        "p6_word_explode": f"""
+            SELECT word, count(*) AS n_occurrences
+            FROM (SELECT unnest({_WORDS}) AS word FROM documents)
+            GROUP BY word
+        """,
+        "dedup_exact": f"""
+            SELECT md5({_NORM}) AS digest, min(doc_id) AS keep_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY digest
+        """,
+        "dedup_exact_keep": f"""
+            SELECT min(doc_id) AS doc_id
+            FROM documents GROUP BY md5({_NORM})
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH sh AS (
+                SELECT doc_id, source,
+                       list_distinct({_WORDS}) AS s
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                         greatest(len(list_distinct(list_concat(a.s, b.s))), 1),
+                         6) AS jaccard_r
+            FROM sh a JOIN sh b ON a.source = b.source
+            WHERE a.doc_id < b.doc_id
+              AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                  greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.5
+        """,
+        "sim_cosine_pairs_exact": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+        """,
+        "sim_bruteforce_topk": """
+            SELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank FROM (
+                SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                       row_number() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY list_cosine_similarity(
+                           CAST(c.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[])) DESC,
+                         c.vec_id
+                       ) AS rank
+                FROM embeddings c
+                CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+            ) WHERE rank <= 10
+        """,
+        "text_lang_id": f"""
+            SELECT doc_id,
+                   CASE WHEN g = 0 THEN 'und'
+                        WHEN s_de = g THEN 'de'
+                        WHEN s_en = g THEN 'en'
+                        WHEN s_es = g THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM (
+                SELECT doc_id, {_LANG_SCORES},
+                       greatest(s_de, s_en, s_es, s_fr) AS g
+                FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+            )
+        """,
+        "text_token_counts": f"""
+            SELECT doc_id,
+                   len({_WORDS}) AS n_tokens_ws,
+                   len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_tokens_bpe
+            FROM documents
+        """,
+        "text_quality": f"""
+            SELECT doc_id, q_n_chars, q_n_words,
+                   round((norm_len - (q_n_words - 1)) /
+                         greatest(q_n_words, 1), 4) AS q_avg_word_len,
+                   round(punct_ratio, 6) AS q_punct_ratio,
+                   round(stop_ratio, 6) AS q_stopword_ratio,
+                   round(0.5 * least(q_n_words / 100.0, 1.0)
+                       + 0.3 * (1.0 - least(punct_ratio * 10, 1.0))
+                       + 0.2 * least(stop_ratio * 5, 1.0), 6) AS q_score
+            FROM (
+                SELECT doc_id,
+                       length(text) AS q_n_chars,
+                       len({_WORDS}) AS q_n_words,
+                       length({_NORM}) AS norm_len,
+                       CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                         / greatest(length(text), 1) AS punct_ratio,
+                       CAST(len(list_intersect({_WORDS}, {_ALL_STOP})) AS DOUBLE)
+                         / greatest(len({_WORDS}), 1) AS stop_ratio
+                FROM documents
+            )
+        """,
+        "text_fingerprint": f"""
+            SELECT doc_id, md5({_NORM}) AS fp FROM documents
+        """,
+    }
+
+
+if __name__ == "__main__":
+    from wos_crawler_spark.session import get_spark
+
+    spark = get_spark("entry-smoke")
+    entry(spark).show(20, truncate=False)
