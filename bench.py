@@ -1,0 +1,175 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line::
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...}, "sf": ...}
+
+Headline set =
+  - the engine's north-star workloads: full crawl wave loop over a
+    synthetic Common-Crawl-style frontier (frontier expansion + robots +
+    Bloom dedup + politeness schedule + fetch join), and the vectorized
+    WoS field-tag parse (byte-identity path), both with URLs/sec //
+    docs/sec reported in extra keys;
+  - a representative slice of the analytics/dedup/similarity query
+    surface from __spark_entry__.queries() at the sf dir.
+
+Scaling-protocol runs (local[8] vs local[32]) live in
+tools/bench_scaling.py and write BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# crawl/parse workload sizes scale with the sf dir (sf0.1 → 200k pages)
+_SF_GUESS = {"sf0.001": 0.001, "sf0.01": 0.01, "sf0.1": 0.1}
+SF = _SF_GUESS.get(Path(SF_DIR).name, 0.1)
+N_PAGES = max(2_000, int(2_000_000 * SF))
+
+#: __spark_entry__.queries() entries timed as the analytics slice.
+ENTRY_QUERIES = [
+    "tpch_q1_pricing",
+    "tpch_q3_top_orders",
+    "events_hourly",
+    "j2_dim_rollup",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_bruteforce_topk",
+    "text_quality",
+    "f2_url_canonicalize",
+]
+
+
+def _spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("wos-crawler-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def bench_crawl(spark) -> tuple[float, dict]:
+    """North-star: frontier-expansion + fetch-schedule throughput."""
+    from pyspark.sql import functions as F
+
+    from wos_crawler_spark.fixtures.synth import (
+        links_table,
+        pages_table,
+        robots_table,
+        seeds_table,
+    )
+    from wos_crawler_spark.plans.crawl import CrawlConfig, run_crawl
+
+    n = N_PAGES
+    pages = pages_table(spark, n, partitions=CPUS * 2)
+    # materialize pages once so the crawl measures the engine, not the
+    # synthetic generator (a real run reads a pre-existing Iceberg table)
+    pages = pages.persist()
+    pages.count()
+    t0 = time.time()
+    res = run_crawl(
+        spark,
+        pages=pages,
+        seeds=seeds_table(spark),
+        links=links_table(spark, n, partitions=CPUS),
+        robots=robots_table(spark),
+        cfg=CrawlConfig(
+            delay_s=0.001, max_waves=3, parse=False, rows_per_bucket=5_000
+        ),
+    )
+    scheduled = sum(w.scheduled for w in res.waves)
+    # force the full fetch log (all joins/windows) to materialize
+    fetched_rows = res.fetch_log.agg(F.count(F.lit(1))).first()[0]
+    dt = time.time() - t0
+    pages.unpersist()
+    return dt, {
+        "crawl_urls_scheduled": scheduled,
+        "crawl_fetch_rows": fetched_rows,
+        "crawl_urls_per_sec": round(scheduled / dt, 1),
+    }
+
+
+def bench_parse(spark) -> tuple[float, dict]:
+    """Byte-identity parse rate: WoS field-tag mapInPandas parser."""
+    from pyspark.sql import functions as F
+
+    from wos_crawler_spark.fixtures.synth import pages_table
+    from wos_crawler_spark.operators.parse_plaintext import parse_pages
+
+    n = N_PAGES
+    pages = pages_table(spark, n, partitions=CPUS * 2).persist()
+    pages.count()
+    t0 = time.time()
+    parsed = parse_pages(pages)
+    n_docs, n_bytes = parsed.agg(
+        F.count(F.lit(1)), F.sum(F.length("extracted_text"))
+    ).first()
+    dt = time.time() - t0
+    pages.unpersist()
+    return dt, {
+        "parse_docs": n_docs,
+        "parse_docs_per_sec": round(n_docs / dt, 1),
+        "parse_extracted_bytes": int(n_bytes),
+    }
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = _spark()
+    queries: dict[str, float] = {}
+    extra: dict = {}
+
+    dt, info = bench_crawl(spark)
+    queries["crawl_wave_loop"] = round(dt, 3)
+    extra.update(info)
+
+    dt, info = bench_parse(spark)
+    queries["parse_wos_plaintext"] = round(dt, 3)
+    extra.update(info)
+
+    qmap = entrymod.queries()
+    for name in ENTRY_QUERIES:
+        t0 = time.time()
+        df = qmap[name](spark, SF_DIR)
+        # count() forces full execution without driver-side data transfer
+        df.count()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF,
+        **extra,
+        "cpus": CPUS,
+        "sf_dir": SF_DIR,
+        "n_pages": N_PAGES,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

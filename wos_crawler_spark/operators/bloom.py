@@ -113,7 +113,10 @@ class BloomFilter:
 
 def build_bloom(df: DataFrame, hash_col: str, capacity: int, fpp: float = 0.01) -> BloomFilter:
     """Distributed build: per-partition partial bit arrays (mapInPandas),
-    OR-merged on the driver, ready to broadcast."""
+    OR-reduced **executor-side** (one shuffle of the fixed-size partials
+    to a single merge task — the tree-merge documented in SURVEY §2.8),
+    so exactly ONE m/8-byte array crosses to the driver, via Arrow.
+    Driver traffic is O(m), independent of partition count."""
     proto = BloomFilter.sized(capacity, fpp)
     m_bytes, k = len(proto.bits), proto.n_hashes
 
@@ -127,10 +130,26 @@ def build_bloom(df: DataFrame, hash_col: str, capacity: int, fpp: float = 0.01) 
         if any_rows:
             yield pd.DataFrame({"bits": [bf.bits.tobytes()]})
 
-    partials = df.select(hash_col).mapInPandas(_partial, "bits binary").collect()
+    def _or_merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros(m_bytes, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            for raw in pdf["bits"]:
+                any_rows = True
+                acc |= np.frombuffer(raw, dtype=np.uint8)
+        if any_rows:
+            yield pd.DataFrame({"bits": [acc.tobytes()]})
+
+    merged = (
+        df.select(hash_col)
+        .mapInPandas(_partial, "bits binary")
+        .repartition(1)
+        .mapInPandas(_or_merge, "bits binary")
+        .toPandas()  # Arrow transfer of the single final bit array
+    )
     out = BloomFilter(bits=np.zeros(m_bytes, dtype=np.uint8), n_hashes=k)
-    for row in partials:
-        out.bits |= np.frombuffer(row["bits"], dtype=np.uint8)
+    for raw in merged["bits"]:
+        out.bits |= np.frombuffer(raw, dtype=np.uint8)
     return out
 
 

@@ -40,13 +40,24 @@ def commit_wave(
     frontier: DataFrame,
     seen_delta: DataFrame,
     bloom_bytes: bytes,
-    metrics: dict,
+    metrics: dict | None,
 ) -> None:
+    """Write the wave's data artifacts. With ``metrics`` given, also
+    finalize (marker written LAST). With ``metrics=None``, the caller
+    finalizes later via :func:`write_metrics` — the wave stays
+    invisible to resume until then."""
     d = wave_dir(ckpt_dir, wave)
     frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
     seen_delta.write.mode("overwrite").parquet(os.path.join(d, "seen_delta"))
     with open(os.path.join(d, "bloom.bin"), "wb") as f:
         f.write(bloom_bytes)
+    if metrics is not None:
+        write_metrics(ckpt_dir, wave, metrics)
+
+
+def write_metrics(ckpt_dir: str, wave: int, metrics: dict) -> None:
+    """Finalize a wave: metrics.json, then the _COMMITTED marker."""
+    d = wave_dir(ckpt_dir, wave)
     with open(os.path.join(d, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=1, sort_keys=True)
     with open(os.path.join(d, "_COMMITTED"), "w") as f:

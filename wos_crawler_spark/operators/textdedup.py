@@ -74,11 +74,21 @@ def exact_dedup_keep(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 # -------------------------------------------------------- MinHash LSH
 
 
-def minhash_signature(shingles: Column, k: int = 32) -> Column:
-    """k-permutation MinHash via seeded xxhash64 — array<long> of the
-    per-seed minima, all JVM-side."""
+def shingle_hashes(shingles: Column) -> Column:
+    """Hash each shingle string ONCE to int64. All downstream MinHash
+    permutations derive from these longs — at 100 TB the expensive
+    pass over the text bytes happens exactly once per shingle."""
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def minhash_signature(hashes: Column, k: int = 32) -> Column:
+    """k-permutation MinHash over pre-hashed shingles: permutation j is
+    ``xxhash64(h, j)`` (8-byte input — cheap JVM hash), signature is the
+    array of per-permutation minima. Feed this the output of
+    :func:`shingle_hashes`, materialized as its own column so the
+    string-hash pass isn't re-evaluated k times by codegen."""
     sigs = [
-        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(j))))
+        F.array_min(F.transform(hashes, lambda x: F.xxhash64(x, F.lit(j))))
         for j in range(k)
     ]
     return F.array(*sigs)
@@ -121,26 +131,43 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), shingle_n).alias("_sh"),
     ).filter(F.size("_sh") > 0)
-    banded = base.withColumn(
-        "_band", F.explode(minhash_bands(minhash_signature(F.col("_sh"), k), bands, rows))
-    ).select("_id", "_sh", F.col("_band.band_id").alias("band_id"),
-             F.col("_band.band_hash").alias("band_hash"))
 
-    a = banded.select(
-        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "band_id", "band_hash"
+    # banding carries ONLY (id, band_id, band_hash) — ~k·|docs| small
+    # rows. The shingle arrays (the heavy column) never enter this
+    # shuffle; they rejoin below for candidate pairs only.
+    hashed = base.select("_id", shingle_hashes(F.col("_sh")).alias("_h"))
+    sig = hashed.select("_id", minhash_signature(F.col("_h"), k).alias("_sig"))
+    banded = sig.select(
+        "_id", F.explode(minhash_bands(F.col("_sig"), bands, rows)).alias("_band")
+    ).select(
+        "_id",
+        F.col("_band.band_id").alias("band_id"),
+        F.col("_band.band_hash").alias("band_hash"),
     )
-    b = banded.select(
-        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "band_id", "band_hash"
-    )
+
     cand = (
-        a.join(b, ["band_id", "band_hash"])
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            ["band_id", "band_hash"],
+        )
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    # verify stage: exact Jaccard over candidate pairs only (the join
+    # back to `base` is the semi-join-reduced shingle re-read)
+    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn("jaccard", inter / union)
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -150,40 +177,36 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document, vectorized numpy over Arrow
-    batches (the bit-twiddling path where exprs stop being sensible)."""
+    """64-bit SimHash per document, fully vectorized over Arrow batches:
+    one pandas explode for tokenization, one C-level hash pass
+    (``pd.util.hash_array`` — deterministic fixed-key siphash, identical
+    on every executor), one ``np.add.at`` scatter for the bit-plane
+    accumulate. No per-row or per-token Python."""
 
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = (t or "").lower().split()
-            if not toks:
-                continue
-            # FNV-1a per token, vectorized accumulate over bit planes
-            hs = np.array(
-                [_fnv1a64(tok) for tok in set(toks)], dtype=np.uint64
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                np.int64
-            )
-            v = (2 * bits - 1).sum(axis=0)
-            out[i] = np.int64(
-                np.uint64(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-            )
-        return pd.Series(out)
+        n = len(texts)
+        shifts = np.arange(64, dtype=np.uint64)
+        toks = texts.reset_index(drop=True).fillna("").str.lower().str.split()
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pd.Series(np.zeros(n, dtype=np.int64))
+        # distinct tokens per doc (the reference of the per-doc `set()`)
+        tdf = pd.DataFrame(
+            {"row": ex.index.to_numpy(), "tok": ex.to_numpy()}
+        ).drop_duplicates()
+        hs = pd.util.hash_array(tdf["tok"].to_numpy(dtype=object))
+        contrib = (
+            2 * ((hs[:, None] >> shifts[None, :]) & 1).astype(np.int8) - 1
+        )
+        acc = np.zeros((n, 64), dtype=np.int64)
+        np.add.at(acc, tdf["row"].to_numpy(), contrib)
+        sig = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1)
+        return pd.Series(sig.astype(np.uint64).view(np.int64))
 
     return df.select(
         F.col(id_col), _simhash(F.col(text_col)).alias("simhash")
     )
-
-
-def _fnv1a64(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for byte in s.encode("utf-8"):
-        h ^= byte
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
 
 
 def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:

@@ -190,17 +190,12 @@ def run_wave(
         wave_start=wave_start,
         quota=cfg.quota,
         rows_per_bucket=cfg.rows_per_bucket,
-    ).cache()
+    )
 
-    # quota overflow re-queues (the scheduler keeps its pending queue —
-    # the reference never drops requests, it pops them later)
-    if cfg.quota is not None:
-        overflow = candidates.join(sched.select("url_hash"), "url_hash", "left_anti")
-        overflow = overflow.select(FRONTIER_COLS)
-    else:
-        overflow = None
-
-    # J3: "fetch" — resolve url → page payload (left join keeps misses)
+    # J3: "fetch" — resolve url → page payload (left join keeps misses).
+    # `fetched` is the ONLY materialization point of the wave: every
+    # count/aggregate below reads the cache, so the robots→dedup→
+    # schedule→fetch chain executes exactly once per wave.
     page_cols = pages.select(
         "url", "text", "lang", "warc_ts"
     )
@@ -208,11 +203,21 @@ def run_wave(
     hits = fetched.filter(F.col("text").isNotNull())
     misses = fetched.filter(F.col("text").isNull())
 
-    scheduled_n = sched.count()
-    hits_n = hits.count()
+    # one job → all wave metrics (count(text) skips nulls = hits)
+    scheduled_n, hits_n, max_ts_row = fetched.agg(
+        F.count(F.lit(1)), F.count("text"), F.max("scheduled_ts")
+    ).first()
     misses_n = scheduled_n - hits_n
-    max_ts_row = sched.agg(F.max("scheduled_ts")).first()[0]
     next_start = (max_ts_row + cfg.delay_s) if max_ts_row is not None else wave_start
+
+    # quota overflow re-queues (the scheduler keeps its pending queue —
+    # the reference never drops requests, it pops them later)
+    if cfg.quota is not None:
+        overflow = candidates.join(
+            fetched.select("url_hash"), "url_hash", "left_anti"
+        ).select(FRONTIER_COLS)
+    else:
+        overflow = None
 
     # parse (P1–P15)
     parsed = None
@@ -228,7 +233,6 @@ def run_wave(
         .withColumn("dont_filter", F.lit(True))
         .filter(F.col("attempt") <= cfg.max_retries)
     )
-    retried_n = retries.count()
 
     # expansion (S5-parallel)
     if links is not None:
@@ -238,22 +242,28 @@ def run_wave(
     next_frontier = expansions.unionByName(retries.select(FRONTIER_COLS))  # U1
     if overflow is not None:
         next_frontier = next_frontier.unionByName(overflow)
-    expanded_n = next_frontier.count() - retried_n
+    # retried/expanded counts are filled in by the caller AFTER the
+    # next frontier materializes (checkpoint) — no extra jobs here.
 
     # U2/A2: seen accumulates everything scheduled this wave
-    seen_delta = sched.select("url_hash").withColumn("wave", F.lit(wave))
-    wave_bloom = build_bloom(
-        seen_delta, "url_hash", capacity=cfg.bloom_capacity, fpp=cfg.bloom_fpp
-    )
-    new_bloom = bloom.merge(wave_bloom) if bloom is not None else wave_bloom
+    seen_delta = fetched.select("url_hash").withColumn("wave", F.lit(wave))
+    if scheduled_n:
+        wave_bloom = build_bloom(
+            seen_delta, "url_hash", capacity=cfg.bloom_capacity, fpp=cfg.bloom_fpp
+        )
+        new_bloom = bloom.merge(wave_bloom) if bloom is not None else wave_bloom
+    else:
+        new_bloom = bloom if bloom is not None else BloomFilter.sized(
+            cfg.bloom_capacity, cfg.bloom_fpp
+        )
 
     res = WaveResult(
         wave=wave,
         scheduled=scheduled_n,
         hits=hits_n,
         misses=misses_n,
-        retried=retried_n,
-        expanded=expanded_n,
+        retried=-1,  # filled by run_crawl post-checkpoint
+        expanded=-1,
         parsed_docs=parsed_n,
         next_start_ts=next_start,
         fetched=fetched,
@@ -315,17 +325,9 @@ def run_crawl(
         wave_start = res.next_start_ts
 
         if cfg.ckpt_dir:
-            metrics = {
-                "wave": wave,
-                "scheduled": res.scheduled,
-                "hits": res.hits,
-                "misses": res.misses,
-                "retried": res.retried,
-                "expanded": res.expanded,
-                "next_start_ts": res.next_start_ts,
-            }
             ckpt.commit_wave(
-                cfg.ckpt_dir, wave, next_frontier, seen_delta, bloom.to_bytes(), metrics
+                cfg.ckpt_dir, wave, next_frontier, seen_delta, bloom.to_bytes(),
+                metrics=None,  # committed below, after counts
             )
             # lineage truncation: next wave reads back from disk
             frontier = ckpt.read_frontier(spark, cfg.ckpt_dir, wave)
@@ -336,6 +338,29 @@ def run_crawl(
             )
             seen = new_seen.localCheckpoint()  # truncate lineage in-memory
             frontier = next_frontier.localCheckpoint()
+
+        # retried/expanded off the MATERIALIZED next frontier (one cheap
+        # job on checkpointed rows; dont_filter marks the retries)
+        nf_n, retried_n = frontier.agg(
+            F.count(F.lit(1)), F.sum(F.col("dont_filter").cast("long"))
+        ).first()
+        res.retried = int(retried_n or 0)
+        res.expanded = int(nf_n) - res.retried
+
+        if cfg.ckpt_dir:
+            ckpt.write_metrics(
+                cfg.ckpt_dir,
+                wave,
+                {
+                    "wave": wave,
+                    "scheduled": res.scheduled,
+                    "hits": res.hits,
+                    "misses": res.misses,
+                    "retried": res.retried,
+                    "expanded": res.expanded,
+                    "next_start_ts": res.next_start_ts,
+                },
+            )
 
     out.seen = seen
     if fetch_logs:
