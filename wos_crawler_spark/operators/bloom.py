@@ -130,23 +130,12 @@ def build_bloom(df: DataFrame, hash_col: str, capacity: int, fpp: float = 0.01) 
         if any_rows:
             yield pd.DataFrame({"bits": [bf.bits.tobytes()]})
 
-    def _or_merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc = np.zeros(m_bytes, dtype=np.uint8)
-        any_rows = False
-        for pdf in batches:
-            for raw in pdf["bits"]:
-                any_rows = True
-                acc |= np.frombuffer(raw, dtype=np.uint8)
-        if any_rows:
-            yield pd.DataFrame({"bits": [acc.tobytes()]})
-
-    merged = (
-        df.select(hash_col)
-        .mapInPandas(_partial, "bits binary")
-        .repartition(1)
-        .mapInPandas(_or_merge, "bits binary")
-        .toPandas()  # Arrow transfer of the single final bit array
-    )
+    # One Python stage; the fixed-size partials (one per non-empty
+    # partition) come back over Arrow (toPandas), NOT the row-based
+    # py4j collect path, and are OR-folded on the driver. On a real
+    # cluster with thousands of partitions, insert a coalesce(B) level
+    # here so driver traffic stays B·m/8 bytes.
+    merged = df.select(hash_col).mapInPandas(_partial, "bits binary").toPandas()
     out = BloomFilter(bits=np.zeros(m_bytes, dtype=np.uint8), n_hashes=k)
     for raw in merged["bits"]:
         out.bits |= np.frombuffer(raw, dtype=np.uint8)

@@ -105,7 +105,9 @@ def schedule_wave(
         + (F.col("salt") + F.col("_p") * F.col("n_buckets")) * F.lit(float(delay_s)),
     ).drop("_p")
 
-    # executors process each bucket in schedule order (no global sort):
-    return f.repartition(F.col("host"), F.col("salt")).sortWithinPartitions(
-        "scheduled_ts"
-    )
+    # executors process each bucket in schedule order (no global sort).
+    # The window above already hash-partitioned the data on (host, salt)
+    # — adding an explicit repartition here would force a second full
+    # shuffle of the frontier for an identical partitioning, so we only
+    # sort within the partitions the window left behind.
+    return f.sortWithinPartitions("scheduled_ts")

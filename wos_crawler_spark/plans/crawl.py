@@ -80,6 +80,7 @@ class WaveResult:
     next_start_ts: float
     fetched: DataFrame | None = None
     parsed: DataFrame | None = None
+    candidates: DataFrame | None = None  # cached; unpersisted post-ckpt
 
 
 @dataclass
@@ -180,10 +181,11 @@ def run_wave(
     filtered = allowed.filter(~F.col("dont_filter"))
     bypass = allowed.filter(F.col("dont_filter"))
     fresh = dedup_frontier(filtered, seen, bloom)
-    candidates = fresh.unionByName(bypass)
-
-    # W1/F4: quota + politeness schedule
-    candidates = candidates.cache() if cfg.quota is not None else candidates
+    # ALWAYS cache: the Bloom dedup is a two-branch union (new ∪
+    # rescued) and the scheduler reads candidates twice more
+    # (salt_counts agg + the schedule join) — without the cache the
+    # robots→canon→dedup subtree executes 3-4× per wave.
+    candidates = fresh.unionByName(bypass).cache()
     sched = schedule_wave(
         candidates,
         delay_s=cfg.delay_s,
@@ -268,6 +270,7 @@ def run_wave(
         next_start_ts=next_start,
         fetched=fetched,
         parsed=parsed,
+        candidates=candidates,
     )
     return res, next_frontier, seen_delta, new_bloom
 
@@ -344,6 +347,8 @@ def run_crawl(
         nf_n, retried_n = frontier.agg(
             F.count(F.lit(1)), F.sum(F.col("dont_filter").cast("long"))
         ).first()
+        if res.candidates is not None:
+            res.candidates.unpersist()  # next frontier is materialized now
         res.retried = int(retried_n or 0)
         res.expanded = int(nf_n) - res.retried
 
