@@ -26,6 +26,7 @@ a parquet read, so lineage stays O(1) in the wave count.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -81,6 +82,7 @@ class WaveResult:
     fetched: DataFrame | None = None
     parsed: DataFrame | None = None
     candidates: DataFrame | None = None  # cached; unpersisted post-ckpt
+    wall_s: float = 0.0  # driver wall-clock for this wave (incl. ckpt)
 
 
 @dataclass
@@ -114,12 +116,17 @@ def init_frontier(seeds: DataFrame, pages: DataFrame) -> DataFrame:
     — broadcast the (tiny) seeds to a theta join on contains(text,
     term). One full pages scan, once per crawl (the reference's
     AdvancedSearch POST analog). Returns wave-0 frontier rows."""
-    matches = pages.select("url", "text").join(
+    # canonicalize BELOW the theta join: BroadcastNestedLoopJoin is not
+    # whole-stage-codegen'd, so expressions placed above it run
+    # interpreted (~20x slower for this regexp-heavy projection).
+    # Under the join they fuse with the scan's codegen stage.
+    canon_pages = with_url_canon(pages.select("url", "text"))
+    matches = canon_pages.join(
         F.broadcast(seeds.select("query_id", "term", "priority")),
         F.col("text").contains(F.col("term")),
         "inner",
     )
-    f = with_url_canon(matches.select("url", "query_id", "priority"))
+    f = matches.select("url", "url_canon", "url_hash", "host", "query_id", "priority")
     return (
         f.withColumn("depth", F.lit(0))
         .withColumn("discovered_wave", F.lit(0))
@@ -161,6 +168,42 @@ def expand_frontier(
     )
 
 
+def prepare_fetch_side(
+    pages: DataFrame, parts: int, with_text: bool
+) -> DataFrame:
+    """Pre-partition the pages ("server") side of the per-wave fetch
+    join ONCE per crawl: hash-partition on ``url`` and sort within
+    partitions, then cache. Every wave's J3 join then shuffles only
+    the (small) scheduled side — Spark sees the cached side's
+    HashPartitioning/ordering and plans a shuffle-one-side SMJ.
+
+    This is the sandbox stand-in for the production layout: an Iceberg
+    table ``PARTITIONED BY (bucket(256, url))`` gives the same
+    zero-shuffle property via storage-partitioned joins, with no cache
+    needed. ``with_text=False`` (schedule-throughput runs, parse off)
+    drops the heavy payload column before caching — the join only has
+    to prove hit/miss, so shuffling page bytes would be pure waste."""
+    cols = ["url", "text", "lang", "warc_ts"] if with_text else [
+        "url", "lang", "warc_ts"
+    ]
+    return (
+        pages.select(*cols)
+        .repartition(parts, "url")
+        .sortWithinPartitions("url")
+        .persist()
+    )
+
+
+def prepare_links_side(links: DataFrame, parts: int) -> DataFrame:
+    """Same single-shuffle treatment for the expansion join's links
+    side (production: links table bucketed by src_url)."""
+    return (
+        links.repartition(parts, "src_url")
+        .sortWithinPartitions("src_url")
+        .persist()
+    )
+
+
 def run_wave(
     spark: SparkSession,
     wave: int,
@@ -173,7 +216,9 @@ def run_wave(
     cfg: CrawlConfig,
     wave_start: float,
 ) -> tuple[WaveResult, DataFrame, DataFrame, BloomFilter]:
-    """One wave. Returns (result, next_frontier, seen_delta, bloom)."""
+    """One wave. ``pages``/``links`` should be pre-partitioned via
+    ``prepare_fetch_side``/``prepare_links_side`` (run_crawl does).
+    Returns (result, next_frontier, seen_delta, bloom)."""
     # F3: robots gate (map-only broadcast LPM)
     allowed = robots_filter(frontier, robots)
 
@@ -197,17 +242,16 @@ def run_wave(
     # J3: "fetch" — resolve url → page payload (left join keeps misses).
     # `fetched` is the ONLY materialization point of the wave: every
     # count/aggregate below reads the cache, so the robots→dedup→
-    # schedule→fetch chain executes exactly once per wave.
-    page_cols = pages.select(
-        "url", "text", "lang", "warc_ts"
-    )
-    fetched = sched.join(page_cols, "url", "left").cache()
-    hits = fetched.filter(F.col("text").isNotNull())
-    misses = fetched.filter(F.col("text").isNull())
+    # schedule→fetch chain executes exactly once per wave. pages is
+    # pre-partitioned on url (prepare_fetch_side) → only sched shuffles.
+    probe = "text" if "text" in pages.columns else "warc_ts"
+    fetched = sched.join(pages, "url", "left").cache()
+    hits = fetched.filter(F.col(probe).isNotNull())
+    misses = fetched.filter(F.col(probe).isNull())
 
-    # one job → all wave metrics (count(text) skips nulls = hits)
+    # one job → all wave metrics (count(probe) skips nulls = hits)
     scheduled_n, hits_n, max_ts_row = fetched.agg(
-        F.count(F.lit(1)), F.count("text"), F.max("scheduled_ts")
+        F.count(F.lit(1)), F.count(probe), F.max("scheduled_ts")
     ).first()
     misses_n = scheduled_n - hits_n
     next_start = (max_ts_row + cfg.delay_s) if max_ts_row is not None else wave_start
@@ -244,6 +288,10 @@ def run_wave(
     next_frontier = expansions.unionByName(retries.select(FRONTIER_COLS))  # U1
     if overflow is not None:
         next_frontier = next_frontier.unionByName(overflow)
+    # the union stacks its children's partitions; cap task counts for
+    # the checkpoint + next wave (narrow, no shuffle)
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    next_frontier = next_frontier.coalesce(parts)
     # retried/expanded counts are filled in by the caller AFTER the
     # next frontier materializes (checkpoint) — no extra jobs here.
 
@@ -305,16 +353,36 @@ def run_crawl(
             bloom = BloomFilter.from_bytes(ckpt.read_bloom_bytes(cfg.ckpt_dir, last))
             wave_start = ckpt.read_metrics(cfg.ckpt_dir, last)["next_start_ts"]
 
+    timing = os.environ.get("WCS_TIMING", "") not in ("", "0")
+
+    def _t(label: str, t0: float) -> None:
+        if timing:
+            print(f"[crawl-timing] {label}: {time.time() - t0:.2f}s", flush=True)
+
+    # one-time layout work (production: Iceberg bucket(url)/bucket(src_url)
+    # table specs make these free — see prepare_fetch_side docstring)
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    t0 = time.time()
+    pages_kv = prepare_fetch_side(pages, parts, with_text=cfg.parse)
+    links_kv = prepare_links_side(links, parts) if links is not None else None
+
     if frontier is None:
         frontier = init_frontier(seeds, pages)
+    # materialize once: without this, wave 0's seed-match theta join
+    # would run twice (emptiness probe + first candidate use)
+    frontier = frontier.localCheckpoint()
+    frontier_n = frontier.count()
+    _t("prep+init", t0)
 
     fetch_logs = []
     parsed_frames = []
     for wave in range(start_wave, cfg.max_waves):
-        if frontier.isEmpty():
+        if not frontier_n:
             break
+        t_wave = time.time()
         res, next_frontier, seen_delta, bloom = run_wave(
-            spark, wave, frontier, pages, links, robots, seen, bloom, cfg, wave_start
+            spark, wave, frontier, pages_kv, links_kv, robots, seen, bloom,
+            cfg, wave_start,
         )
         out.waves.append(res)
         fetch_logs.append(
@@ -343,14 +411,18 @@ def run_crawl(
             frontier = next_frontier.localCheckpoint()
 
         # retried/expanded off the MATERIALIZED next frontier (one cheap
-        # job on checkpointed rows; dont_filter marks the retries)
+        # job on checkpointed rows; dont_filter marks the retries).
+        # Doubles as the next iteration's emptiness probe.
         nf_n, retried_n = frontier.agg(
             F.count(F.lit(1)), F.sum(F.col("dont_filter").cast("long"))
         ).first()
+        frontier_n = int(nf_n)
         if res.candidates is not None:
             res.candidates.unpersist()  # next frontier is materialized now
         res.retried = int(retried_n or 0)
         res.expanded = int(nf_n) - res.retried
+        res.wall_s = time.time() - t_wave
+        _t(f"wave {wave} (sched={res.scheduled})", t_wave)
 
         if cfg.ckpt_dir:
             ckpt.write_metrics(
@@ -367,6 +439,9 @@ def run_crawl(
                 },
             )
 
+    pages_kv.unpersist()
+    if links_kv is not None:
+        links_kv.unpersist()
     out.seen = seen
     if fetch_logs:
         log = fetch_logs[0]
