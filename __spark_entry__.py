@@ -373,6 +373,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup CLUSTERS — the linear-in-bucket-size scale
+    path (star edges + min-label propagation; rows-only: iterative,
+    not SQL-expressible)."""
+    from wos_crawler_spark.operators.textdedup import minhash_lsh_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(
+        docs, id_col="doc_id", text_col="text", shingle_n=1, k=32, bands=8
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures + near pairs (vectorized Arrow UDF — rows-only)."""
     from wos_crawler_spark.operators.textdedup import simhash, simhash_near_pairs
@@ -594,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "dedup_simhash": q_dedup_simhash,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_lsh_topk": q_sim_lsh_topk,

@@ -44,7 +44,7 @@ ENTRY_QUERIES = [
     "events_hourly",
     "j2_dim_rollup",
     "dedup_exact",
-    "dedup_minhash_lsh",
+    "dedup_minhash_clusters",
     "sim_bruteforce_topk",
     "text_quality",
     "f2_url_canonicalize",

@@ -57,6 +57,26 @@ def test_minhash_no_false_pairs_between_unrelated(corpus):
         assert r["jaccard"] >= 0.5
 
 
+def test_minhash_lsh_dedup_clusters(corpus):
+    """The linear scale path groups each planted dup family into one
+    cluster labeled by its min doc_id, and leaves unrelated docs
+    singleton."""
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in td.minhash_lsh_dedup(
+            corpus, shingle_n=3, k=32, bands=16
+        ).collect()
+    }
+    for i in range(5):  # near-dup families {i, 100+i}
+        assert labels[100 + i] == labels[i] == i
+    for i in range(5, 8):  # exact-dup families {i, 200+i}
+        assert labels[200 + i] == labels[i] == i
+    singles = [i for i in range(8, 20)]
+    for i in singles:
+        assert labels[i] == i
+        assert sum(1 for v in labels.values() if v == i) == 1
+
+
 def test_simhash_near_pairs(spark, corpus):
     sim = td.simhash(corpus)
     assert sim.count() == corpus.count()

@@ -125,8 +125,11 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥
     threshold. Candidate generation is the band-bucket self-join —
-    the classic shuffle-light LSH plan."""
-    rows = k // bands
+    the classic shuffle-light LSH plan.
+
+    NOTE: pair enumeration is quadratic in band-bucket size; use this
+    when pairs are the product (audits, verification). For dedup at
+    scale use :func:`minhash_lsh_dedup`, which stays linear."""
     base = df.select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), shingle_n).alias("_sh"),
@@ -135,15 +138,7 @@ def minhash_lsh_pairs(
     # banding carries ONLY (id, band_id, band_hash) — ~k·|docs| small
     # rows. The shingle arrays (the heavy column) never enter this
     # shuffle; they rejoin below for candidate pairs only.
-    hashed = base.select("_id", shingle_hashes(F.col("_sh")).alias("_h"))
-    sig = hashed.select("_id", minhash_signature(F.col("_h"), k).alias("_sig"))
-    banded = sig.select(
-        "_id", F.explode(minhash_bands(F.col("_sig"), bands, rows)).alias("_band")
-    ).select(
-        "_id",
-        F.col("_band.band_id").alias("band_id"),
-        F.col("_band.band_hash").alias("band_hash"),
-    )
+    banded = _banded(df, id_col, text_col, shingle_n, k, bands)
 
     cand = (
         banded.alias("a")
@@ -171,6 +166,87 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _banded(df: DataFrame, id_col: str, text_col: str, shingle_n: int,
+            k: int, bands: int) -> DataFrame:
+    """(_id, band_id, band_hash) rows — the shared LSH front-end."""
+    rows = k // bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    hashed = base.select("_id", shingle_hashes(F.col("_sh")).alias("_h"))
+    sig = hashed.select("_id", minhash_signature(F.col("_h"), k).alias("_sig"))
+    return sig.select(
+        "_id", F.explode(minhash_bands(F.col("_sig"), bands, rows)).alias("_band")
+    ).select(
+        "_id",
+        F.col("_band.band_id").alias("band_id"),
+        F.col("_band.band_hash").alias("band_hash"),
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Near-dup CLUSTERS — the 100 TB path. Returns
+    (doc_id, cluster_id) with cluster_id = min doc_id of the
+    connected component.
+
+    Where :func:`minhash_lsh_pairs` enumerates all pairs inside each
+    band bucket (quadratic in bucket size — a template cluster of 10^4
+    docs emits 10^8 pairs), this emits ONE star edge per (doc, bucket)
+    to the bucket's min id — linear — then resolves transitive
+    closure by iterative min-label propagation (O(log diameter)
+    rounds; star edges keep the diameter ≤ 2·bands). This is the
+    standard industrial MinHash-dedup plan (band → bucket → star
+    edges → connected components)."""
+    banded = _banded(df, id_col, text_col, shingle_n, k, bands)
+    w = Window.partitionBy("band_id", "band_hash")
+    edges = (
+        banded.withColumn("_root", F.min("_id").over(w))
+        .filter(F.col("_root") != F.col("_id"))
+        .select(F.col("_id").alias("src"), F.col("_root").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    vertices = df.select(F.col(id_col).alias("_id")).distinct()
+    labels = vertices.select("_id", F.col("_id").alias("label"))
+
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    from pyspark.sql import Observation
+
+    for _ in range(max_iter):
+        # each vertex adopts the min label among itself + neighbors
+        neigh = (
+            und.join(labels, und.src == labels._id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nl"))
+        )
+        new = F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label")))
+        stepped = labels.join(neigh, labels._id == neigh.dst, "left").select(
+            "_id",
+            new.alias("label"),
+            (new < F.col("label")).cast("long").alias("_chg"),
+        )
+        # convergence metric piggybacks on the checkpoint job — no
+        # separate count() pass per iteration
+        obs = Observation()
+        labels = stepped.observe(obs, F.sum("_chg").alias("changed")).drop(
+            "_chg"
+        ).localCheckpoint()  # truncate iteration lineage (SURVEY §4)
+        if not (obs.get["changed"] or 0):
+            break
+    return labels.select(F.col("_id").alias(id_col), F.col("label").alias("cluster_id"))
 
 
 # ------------------------------------------------------------ SimHash
