@@ -583,6 +583,105 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/W-class: lag-window sessionization over the events stream's
+    batch twin — new session when the per-user gap exceeds 30 min.
+    Timestamps handled as truncated epoch seconds on both sides."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        # tz-free epoch surrogate: whole seconds since a fixed NTZ
+        # anchor (ts is TIMESTAMP_NTZ; session-timezone casts would
+        # make the result depend on the harness's TZ)
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+        ).alias("s"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    gap = F.col("s") - F.lag("s").over(w)
+    new_s = (gap.isNull() | (gap > 1800)).cast("long")
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("s").alias("session_start_s"),
+    )
+
+
+def q_a_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-class: exact interpolated percentiles per event_type (the
+    engine's quantile surface; approx_percentile is the 100 TB variant
+    — same call shape, sketch-mergeable)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ----------------------------------------- parse-derived (rows-only)
+
+
+def _parsed(spark: SparkSession, n: int = 200):
+    from wos_crawler_spark.fixtures.synth import pages_table
+    from wos_crawler_spark.operators.parse_plaintext import parse_pages
+
+    return parse_pages(pages_table(spark, n, partitions=8))
+
+
+def q_j5_author_affiliations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/W3: author rank (posexplode order) joined to C1 bracket-parsed
+    affiliations per (unique_id, rank) — the reference's per-record
+    author→address dict, normalized (rows-only: parse-derived)."""
+    from wos_crawler_spark.operators import normalize
+
+    parsed = _parsed(spark)
+    authors = normalize.authors_table(parsed)
+    affs = normalize.affiliations_table(parsed)
+    return (
+        authors.join(
+            affs,
+            (authors.unique_id == affs.unique_id)
+            & (authors.rank == affs.author_rank),
+            "inner",
+        )
+        .select(authors.unique_id, "rank", "full_name", "address")
+    )
+
+
+def q_j6_citation_doi_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: references_ ⋈ documents citation linking on DOI
+    (rows-only: parse-derived)."""
+    from wos_crawler_spark.operators.normalize import citation_links
+
+    return citation_links(_parsed(spark))
+
+
+def q_a5_distinct_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: document dedup by unique_id (parser skip-existing semantics)
+    + per-journal rollup (rows-only: parse-derived)."""
+    parsed = _parsed(spark)
+    return (
+        parsed.dropDuplicates(["unique_id"])
+        .groupBy("journal")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.max("pub_year").alias("max_year"))
+    )
+
+
+def q_f5_doctype_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: document-type predicate on parsed docs (the export form's
+    document_type restriction; rows-only: parse-derived)."""
+    parsed = _parsed(spark)
+    return (
+        parsed.filter(F.col("document_type") == "Article")
+        .groupBy("pub_year")
+        .agg(F.count(F.lit(1)).alias("n_articles"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl-engine operator family (SURVEY.md §2)
@@ -599,6 +698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "tpch_q3_top_orders": q_tpch_q3_top_orders,
         "events_hourly": q_events_hourly,
+        "w_events_sessionize": q_w_events_sessionize,
+        "a_event_percentiles": q_a_event_percentiles,
         "u_set_ops": q_u_set_ops,
         "p6_word_explode": q_p6_word_explode,
         # training-data pipeline family
@@ -619,6 +720,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only engine surfaces (non-SQL-expressible)
         "parse_wos_plaintext": q_parse_wos_plaintext,
         "parse_bibtex": q_parse_bibtex,
+        "j5_author_affiliations": q_j5_author_affiliations,
+        "j6_citation_doi_link": q_j6_citation_doi_link,
+        "a5_distinct_documents": q_a5_distinct_documents,
+        "f5_doctype_filter": q_f5_doctype_filter,
         "crawl_end_to_end": q_crawl_end_to_end,
         "multimodal_features": q_multimodal_features,
     }
@@ -781,6 +886,38 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY hour, event_type
+        """,
+        "w_events_sessionize": """
+            WITH e AS (
+                SELECT user_id,
+                       datediff('second', TIMESTAMP '2024-01-01 00:00:00', ts) AS s,
+                       event_id
+                FROM events
+            ), m AS (
+                SELECT user_id, s, event_id,
+                       CASE WHEN lag(s) OVER w IS NULL
+                                 OR s - lag(s) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+            ), x AS (
+                SELECT user_id, s,
+                       CAST(sum(new_s) OVER (PARTITION BY user_id
+                                             ORDER BY s, event_id
+                                             ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS session_id
+                FROM m
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(s) AS session_start_s
+            FROM x GROUP BY user_id, session_id
+        """,
+        "a_event_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "u_set_ops": """
             SELECT doc_id FROM (

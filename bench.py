@@ -62,6 +62,13 @@ def _spark():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '24g')}",
+        )
+        # tmpfs shuffle dir: this VM's ext4 root serializes concurrent
+        # shuffle-file creates (see tools/bench_scaling.py)
+        .config("spark.local.dir", "/dev/shm/wcs-bench")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -1,8 +1,10 @@
 """Structured-Streaming surface: windowed ingest stats over a pages
-stream equal the equivalent batch aggregation (SURVEY §2.7)."""
+stream equal the equivalent batch aggregation; the stateful per-host
+gap monitor carries state across micro-batches (SURVEY §2.7)."""
 
 from wos_crawler_spark.fixtures.synth import pages_table
 from wos_crawler_spark.streaming.ingest import (
+    host_gap_monitor,
     read_pages_stream,
     run_stream_to_memory,
     windowed_ingest_stats,
@@ -35,3 +37,41 @@ def test_windowed_ingest_matches_batch(spark, tmp_path):
     )
     expect = {(r["w"]["start"], r["lang"]): (r["n"], r["b"]) for r in batch}
     assert got == expect and len(got) > 0
+
+
+def test_host_gap_monitor_stateful(spark, tmp_path):
+    """State persists across micro-batches: violations accumulate per
+    host; clean hosts report zero."""
+    src = str(tmp_path / "fetch_stream")
+    # two micro-batch files (maxFilesPerTrigger=1): polite host a spaced
+    # 1.0s apart; host b violates within AND across batches (gap 0.2s)
+    rows1 = [("a.com", 0.0), ("a.com", 1.0), ("b.com", 0.0), ("b.com", 0.2)]
+    rows2 = [("a.com", 2.0), ("b.com", 0.4), ("b.com", 5.0)]
+    schema = "host string, scheduled_ts double"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    mon = host_gap_monitor(stream, min_gap_s=1.0)
+    q = run_stream_to_memory(mon, "gap_monitor", mode="update")
+    try:
+        q.processAllAvailable()
+        # last emitted row per host = cumulative totals
+        rows = spark.sql(
+            "select * from gap_monitor"
+        ).collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in rows:
+        latest[r["host"]] = max(
+            latest.get(r["host"], (0, 0)), (r["fetches"], r["violations"])
+        )
+    # a.com: 3 fetches, gaps 1.0, 1.0 -> 0 violations
+    assert latest["a.com"] == (3, 0)
+    # b.com: 4 fetches, gaps 0.2 (v), 0.2 (v), 4.6 (ok) -> 2 violations
+    assert latest["b.com"] == (4, 2)

@@ -71,12 +71,16 @@ def dedup_frontier(
     seen: DataFrame | None,
     bloom: BloomFilter | None,
     hash_col: str = "url_hash",
+    intra: bool = True,
 ) -> DataFrame:
     """Exact ``candidates ∖ seen`` with Bloom fast path.
 
     ``seen`` must have a ``url_hash`` column. Either side may be None
-    (cold start)."""
-    candidates = dedup_intra_wave(candidates, hash_col)
+    (cold start). ``intra=False`` skips the intra-wave dedup window
+    (its own full shuffle) — the crawl loop folds that into the
+    politeness shuffle instead (politeness.schedule_wave dedup_intra)."""
+    if intra:
+        candidates = dedup_intra_wave(candidates, hash_col)
     if seen is None:
         return candidates
     seen_keys = seen.select(hash_col)

@@ -70,17 +70,50 @@ def schedule_wave(
     wave_start: float = 0.0,
     quota: int | None = None,
     rows_per_bucket: int = 10_000,
+    dedup_intra: bool = False,
 ) -> DataFrame:
     """Assign politeness ``scheduled_ts`` to this wave's frontier,
     after the optional per-host priority quota (W1).
 
     Input needs (host, url_hash, priority, discovered_wave); output
-    adds (salt, n_buckets, scheduled_ts)."""
+    adds (salt, n_buckets, scheduled_ts).
+
+    ``dedup_intra=True`` folds intra-wave url_hash dedup INTO this
+    operator's (host, salt) shuffle: because equal hashes imply equal
+    (host, salt), duplicate candidates are adjacent under a
+    within-partition sort by url_hash, so a lag() comparison drops
+    them with NO extra exchange — one full-frontier shuffle instead
+    of two per wave (``dont_filter`` retry rows are never dropped,
+    like Scrapy's Request.dont_filter). Representative choice stays
+    the deterministic rep-order key (SURVEY §4). With this on, the
+    salt-count pass necessarily sees the pre-dedup multiset — the
+    bucket count S(host) is a layout knob, so only the simulator
+    contract needs to mirror that (plans/simulator.py does)."""
     counts = salt_counts(frontier, rows_per_bucket)
     f = frontier.join(F.broadcast(counts.select("host", "n_buckets")), "host", "left")
     f = f.withColumn("salt", F.pmod(F.col("url_hash"), F.col("n_buckets")).cast("int"))
 
     w_bucket = Window.partitionBy("host", "salt").orderBy(*order_cols())
+
+    if dedup_intra:
+        # fresh rows first per hash (rep-order picks the survivor),
+        # dont_filter rows after (kept unconditionally)
+        w_dedup = Window.partitionBy("host", "salt").orderBy(
+            F.col("url_hash").asc(),
+            F.col("dont_filter").asc(),
+            F.col("priority").desc_nulls_last(),
+            F.col("query_id").asc_nulls_last(),
+            F.col("lineage").asc_nulls_last(),
+        )
+        f = (
+            f.withColumn("_prev_hash", F.lag("url_hash").over(w_dedup))
+            .filter(
+                F.col("dont_filter")
+                | F.col("_prev_hash").isNull()
+                | (F.col("_prev_hash") != F.col("url_hash"))
+            )
+            .drop("_prev_hash")
+        )
 
     if quota is not None:
         # phase 1: skew-free superset (any host-top-k row is in its

@@ -222,10 +222,13 @@ def run_wave(
     # F3: robots gate (map-only broadcast LPM)
     allowed = robots_filter(frontier, robots)
 
-    # F1/J1: dedup — retries (dont_filter) bypass, like Scrapy
+    # F1/J1: dedup — retries (dont_filter) bypass, like Scrapy.
+    # intra=False: the intra-wave url_hash dedup rides the politeness
+    # shuffle below (dedup_intra=True) — one full-frontier exchange
+    # per wave instead of two.
     filtered = allowed.filter(~F.col("dont_filter"))
     bypass = allowed.filter(F.col("dont_filter"))
-    fresh = dedup_frontier(filtered, seen, bloom)
+    fresh = dedup_frontier(filtered, seen, bloom, intra=False)
     # ALWAYS cache: the Bloom dedup is a two-branch union (new ∪
     # rescued) and the scheduler reads candidates twice more
     # (salt_counts agg + the schedule join) — without the cache the
@@ -237,6 +240,7 @@ def run_wave(
         wave_start=wave_start,
         quota=cfg.quota,
         rows_per_bucket=cfg.rows_per_bucket,
+        dedup_intra=True,
     )
 
     # J3: "fetch" — resolve url → page payload (left join keeps misses).
@@ -257,11 +261,28 @@ def run_wave(
     next_start = (max_ts_row + cfg.delay_s) if max_ts_row is not None else wave_start
 
     # quota overflow re-queues (the scheduler keeps its pending queue —
-    # the reference never drops requests, it pops them later)
+    # the reference never drops requests, it pops them later). The
+    # candidates multiset still carries intra-wave duplicates (dedup
+    # rides the politeness shuffle), so collapse them here with the
+    # deterministic rep-order key; the groupBy reuses the anti-join's
+    # url_hash partitioning — no extra exchange.
     if cfg.quota is not None:
-        overflow = candidates.join(
-            fetched.select("url_hash"), "url_hash", "left_anti"
-        ).select(FRONTIER_COLS)
+        rep_key = F.struct(
+            (-F.col("priority")).alias("p"),
+            F.col("query_id").alias("q"),
+            F.col("lineage").alias("l"),
+        )
+        overflow = (
+            candidates.join(fetched.select("url_hash"), "url_hash", "left_anti")
+            .groupBy("url_hash", "dont_filter")
+            .agg(
+                F.min_by(
+                    F.struct(*[F.col(c).alias(c) for c in FRONTIER_COLS]), rep_key
+                ).alias("_r")
+            )
+            .select("_r.*")
+            .select(FRONTIER_COLS)
+        )
     else:
         overflow = None
 

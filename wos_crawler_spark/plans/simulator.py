@@ -107,28 +107,36 @@ def simulate_crawl(
             path = "/" + path.split("/", 1)[1] if "/" in path else "/"
             if _robots_allows(path, robots.get(r["host"], [])):
                 allowed.append(r)
-        # F1 dedup (retry rows bypass); deterministic representative
+        # F1 seen-dedup (retry rows bypass). Intra-wave dedup happens
+        # INSIDE the engine's politeness shuffle (schedule_wave
+        # dedup_intra), so the salt-count pool here keeps intra-wave
+        # duplicate copies — S(host) derives from the pre-dedup
+        # multiset, mirroring the engine exactly.
+        pool = []
+        for r in allowed:
+            if r["dont_filter"] or r["url_hash"] not in res.seen:
+                pool.append(r)
+
+        # politeness salting from PRE-dedup, pre-quota per-host counts
+        host_counts: dict[str, int] = {}
+        for r in pool:
+            host_counts[r["host"]] = host_counts.get(r["host"], 0) + 1
+        n_buckets = {
+            h: max(1, math.ceil(c / rows_per_bucket)) for h, c in host_counts.items()
+        }
+
+        # intra-wave dedup with the deterministic representative key
         fresh = {}
         bypass = []
-        for r in allowed:
+        for r in pool:
             if r["dont_filter"]:
                 bypass.append(r)
-                continue
-            if r["url_hash"] in res.seen:
                 continue
             k = r["url_hash"]
             rep_key = (-r["priority"], r["query_id"], r["lineage"])
             if k not in fresh or rep_key < fresh[k][0]:
                 fresh[k] = (rep_key, r)
         candidates = [v[1] for v in fresh.values()] + bypass
-
-        # politeness salting from PRE-quota per-host counts
-        host_counts: dict[str, int] = {}
-        for r in candidates:
-            host_counts[r["host"]] = host_counts.get(r["host"], 0) + 1
-        n_buckets = {
-            h: max(1, math.ceil(c / rows_per_bucket)) for h, c in host_counts.items()
-        }
 
         # W1 quota: host top-k by the deterministic key
         order_key = lambda r: (-r["priority"], r["discovered_wave"], r["url_hash"])

@@ -6,11 +6,10 @@ Implemented streaming mappings:
 - tumbling-window ingest stats over a pages stream (per-wave batching
   analog): windowed count/bytes per lang with a watermark for late
   ``warc_ts`` arrivals (retry-TTL analog F7/F8);
-- a stateful per-host fetch-gap monitor via
-  ``applyInPandasWithState`` (downloader-slot analog) is deliberately
-  NOT shipped in v1 — state lives in checkpointed tables (SURVEY §2.7
-  note) — but the windowed path exercises watermarks + incremental
-  aggregation end-to-end.
+- a stateful per-host fetch-gap monitor via ``applyInPandasWithState``
+  (the downloader-slot analog, SURVEY §2.7): carries
+  (last_fetch_ts, fetches, violations) per host across micro-batches
+  and flags politeness-gap violations incrementally.
 
 Batch-driven smoke usage (tests): parquet source dir → memory sink →
 ``processAllAvailable()``.
@@ -18,8 +17,12 @@ Batch-driven smoke usage (tests): parquet source dir → memory sink →
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from wos_crawler_spark.fixtures.synth import PAGES_SCHEMA
 
@@ -55,6 +58,71 @@ def windowed_ingest_stats(
             "lang",
             "n_pages",
             "text_bytes",
+        )
+    )
+
+
+#: Output schema of :func:`host_gap_monitor` — one row per (host,
+#: micro-batch) with cumulative counters.
+GAP_MONITOR_SCHEMA = (
+    "host string, fetches long, violations long, last_ts double"
+)
+_GAP_STATE_SCHEMA = "last_ts double, fetches long, violations long"
+
+
+def host_gap_monitor(
+    fetch_stream: DataFrame, min_gap_s: float
+) -> DataFrame:
+    """Custom stateful operator (SURVEY §2.7): per-host politeness
+    monitor over a stream of fetch events ``(host, scheduled_ts)``.
+
+    Keyed ``applyInPandasWithState`` keeps (last_fetch_ts, fetches,
+    violations) per host across micro-batches — the streaming twin of
+    the scheduler's token-bucket invariant (F4): any two fetches of one
+    host closer than ``min_gap_s`` is a violation. Emits one cumulative
+    row per host per micro-batch that saw that host.
+
+    State is O(hosts) and timeout-free (a production deployment would
+    use ProcessingTimeTimeout to expire idle hosts)."""
+
+    def _update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (host,) = key
+        if state.exists:
+            last_ts, fetches, violations = state.get
+        else:
+            last_ts, fetches, violations = None, 0, 0
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.extend(pdf["scheduled_ts"].tolist())
+        ts_all.sort()
+        for ts in ts_all:
+            if last_ts is not None and ts - last_ts < min_gap_s - 1e-9:
+                violations += 1
+            last_ts = ts
+            fetches += 1
+        state.update((last_ts, fetches, violations))
+        yield pd.DataFrame(
+            {
+                "host": [host],
+                "fetches": [fetches],
+                "violations": [violations],
+                "last_ts": [last_ts],
+            }
+        )
+
+    return (
+        fetch_stream.select("host", "scheduled_ts")
+        .groupBy("host")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=GAP_MONITOR_SCHEMA,
+            stateStructType=_GAP_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
 
