@@ -1,0 +1,59 @@
+"""Sources: export-dir scan (S7), seed file scan (S1), pages reader
+with pushed-down filters."""
+
+from pyspark.sql import functions as F
+
+from wos_crawler_spark.fixtures import wosgen
+from wos_crawler_spark.fixtures.synth import gen_pages_pdf
+from wos_crawler_spark.operators.parse_plaintext import parse_pages
+from wos_crawler_spark.sources import read_export_dir, read_pages, read_seeds
+
+
+def test_export_dir_scan_feeds_parser(spark, tmp_path):
+    """A directory of field-tagged .txt exports parses identically to
+    the same payloads in a pages table (S7 == crawl path)."""
+    exp = tmp_path / "exports"
+    exp.mkdir()
+    n = 6
+    payloads = [wosgen.export_payload(i, n) for i in range(n)]
+    # two files of three records each (reference: 500-record batches)
+    (exp / "1-3.txt").write_text("\n".join(payloads[:3]), encoding="utf-8")
+    (exp / "4-6.txt").write_text("\n".join(payloads[3:]), encoding="utf-8")
+
+    pages = read_export_dir(spark, str(exp))
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    parsed = parse_pages(pages)
+    uids = sorted(r["unique_id"] for r in parsed.select("unique_id").collect())
+    expect_pdf = gen_pages_pdf(list(range(n)), n)
+    expect = sorted(
+        r["unique_id"]
+        for r in parse_pages(
+            spark.createDataFrame(expect_pdf)
+        ).select("unique_id").collect()
+    )
+    assert uids == expect and len(uids) == n
+
+
+def test_seed_file_scan(spark, tmp_path):
+    f = tmp_path / "seeds.txt"
+    f.write_text(
+        "TS=(machine learning) AND PY=2018\n\nAU=(Smith, J)\n", encoding="utf-8"
+    )
+    seeds = read_seeds(spark, str(f)).collect()
+    assert len(seeds) == 2  # blank line skipped
+    by_q = {r["query"]: r for r in seeds}
+    assert by_q["TS=(machine learning) AND PY=2018"]["term"] == "machine learning"
+    assert by_q["AU=(Smith, J)"]["term"] == "AU=(Smith, J)"
+
+
+def test_pages_reader_pushes_filters(spark, tmp_path):
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(gen_pages_pdf(list(range(50)), 50)).write.parquet(src)
+    df = read_pages(spark, src, langs=["en"], columns=["url", "lang"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "lang" in pushed  # the filter reached the parquet scan
+    rows = df.collect()
+    assert rows and all(r["lang"] == "en" for r in rows)
+    # column pruning reaches the scan
+    assert "ReadSchema" in plan and "html" not in plan.split("ReadSchema")[1][:200]

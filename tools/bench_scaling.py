@@ -2,8 +2,8 @@
 
 No real cluster exists in this sandbox, so the north rule's "N vs 4N
 executors, efficiency >= 0.8" criterion is evidenced by running the SAME
-job on the SAME input at local[8] and local[32] (8 vs 32 executor
-threads, one JVM) and reporting throughput at both plus
+job on the SAME input at local[8] and local[32] and reporting throughput
+at both plus
 
     efficiency = (throughput_32 / throughput_8) / 4
 
@@ -12,12 +12,21 @@ for each north-star workload:
   * crawl  — frontier-expansion + fetch-schedule wave loop (URLs/sec)
   * parse  — vectorized WoS field-tag parse, byte-identity path (docs/sec)
 
-Writes BENCH/BASELINE.md and prints one JSON line per run + a summary
-line. Input size defaults to 400k pages so per-wave fixed driver costs
-(job launch, checkpoint commits — parallelism-independent) amortize;
-they are the same costs a real 1000-executor driver pays per wave.
+Noise protocol: this box is a shared VM with 1.5-3x wall-time variance
+between identical runs. Two defenses:
 
-Usage: python tools/bench_scaling.py [--n 400000] [--out BENCH/BASELINE.md]
+  1. the input is generated ONCE and written to tmpfs parquet — both
+     levels read byte-identical files, and generation cost never
+     pollutes a measurement;
+  2. levels run in INTERLEAVED PAIRS (8, 32, 8, 32, ...) so each pair
+     shares ambient co-tenant conditions; efficiency is the MEDIAN of
+     per-pair efficiencies (a lucky run at one level can no longer
+     fabricate or destroy the ratio), while headline throughput is the
+     best observed per level.
+
+Writes BENCH/BASELINE.md and prints one JSON line per run + a summary.
+
+Usage: python tools/bench_scaling.py [--n 1000000] [--pairs 3]
 """
 
 from __future__ import annotations
@@ -26,6 +35,8 @@ import argparse
 import json
 import os
 import platform
+import shutil
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -33,6 +44,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 CORE_LEVELS = (8, 32)
+INPUT_DIR = "/dev/shm/wcs-scaling-input"
 
 
 def _fresh_spark(cores: int):
@@ -41,8 +53,7 @@ def _fresh_spark(cores: int):
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
-    # new context per level: master/parallelism are context-bound.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     # tmpfs shuffle dir: this VM's root fs (ext4+discard on virtio)
     # serializes concurrent shuffle-file creates (observed via jstack:
     # executor threads parked in FileOutputStream.open0), which
@@ -65,26 +76,32 @@ def _fresh_spark(cores: int):
     )
 
 
-def run_crawl(spark, n: int) -> dict:
+def prepare_input(n: int) -> None:
+    """Generate pages/links ONCE into tmpfs parquet (32-way)."""
+    from wos_crawler_spark.fixtures.synth import links_table, pages_table
+
+    shutil.rmtree(INPUT_DIR, ignore_errors=True)
+    spark = _fresh_spark(32)
+    pages_table(spark, n, partitions=64).write.parquet(f"{INPUT_DIR}/pages")
+    links_table(spark, n, partitions=32).write.parquet(f"{INPUT_DIR}/links")
+    spark.stop()
+
+
+def run_crawl(spark) -> dict:
     from pyspark.sql import functions as F
 
-    from wos_crawler_spark.fixtures.synth import (
-        links_table,
-        pages_table,
-        robots_table,
-        seeds_table,
-    )
+    from wos_crawler_spark.fixtures.synth import robots_table, seeds_table
     from wos_crawler_spark.plans.crawl import CrawlConfig, run_crawl as _run
 
-    cores = spark.sparkContext.defaultParallelism
-    pages = pages_table(spark, n, partitions=cores * 2).persist()
-    pages.count()  # input materialization excluded from the timing
+    pages = spark.read.parquet(f"{INPUT_DIR}/pages").persist()
+    pages.count()  # warm the cache; input materialization excluded
+    links = spark.read.parquet(f"{INPUT_DIR}/links")
     t0 = time.time()
     res = _run(
         spark,
         pages=pages,
         seeds=seeds_table(spark),
-        links=links_table(spark, n, partitions=cores),
+        links=links,
         robots=robots_table(spark),
         cfg=CrawlConfig(delay_s=0.001, max_waves=3, parse=False, rows_per_bucket=5_000),
     )
@@ -99,18 +116,15 @@ def run_crawl(spark, n: int) -> dict:
         "throughput": round(scheduled / dt, 1),
         "unit": "urls/sec",
         "fetched_rows": fetched,
-        "waves": [w.scheduled for w in res.waves],
     }
 
 
-def run_parse(spark, n: int) -> dict:
+def run_parse(spark) -> dict:
     from pyspark.sql import functions as F
 
-    from wos_crawler_spark.fixtures.synth import pages_table
     from wos_crawler_spark.operators.parse_plaintext import parse_pages
 
-    cores = spark.sparkContext.defaultParallelism
-    pages = pages_table(spark, n, partitions=cores * 2).persist()
+    pages = spark.read.parquet(f"{INPUT_DIR}/pages").persist()
     pages.count()
     t0 = time.time()
     n_docs, n_bytes = (
@@ -132,94 +146,103 @@ def run_parse(spark, n: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=400_000)
-    ap.add_argument("--repeat", type=int, default=3,
-                    help="runs per (level, workload); best-of wins — "
-                         "this box is a shared VM with 1.5-2x "
-                         "co-tenant noise between identical runs")
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--pairs", type=int, default=3,
+                    help="interleaved (8,32) measurement pairs")
     ap.add_argument("--out", default="BENCH/BASELINE.md")
     args = ap.parse_args()
 
-    results: dict[int, dict[str, dict]] = {}
-    for cores in CORE_LEVELS:
-        spark = _fresh_spark(cores)
-        results[cores] = {}
-        for fn in (run_crawl, run_parse):
-            best = None
-            times = []
-            for _ in range(args.repeat):
-                r = fn(spark, args.n)
-                r["cores"] = cores
-                times.append(r["sec"])
-                print(json.dumps(r), flush=True)
-                if best is None or r["sec"] < best["sec"]:
-                    best = r
-            best["all_secs"] = times
-            results[cores][best["workload"]] = best
-        spark.stop()
+    prepare_input(args.n)
 
     lo, hi = CORE_LEVELS
     ratio = hi // lo
-    eff = {
-        w: round(
-            results[hi][w]["throughput"] / results[lo][w]["throughput"] / ratio, 3
+    runs: list[dict] = []
+    for pair in range(args.pairs):
+        for cores in CORE_LEVELS:
+            spark = _fresh_spark(cores)
+            for fn in (run_crawl, run_parse):
+                r = fn(spark)
+                r["cores"] = cores
+                r["pair"] = pair
+                runs.append(r)
+                print(json.dumps(r), flush=True)
+            spark.stop()
+
+    def tput(pair: int, cores: int, workload: str) -> float:
+        return next(
+            r["throughput"] for r in runs
+            if r["pair"] == pair and r["cores"] == cores
+            and r["workload"] == workload
         )
+
+    pair_eff = {
+        w: [round(tput(p, hi, w) / tput(p, lo, w) / ratio, 3)
+            for p in range(args.pairs)]
+        for w in ("crawl", "parse")
+    }
+    eff = {w: statistics.median(v) for w, v in pair_eff.items()}
+    best = {
+        w: {c: max(r["throughput"] for r in runs
+                   if r["cores"] == c and r["workload"] == w)
+            for c in CORE_LEVELS}
         for w in ("crawl", "parse")
     }
     summary = {
         "metric": "scaling_efficiency",
         "levels": list(CORE_LEVELS),
         "n_pages": args.n,
-        "efficiency": eff,
-        "throughputs": {
-            w: {c: results[c][w]["throughput"] for c in CORE_LEVELS}
-            for w in ("crawl", "parse")
-        },
+        "efficiency_median": eff,
+        "pair_efficiencies": pair_eff,
+        "best_throughputs": best,
     }
     print(json.dumps(summary), flush=True)
 
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
-    ncpu = os.cpu_count()
     rows = []
     for w in ("crawl", "parse"):
-        a, b = results[lo][w], results[hi][w]
+        unit = "urls/sec" if w == "crawl" else "docs/sec"
         rows.append(
-            f"| {w} | {a['sec']}s | {a['throughput']} {a['unit']} | "
-            f"{b['sec']}s | {b['throughput']} {b['unit']} | **{eff[w]}** |"
+            f"| {w} | {best[w][lo]} {unit} | {best[w][hi]} {unit} | "
+            f"{pair_eff[w]} | **{eff[w]}** |"
         )
     out.write_text(
         f"""# BENCH/BASELINE — two-parallelism scaling protocol results
 
 North rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
-executors. Sandbox protocol (no real cluster): same job, same input
-({args.n:,} synthetic Common-Crawl-style pages, seed-deterministic,
-`wos_crawler_spark.fixtures.synth`), run at local[{lo}] and local[{hi}]
-in one {ncpu}-core container ({platform.platform()}). Efficiency =
-(throughput_{hi} / throughput_{lo}) / {ratio}.
+executors. Sandbox protocol (no real cluster): same job, byte-identical
+tmpfs-parquet input ({args.n:,} synthetic Common-Crawl-style pages,
+seed-deterministic), run at local[{lo}] and local[{hi}] in one
+{os.cpu_count()}-core container ({platform.platform()}).
 
-| Workload | local[{lo}] time | local[{lo}] throughput | local[{hi}] time | local[{hi}] throughput | efficiency |
-|---|---|---|---|---|---|
+This box is a shared VM with 1.5-3x run-to-run noise, so levels run in
+{args.pairs} interleaved (local[{lo}], local[{hi}]) pairs sharing ambient
+conditions; **efficiency = median over pairs of
+(throughput_{hi} / throughput_{lo}) / {ratio}**; throughput shown is the best
+observed per level.
+
+| Workload | best local[{lo}] | best local[{hi}] | per-pair efficiency | median efficiency |
+|---|---|---|---|---|
 {chr(10).join(rows)}
 
 - **crawl** = full frontier wave loop (3 waves: seed match, robots LPM
   broadcast join, Bloom + exact anti-join dedup, salted token-bucket
-  politeness schedule, fetch join, link expansion, checkpoints) with
-  parse off — the north-star "frontier-expansion + fetch-schedule
-  throughput (URLs/sec)".
+  politeness schedule with in-shuffle dedup, fetch join, link
+  expansion, checkpoints), parse off — the north-star
+  "frontier-expansion + fetch-schedule throughput (URLs/sec)".
 - **parse** = vectorized WoS field-tag `mapInPandas` parser over the
   same pages (byte-identity path), docs/sec.
-- Caveats: single-JVM local mode shares one driver; per-wave driver
-  costs (job launch, checkpoint commit) are parallelism-independent and
-  depress measured efficiency versus a real multi-executor cluster,
-  where the driver pays the same per-wave cost while executors scale.
-  Numbers vary with co-tenant load on this box; the recorded run is the
-  committed one.
+- Single-JVM caveats (why local-mode under-reports cluster scaling):
+  one shared DAGScheduler/block-manager/shuffle namespace; per-wave
+  driver work is parallelism-independent and a larger fraction of the
+  local[{hi}] wall time; a real N -> 4N executor scale-up multiplies
+  disks and python workers with the cores. See BASELINE.md for the
+  structural properties that carry efficiency to a real cluster.
 
 Raw per-run JSON:
 
 ```json
-{json.dumps(results, indent=2, default=str)}
+{json.dumps(runs, indent=2)}
 ```
 
 Summary:
@@ -231,6 +254,7 @@ Summary:
         encoding="utf-8",
     )
     print(f"wrote {out}")
+    shutil.rmtree(INPUT_DIR, ignore_errors=True)
 
 
 if __name__ == "__main__":

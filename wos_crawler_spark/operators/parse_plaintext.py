@@ -129,55 +129,123 @@ _OUT_COLS = [f.name for f in PARSED_DOC_SCHEMA.fields]
 # ------------------------------------------------- vectorized line pass
 
 
+_EMPTY_FIELDS = ["file_idx", "record_idx", "tag", "items"]
+_DROP_TAGS = SKIP_TAGS | {"ER"}
+
+
 def _segment_fields(texts: pd.Series) -> pd.DataFrame:
-    """Vectorized line→field reduction for a batch of export payloads.
+    """Line→field reduction for a batch of export payloads.
 
-    Returns one row per (file_idx, record_idx, tag) with the field value:
-    list tags keep a list of items, scalar tags a space-joined string.
+    Returns one row per (file_idx, record_idx, tag) with the field's
+    raw item list (one item per initial/continuation line).
+
+    Perf shape (this is ~all of the parse cost at scale): ONE python
+    pass over the lines (tag/continuation classification — pandas
+    ``.str`` chains cost 6 such passes), then O(n) numpy index math
+    for record numbering + tag forward-fill, then contiguous-run
+    splitting for the per-(record, tag) item lists — a WoS field is
+    one initial line plus its continuations, so groups are runs in
+    line order and need no groupby (pandas ``groupby().agg(list)``
+    walked 700k+ groups in pure Python and was ~85% of parse time).
     """
-    stripped = texts.fillna("").str.replace("﻿", "", regex=False)
-    lines = stripped.str.split("\n").explode()
-    df = pd.DataFrame({"file_idx": lines.index, "line": lines.values})
-    df["line"] = df["line"].fillna("")
+    import numpy as np
 
-    # carriage returns from CRLF exports
-    df["line"] = df["line"].str.rstrip("\r")
+    file_ids: list = []
+    lines: list[str] = []
+    for idx, t in zip(texts.index, texts.tolist()):
+        if not isinstance(t, str):
+            t = ""
+        ls = t.replace("﻿", "").split("\n")
+        lines.extend(ls)
+        file_ids.extend([idx] * len(ls))
 
-    is_cont = df["line"].str.startswith("   ")
-    head2 = df["line"].str[:2]
-    sep_ok = df["line"].str.len().le(2) | df["line"].str[2:3].eq(" ")
-    is_tag = (
-        ~is_cont
-        & sep_ok
-        & head2.str.match(r"^[A-Z][A-Z0-9]$", na=False)
-    )
-    is_er = is_tag & head2.eq("ER")
+    n = len(lines)
+    if n == 0:
+        return pd.DataFrame(columns=_EMPTY_FIELDS)
+
+    tag_at: list = [None] * n  # tag string on tag-opening lines
+    values: list = [""] * n
+    is_er = np.zeros(n, dtype=bool)
+    has_tag = np.zeros(n, dtype=bool)
+    nonempty = np.zeros(n, dtype=bool)
+    for j, s in enumerate(lines):
+        if s.endswith("\r"):
+            s = s.rstrip("\r")
+        if not s:
+            continue
+        nonempty[j] = True
+        c0 = s[0]
+        if c0 != " " and "A" <= c0 <= "Z" and len(s) >= 2:
+            c1 = s[1]
+            if ("A" <= c1 <= "Z" or "0" <= c1 <= "9") and (
+                len(s) == 2 or s[2] == " "
+            ):
+                tg = s[:2]
+                tag_at[j] = tg
+                has_tag[j] = True
+                if tg == "ER":
+                    is_er[j] = True
+        values[j] = s[3:]
+
+    arange = np.arange(n)
+    fi = np.asarray(file_ids)
+    new_file = np.ones(n, dtype=bool)
+    new_file[1:] = fi[1:] != fi[:-1]
 
     # record index per file: lines after an ER belong to the next record
-    er_cum = is_er.groupby(df["file_idx"]).cumsum()
-    df["record_idx"] = (er_cum - is_er.astype(int)).astype("int64")
+    er_i = is_er.astype(np.int64)
+    exc = np.cumsum(er_i) - er_i
+    file_start = np.maximum.accumulate(np.where(new_file, arange, -1))
+    record_idx = exc - exc[file_start]
 
-    df["tag"] = head2.where(is_tag)
-    # forward-fill current tag within a (file, record)
-    df["tag"] = df.groupby(["file_idx", "record_idx"], sort=False)["tag"].ffill()
+    # forward-fill the current tag within each (file, record): a row's
+    # tag is the latest tag line at or before it, unless that line
+    # precedes the row's group start (then there is no open tag yet)
+    new_group = new_file.copy()
+    new_group[1:] |= record_idx[1:] != record_idx[:-1]
+    group_start = np.maximum.accumulate(np.where(new_group, arange, -1))
+    last_tag = np.maximum.accumulate(np.where(has_tag, arange, -1))
+    valid = (last_tag >= group_start) & nonempty
 
-    df["value"] = df["line"].str[3:]
-
-    keep = (
-        df["tag"].notna()
-        & ~df["tag"].isin(SKIP_TAGS)
-        & ~df["tag"].eq("ER")
-        & df["line"].str.len().gt(0)
+    kidx = np.flatnonzero(valid)
+    eff_tags = [tag_at[last_tag[k]] for k in kidx]
+    keep_mask = np.fromiter(
+        (t not in _DROP_TAGS for t in eff_tags), dtype=bool, count=len(eff_tags)
     )
-    df = df[keep]
-    if df.empty:
-        return pd.DataFrame(columns=["file_idx", "record_idx", "tag", "items"])
+    kidx = kidx[keep_mask]
+    if len(kidx) == 0:
+        return pd.DataFrame(columns=_EMPTY_FIELDS)
+    tg_k = [t for t, m in zip(eff_tags, keep_mask) if m]
+    val_k = [values[k] for k in kidx]
+    fi_k = fi[kidx]
+    ri_k = record_idx[kidx]
 
-    fields = (
-        df.groupby(["file_idx", "record_idx", "tag"], sort=False)["value"]
-        .agg(list)
-        .reset_index(name="items")
+    tg_arr = np.asarray(tg_k, dtype=object)
+    new_run = np.ones(len(kidx), dtype=bool)
+    new_run[1:] = (
+        (fi_k[1:] != fi_k[:-1])
+        | (ri_k[1:] != ri_k[:-1])
+        | (tg_arr[1:] != tg_arr[:-1])
     )
+    starts = np.flatnonzero(new_run)
+    ends = np.append(starts[1:], len(kidx))
+    fields = pd.DataFrame(
+        {
+            "file_idx": fi_k[starts],
+            "record_idx": ri_k[starts],
+            "tag": tg_arr[starts],
+            "items": [val_k[a:b] for a, b in zip(starts, ends)],
+        }
+    )
+    # a tag split into non-adjacent runs inside one record (never in
+    # well-formed exports) still merges to ONE row, preserving the
+    # original line order — byte-identity safety net
+    if fields.duplicated(["file_idx", "record_idx", "tag"]).any():
+        fields = (
+            fields.groupby(["file_idx", "record_idx", "tag"], sort=False)["items"]
+            .agg(lambda ls: [x for sub in ls for x in sub])
+            .reset_index(name="items")
+        )
     return fields
 
 
@@ -386,14 +454,22 @@ def _records_from_fields(fields_df: pd.DataFrame, urls: dict) -> list[dict]:
     out = []
     if fields_df.empty:
         return out
-    for (file_idx, _rec_idx), grp in fields_df.groupby(
-        ["file_idx", "record_idx"], sort=True
-    ):
-        fields = dict(zip(grp["tag"], grp["items"]))
-        if not fields:
-            continue
-        rec = _assemble_record(fields)
-        rec["url"] = urls.get(file_idx)
+    # rows arrive in line order from _segment_fields, so (file, record)
+    # groups are contiguous runs and file/record keys are already
+    # sorted — no pandas groupby iteration needed
+    import numpy as np
+
+    fi = fields_df["file_idx"].to_numpy()
+    ri = fields_df["record_idx"].to_numpy()
+    tags = fields_df["tag"].to_numpy(dtype=object)
+    items = fields_df["items"].to_numpy(dtype=object)
+    new = np.ones(len(fi), dtype=bool)
+    new[1:] = (fi[1:] != fi[:-1]) | (ri[1:] != ri[:-1])
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], len(fi))
+    for a, b in zip(starts, ends):
+        rec = _assemble_record(dict(zip(tags[a:b], items[a:b])))
+        rec["url"] = urls.get(fi[a])
         out.append(rec)
     return out
 

@@ -429,14 +429,26 @@ def run_crawl(
                 seen.unionByName(seen_delta) if seen is not None else seen_delta
             )
             seen = new_seen.localCheckpoint()  # truncate lineage in-memory
-            frontier = next_frontier.localCheckpoint()
+            # retried/expanded/emptiness metrics piggyback on the
+            # checkpoint materialization via observe() — no separate
+            # count job per wave
+            from pyspark.sql import Observation
 
-        # retried/expanded off the MATERIALIZED next frontier (one cheap
-        # job on checkpointed rows; dont_filter marks the retries).
-        # Doubles as the next iteration's emptiness probe.
-        nf_n, retried_n = frontier.agg(
-            F.count(F.lit(1)), F.sum(F.col("dont_filter").cast("long"))
-        ).first()
+            obs = Observation()
+            frontier = next_frontier.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("dont_filter").cast("long")).alias("retried"),
+            ).localCheckpoint()
+            nf_n = obs.get["n"]
+            retried_n = obs.get["retried"]
+
+        if cfg.ckpt_dir:
+            # the parquet write materialized the frontier; one cheap
+            # re-read agg on the committed files
+            nf_n, retried_n = frontier.agg(
+                F.count(F.lit(1)), F.sum(F.col("dont_filter").cast("long"))
+            ).first()
         frontier_n = int(nf_n)
         if res.candidates is not None:
             res.candidates.unpersist()  # next frontier is materialized now

@@ -1,0 +1,85 @@
+"""Sources (SURVEY.md §2.1 S1/S7 + the pages table reader).
+
+Reference behaviors re-expressed:
+
+- S7 export-dir scan: the reference globs ``{output}/**/*.txt`` and
+  feeds each file to ``ref:wos_crawler/parsers/plaintext/
+  plaintext_parser.py::parse`` †. Here: ``spark.read.text(...,
+  wholetext=True)`` + ``input_file_name()`` — one row per export file,
+  shaped like the ``pages`` table so the same ``parse_pages`` operator
+  consumes crawl output and on-disk exports identically.
+- S1 seed scan: one WoS advanced query per line →
+  ``seeds(query_id, query, term, priority)``.
+- pages reader: parquet in the sandbox; the production table is
+  Iceberg ``PARTITIONED BY (days(warc_ts), bucket(256, url))`` — the
+  ``days``/``lang`` filter args below become partition/data filters
+  that prune at the scan (verify via PushedFilters in ``.explain``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_export_dir(spark: SparkSession, path: str) -> DataFrame:
+    """S7: directory of WoS field-tagged ``.txt`` export files → a
+    pages-shaped DataFrame (url = file URI, text = whole file). Each
+    file holds ≤500 records (the reference's batch size); wholetext
+    keeps the record grammar intact for the parse UDF."""
+    df = spark.read.text(f"{path}/*.txt", wholetext=True)
+    return df.select(
+        F.input_file_name().alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("value").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
+def read_bibtex_dir(spark: SparkSession, path: str) -> DataFrame:
+    """S7 (BibTeX flavor): ``.bib`` export files, one row per file."""
+    df = spark.read.text(f"{path}/*.bib", wholetext=True)
+    return df.select(
+        F.input_file_name().alias("url"),
+        F.col("value").alias("bibtex"),
+    )
+
+
+def read_seeds(spark: SparkSession, path: str, priority: int = 100) -> DataFrame:
+    """S1: seed query file, one advanced query per line. ``term`` is
+    the parenthesized TS=() payload when present (the predicate the
+    sandbox seed-match join evaluates), else the whole line."""
+    lines = spark.read.text(path)
+    q = F.trim(F.col("value"))
+    term = F.regexp_extract(q, r"TS=\(([^)]*)\)", 1)
+    return (
+        lines.filter(F.length(q) > 0)
+        .select(
+            F.monotonically_increasing_id().alias("query_id"),
+            q.alias("query"),
+            F.when(term != "", term).otherwise(q).alias("term"),
+            F.lit(priority).alias("priority"),
+        )
+    )
+
+
+def read_pages(
+    spark: SparkSession,
+    path: str,
+    langs: list[str] | None = None,
+    since_ts: str | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """The engine's input table (input_hint shape). Filter args are
+    applied BEFORE any downstream operator so Catalyst pushes them
+    into the scan (partition pruning on the Iceberg layout; row-group
+    pruning on parquet)."""
+    df = spark.read.parquet(path)
+    if langs:
+        df = df.filter(F.col("lang").isin(langs))
+    if since_ts:
+        df = df.filter(F.col("warc_ts") >= F.lit(since_ts).cast("timestamp"))
+    if columns:
+        df = df.select(*columns)
+    return df
