@@ -219,6 +219,13 @@ def run_wave(
     """One wave. ``pages``/``links`` should be pre-partitioned via
     ``prepare_fetch_side``/``prepare_links_side`` (run_crawl does).
     Returns (result, next_frontier, seen_delta, bloom)."""
+    timing = os.environ.get("WCS_TIMING", "") not in ("", "0")
+
+    def _t(label: str, t0: float) -> None:
+        if timing:
+            print(f"[crawl-timing]   {label}: {time.time() - t0:.2f}s", flush=True)
+
+    t0 = time.time()
     # F3: robots gate (map-only broadcast LPM)
     allowed = robots_filter(frontier, robots)
 
@@ -259,6 +266,8 @@ def run_wave(
     ).first()
     misses_n = scheduled_n - hits_n
     next_start = (max_ts_row + cfg.delay_s) if max_ts_row is not None else wave_start
+    _t("fetch-agg job", t0)
+    t0 = time.time()
 
     # quota overflow re-queues (the scheduler keeps its pending queue —
     # the reference never drops requests, it pops them later). The
@@ -317,6 +326,8 @@ def run_wave(
     # next frontier materializes (checkpoint) — no extra jobs here.
 
     # U2/A2: seen accumulates everything scheduled this wave
+    _t("retry/expand/overflow plan", t0)
+    t0 = time.time()
     seen_delta = fetched.select("url_hash").withColumn("wave", F.lit(wave))
     if scheduled_n:
         wave_bloom = build_bloom(
@@ -328,6 +339,7 @@ def run_wave(
             cfg.bloom_capacity, cfg.bloom_fpp
         )
 
+    _t("bloom build+merge", t0)
     res = WaveResult(
         wave=wave,
         scheduled=scheduled_n,
@@ -352,10 +364,19 @@ def run_crawl(
     robots: DataFrame | None = None,
     cfg: CrawlConfig | None = None,
     resume: bool = False,
+    pages_fetch: DataFrame | None = None,
+    links_prepped: DataFrame | None = None,
 ) -> CrawlResult:
     """Full crawl: wave loop until frontier empty / max_waves.
     With cfg.ckpt_dir set, each wave commits atomically and
-    ``resume=True`` restarts from the last committed wave."""
+    ``resume=True`` restarts from the last committed wave.
+
+    ``pages_fetch`` / ``links_prepped``: optionally pass join sides
+    already laid out by ``prepare_fetch_side`` / ``prepare_links_side``
+    (production: an Iceberg table ``PARTITIONED BY (bucket(url))`` /
+    ``bucket(src_url)`` arrives pre-bucketed from storage, so the
+    layout is a property of the table, not per-crawl work). When
+    given, run_crawl neither builds nor unpersists them."""
     cfg = cfg or CrawlConfig()
     out = CrawlResult()
 
@@ -384,8 +405,16 @@ def run_crawl(
     # table specs make these free — see prepare_fetch_side docstring)
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     t0 = time.time()
-    pages_kv = prepare_fetch_side(pages, parts, with_text=cfg.parse)
-    links_kv = prepare_links_side(links, parts) if links is not None else None
+    own_layout = pages_fetch is None
+    pages_kv = (
+        pages_fetch
+        if pages_fetch is not None
+        else prepare_fetch_side(pages, parts, with_text=cfg.parse)
+    )
+    if links_prepped is not None:
+        links_kv = links_prepped
+    else:
+        links_kv = prepare_links_side(links, parts) if links is not None else None
 
     if frontier is None:
         frontier = init_frontier(seeds, pages)
@@ -425,10 +454,13 @@ def run_crawl(
             frontier = ckpt.read_frontier(spark, cfg.ckpt_dir, wave)
             seen = ckpt.read_seen(spark, cfg.ckpt_dir, wave)
         else:
+            t_ck = time.time()
             new_seen = (
                 seen.unionByName(seen_delta) if seen is not None else seen_delta
             )
             seen = new_seen.localCheckpoint()  # truncate lineage in-memory
+            _t("  seen localCheckpoint", t_ck)
+            t_ck = time.time()
             # retried/expanded/emptiness metrics piggyback on the
             # checkpoint materialization via observe() — no separate
             # count job per wave
@@ -442,6 +474,7 @@ def run_crawl(
             ).localCheckpoint()
             nf_n = obs.get["n"]
             retried_n = obs.get["retried"]
+            _t("  frontier localCheckpoint", t_ck)
 
         if cfg.ckpt_dir:
             # the parquet write materialized the frontier; one cheap
@@ -472,8 +505,9 @@ def run_crawl(
                 },
             )
 
-    pages_kv.unpersist()
-    if links_kv is not None:
+    if own_layout:
+        pages_kv.unpersist()
+    if links_kv is not None and links_prepped is None:
         links_kv.unpersist()
     out.seen = seen
     if fetch_logs:
