@@ -43,7 +43,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-CORE_LEVELS = (8, 32)
+CORE_LEVELS = (8, 32)  # default; --levels overrides (N,4N protocol)
 INPUT_DIR = "/dev/shm/wcs-scaling-input"
 
 
@@ -193,15 +193,21 @@ def main() -> None:
     ap.add_argument("--pairs", type=int, default=3,
                     help="interleaved (8,32) measurement pairs")
     ap.add_argument("--out", default="BENCH/BASELINE.md")
+    ap.add_argument("--levels", default=None,
+                    help="comma-separated core levels, e.g. 4,16 (N,4N)")
     args = ap.parse_args()
+    levels = (
+        tuple(int(x) for x in args.levels.split(","))
+        if args.levels else CORE_LEVELS
+    )
 
     prepare_input(args.n)
 
-    lo, hi = CORE_LEVELS
+    lo, hi = levels
     ratio = hi // lo
     runs: list[dict] = []
     for pair in range(args.pairs):
-        for cores in CORE_LEVELS:
+        for cores in levels:
             spark = _fresh_spark(cores)
             for fn in (run_crawl, run_parse):
                 r = fn(spark)
@@ -227,12 +233,12 @@ def main() -> None:
     best = {
         w: {c: max(r["throughput"] for r in runs
                    if r["cores"] == c and r["workload"] == w)
-            for c in CORE_LEVELS}
+            for c in levels}
         for w in ("crawl", "parse")
     }
     summary = {
         "metric": "scaling_efficiency",
-        "levels": list(CORE_LEVELS),
+        "levels": list(levels),
         "n_pages": args.n,
         "efficiency_median": eff,
         "pair_efficiencies": pair_eff,
