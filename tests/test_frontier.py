@@ -90,8 +90,16 @@ def test_fetch_order_matches_simulator(engine_run, sim_run):
 
 
 def test_seen_set_matches_simulator(engine_run, sim_run):
+    """North-rule correctness gate: URL-seen set equality (U2/U4)."""
     engine_seen = {r["url_hash"] for r in engine_run.seen.collect()}
     assert engine_seen == sim_run.seen
+    # U4: DataFrame-level intersect diagnostic — |seen ∩ oracle| == |seen|
+    spark = engine_run.seen.sparkSession
+    oracle = spark.createDataFrame(
+        [(h,) for h in sorted(sim_run.seen)], "url_hash long"
+    )
+    inter = engine_run.seen.select("url_hash").distinct().intersect(oracle)
+    assert inter.count() == len(sim_run.seen)
 
 
 def test_politeness_invariant(engine_run):

@@ -6,7 +6,13 @@ from pyspark.sql import functions as F
 from wos_crawler_spark.fixtures import wosgen
 from wos_crawler_spark.fixtures.synth import gen_pages_pdf
 from wos_crawler_spark.operators.parse_plaintext import parse_pages
-from wos_crawler_spark.sources import read_export_dir, read_pages, read_seeds
+from wos_crawler_spark.sources import (
+    read_export_dir,
+    read_pages,
+    read_seeds,
+    write_normalized,
+    write_pages,
+)
 
 
 def test_export_dir_scan_feeds_parser(spark, tmp_path):
@@ -57,3 +63,25 @@ def test_pages_reader_pushes_filters(spark, tmp_path):
     assert rows and all(r["lang"] == "en" for r in rows)
     # column pruning reaches the scan
     assert "ReadSchema" in plan and "html" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_pages_and_normalized_sinks(spark, tmp_path):
+    """S6/S8: wave-partitioned pages append + per-table normalized
+    store append round-trip."""
+    pages = spark.createDataFrame(gen_pages_pdf(list(range(20)), 20))
+    dest = str(tmp_path / "pages_store")
+    write_pages(pages, dest, wave=0)
+    write_pages(pages.limit(5), dest, wave=1)
+    back = spark.read.parquet(dest)
+    assert back.count() == 25
+    assert back.filter(F.col("wave") == 1).count() == 5
+
+    parsed = parse_pages(pages)
+    from wos_crawler_spark.operators.normalize import normalize_all
+
+    tables = normalize_all(parsed)
+    root = str(tmp_path / "store")
+    write_normalized(tables, root)
+    docs = spark.read.parquet(f"{root}/documents")
+    assert docs.count() == 20
+    assert docs.select("unique_id").distinct().count() == 20

@@ -211,6 +211,9 @@ def main() -> None:
     ap.add_argument("--out", default="BENCH/BASELINE.md")
     ap.add_argument("--levels", default=None,
                     help="comma-separated core levels, e.g. 4,16 (N,4N)")
+    ap.add_argument("--workloads", default="crawl,parse",
+                    help="subset of crawl,parse (crawl amortizes its "
+                         "per-wave floor only at larger --n)")
     args = ap.parse_args()
     levels = (
         tuple(int(x) for x in args.levels.split(","))
@@ -225,7 +228,8 @@ def main() -> None:
     for pair in range(args.pairs):
         for cores in levels:
             spark = _fresh_spark(cores)
-            for fn in (run_crawl, run_parse):
+            fns = {"crawl": run_crawl, "parse": run_parse}
+            for fn in (fns[w] for w in args.workloads.split(",")):
                 r = fn(spark)
                 r["cores"] = cores
                 r["pair"] = pair
@@ -243,14 +247,14 @@ def main() -> None:
     pair_eff = {
         w: [round(tput(p, hi, w) / tput(p, lo, w) / ratio, 3)
             for p in range(args.pairs)]
-        for w in ("crawl", "parse")
+        for w in args.workloads.split(",")
     }
     eff = {w: statistics.median(v) for w, v in pair_eff.items()}
     best = {
         w: {c: max(r["throughput"] for r in runs
                    if r["cores"] == c and r["workload"] == w)
             for c in levels}
-        for w in ("crawl", "parse")
+        for w in args.workloads.split(",")
     }
     summary = {
         "metric": "scaling_efficiency",
@@ -265,7 +269,7 @@ def main() -> None:
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     rows = []
-    for w in ("crawl", "parse"):
+    for w in args.workloads.split(","):
         unit = "urls/sec" if w == "crawl" else "docs/sec"
         rows.append(
             f"| {w} | {best[w][lo]} {unit} | {best[w][hi]} {unit} | "

@@ -2,6 +2,12 @@
 (SURVEY.md §3.4/§4 "iterative lineage truncation"; north_rule:
 "resumable from checkpoint with per-partition lineage + metrics").
 
+Reference behavior: Scrapy persists its request queue + dupefilter
+only when ``JOBDIR`` is set (``dep:scrapy.dupefilters::RFPDupeFilter``
+spills ``requests.seen``; ``dep:scrapy.core.scheduler::Scheduler``
+spills the pending queue) and resumes mid-crawl from that directory.
+The Spark twin checkpoints (frontier, seen, bloom, metrics) per wave.
+
 Layout (parquet stands in for Iceberg snapshots — jars absent in this
 sandbox; in production each wave is one Iceberg snapshot and resume is
 time-travel to the last committed one):

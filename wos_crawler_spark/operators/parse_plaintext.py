@@ -1,4 +1,6 @@
-"""Vectorized WoS field-tagged plaintext parser (SURVEY.md §2.4 P1–P13, P15).
+"""Vectorized WoS field-tagged plaintext parser (SURVEY.md §2.4 P1–P13, P15;
+numeric casts P10 are int() try/except twins of try_cast, PD/PY stay
+textual/int per P12).
 
 Reference behavior: ``ref:wos_crawler/parsers/plaintext/plaintext_parser.py::
 parse_single`` † — a line-oriented state machine: a line starting with a
@@ -285,6 +287,7 @@ _YEAR_RE = re.compile(r"^\d{4}$")
 
 
 def _parse_authors(fields: dict) -> list[dict]:
+    """P3: `Last, First` split + rank from position (AF preferred over AU)."""
     af = fields.get("AF") or fields.get("AU") or []
     au = fields.get("AU") or []
     authors = []
@@ -328,6 +331,7 @@ def _parse_authors(fields: dict) -> list[dict]:
 
 
 def _parse_fundings(fu: str | None) -> list[dict]:
+    """P8: `Agency [g1, g2]; Agency2 [g3]` -> (agent, numbers[])."""
     if not fu:
         return []
     out = []
@@ -343,6 +347,7 @@ def _parse_fundings(fu: str | None) -> list[dict]:
 
 
 def _parse_reference(line: str) -> dict:
+    """P9: positional CR split with V/P/DOI prefix detection."""
     parts = [p.strip() for p in line.split(", ")]
     ref = {
         "first_author": None,

@@ -94,6 +94,9 @@ class CrawlResult:
 
     @property
     def metrics(self) -> list[dict]:
+        """A4: per-wave crawl metrics (the reference's Scrapy
+        MemoryStatsCollector dict, per-wave instead of per-run);
+        persisted per wave by checkpoint.write_metrics."""
         return [
             {
                 k: getattr(w, k)

@@ -64,6 +64,31 @@ def read_seeds(spark: SparkSession, path: str, priority: int = 100) -> DataFrame
     )
 
 
+def write_pages(pages: DataFrame, path: str, wave: int | None = None) -> None:
+    """S6: the export-file sink. The reference writes one ``.txt`` per
+    500-record export batch (``ref:...wos_advanced_query_spider.py::
+    download_file`` †); here a wave's fetched pages append to the pages
+    store partitioned by ``wave`` (+ production: ``bucket(256, url)``
+    in the Iceberg spec — hidden partitioning replaces the filename
+    convention). Parquet-append in the sandbox; ``writeTo(...).append()``
+    on Iceberg."""
+    df = pages.withColumn("wave", F.lit(wave)) if wave is not None else pages
+    df.write.mode("append").partitionBy("wave").parquet(path)
+
+
+def write_normalized(tables: dict[str, DataFrame], root: str) -> None:
+    """S8: the relational-store sink. The reference commits one ORM
+    session per export file into SQLite (``ref:wos_crawler/model/
+    __init__.py::get_engine/get_session`` †); here each normalized
+    table (documents, authors, ...) appends to its own parquet/Iceberg
+    table. Idempotency at scale: Iceberg ``MERGE INTO ... ON
+    unique_id`` per A5 — the sandbox twin dedups with
+    ``dropDuplicates(['unique_id'])`` before the append (see
+    operators/normalize.py)."""
+    for name, df in tables.items():
+        df.write.mode("append").parquet(f"{root}/{name}")
+
+
 def read_pages(
     spark: SparkSession,
     path: str,
