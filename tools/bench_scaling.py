@@ -55,6 +55,25 @@ CORE_LEVELS = (2, 8)
 INPUT_DIR = "/dev/shm/wcs-scaling-input"
 
 
+def _cpu_probe() -> float:
+    """Single-threaded, fixed-work CPU calibration probe (~0.5 s on an
+    uncontended core). This guest cannot see hypervisor CPU steal
+    (load spikes with no local process; task CPU-time counters inflate
+    10x during co-tenant storms), so each measured run records the
+    probe time taken right before it: pairs whose probe is far off the
+    session's best ran during a storm and are excluded from the
+    calibrated median (raw median still reported)."""
+    import numpy as np
+
+    a = np.arange(1_500_000, dtype=np.uint64)
+    t0 = time.time()
+    for _ in range(40):
+        a = a * np.uint64(0x9E3779B97F4A7C15) + np.uint64(1)
+        a ^= a >> np.uint64(33)
+    float(a[0])
+    return time.time() - t0
+
+
 def _fresh_spark(cores: int):
     from pyspark.sql import SparkSession
 
@@ -208,6 +227,10 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--pairs", type=int, default=5,
                     help="interleaved (N,4N) measurement pairs")
+    ap.add_argument("--min-clean", type=int, default=3,
+                    help="keep adding pairs (up to --max-pairs) until "
+                         "this many storm-free pairs exist per workload")
+    ap.add_argument("--max-pairs", type=int, default=10)
     ap.add_argument("--out", default="BENCH/BASELINE.md")
     ap.add_argument("--levels", default=None,
                     help="comma-separated core levels, e.g. 4,16 (N,4N)")
@@ -224,18 +247,43 @@ def main() -> None:
 
     lo, hi = levels
     ratio = hi // lo
+    workloads = args.workloads.split(",")
     runs: list[dict] = []
-    for pair in range(args.pairs):
+
+    def _pair_probe(p: int, w: str) -> float:
+        return max(
+            r["cpu_probe_s"] for r in runs
+            if r["pair"] == p and r["workload"] == w
+        )
+
+    pair = 0
+    while True:
         for cores in levels:
             spark = _fresh_spark(cores)
             fns = {"crawl": run_crawl, "parse": run_parse}
-            for fn in (fns[w] for w in args.workloads.split(",")):
+            for fn in (fns[w] for w in workloads):
+                probe = round(_cpu_probe(), 3)
                 r = fn(spark)
                 r["cores"] = cores
                 r["pair"] = pair
+                r["cpu_probe_s"] = probe
                 runs.append(r)
                 print(json.dumps(r), flush=True)
             spark.stop()
+        pair += 1
+        bp = min(r["cpu_probe_s"] for r in runs)
+        n_clean = min(
+            sum(1 for p in range(pair) if _pair_probe(p, w) <= 1.8 * bp)
+            for w in workloads
+        )
+        if pair >= args.max_pairs:
+            break
+        if pair >= args.pairs and n_clean >= args.min_clean:
+            break
+        if pair >= args.pairs:
+            print(f"# only {n_clean} storm-free pairs — adding another",
+                  flush=True)
+    n_pairs = pair
 
     def tput(pair: int, cores: int, workload: str) -> float:
         return next(
@@ -246,10 +294,27 @@ def main() -> None:
 
     pair_eff = {
         w: [round(tput(p, hi, w) / tput(p, lo, w) / ratio, 3)
-            for p in range(args.pairs)]
-        for w in args.workloads.split(",")
+            for p in range(n_pairs)]
+        for w in workloads
     }
     eff = {w: statistics.median(v) for w, v in pair_eff.items()}
+
+    # Calibrated medians: a pair counts as "clean" for a workload when
+    # both of its runs' CPU probes are within 1.8x of the session's
+    # best probe (co-tenant storms inflate single-core CPU 2-10x and
+    # make wall time meaningless at either level). Falls back to the
+    # raw median when fewer than 2 clean pairs exist.
+    best_probe = min(r["cpu_probe_s"] for r in runs)
+    clean_pairs = {
+        w: [p for p in range(n_pairs)
+            if _pair_probe(p, w) <= 1.8 * best_probe]
+        for w in workloads
+    }
+    eff_cal = {
+        w: (statistics.median([pair_eff[w][p] for p in ps])
+            if len(ps) >= 2 else eff[w])
+        for w, ps in clean_pairs.items()
+    }
     best = {
         w: {c: max(r["throughput"] for r in runs
                    if r["cores"] == c and r["workload"] == w)
@@ -261,6 +326,9 @@ def main() -> None:
         "levels": list(levels),
         "n_pages": args.n,
         "efficiency_median": eff,
+        "efficiency_median_calibrated": eff_cal,
+        "clean_pairs": clean_pairs,
+        "best_cpu_probe_s": best_probe,
         "pair_efficiencies": pair_eff,
         "best_throughputs": best,
     }
@@ -269,11 +337,12 @@ def main() -> None:
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     rows = []
-    for w in args.workloads.split(","):
+    for w in workloads:
         unit = "urls/sec" if w == "crawl" else "docs/sec"
         rows.append(
             f"| {w} | {best[w][lo]} {unit} | {best[w][hi]} {unit} | "
-            f"{pair_eff[w]} | **{eff[w]}** |"
+            f"{pair_eff[w]} | {eff[w]} | **{eff_cal[w]}** "
+            f"({len(clean_pairs[w])}/{n_pairs} clean) |"
         )
     out.write_text(
         f"""# BENCH/BASELINE — two-parallelism scaling protocol results
@@ -285,14 +354,20 @@ seed-deterministic), run at local[{lo}] and local[{hi}] in one
 {os.cpu_count()}-core container ({platform.platform()}).
 
 This box is a shared VM with 1.5-3x run-to-run noise, so levels run in
-{args.pairs} interleaved (local[{lo}], local[{hi}]) pairs sharing ambient
+{n_pairs} interleaved (local[{lo}], local[{hi}]) pairs sharing ambient
 conditions; **efficiency = median over pairs of
 (throughput_{hi} / throughput_{lo}) / {ratio}**; throughput shown is the best
 observed per level.
 
-| Workload | best local[{lo}] | best local[{hi}] | per-pair efficiency | median efficiency |
-|---|---|---|---|---|
+| Workload | best local[{lo}] | best local[{hi}] | per-pair efficiency | raw median | calibrated median |
+|---|---|---|---|---|---|
 {chr(10).join(rows)}
+
+Calibration: a fixed single-thread CPU probe (best {best_probe}s this
+session) runs before every measurement; this guest cannot observe
+hypervisor CPU steal, and probes inflating >1.8x flag a co-tenant storm
+— pairs containing such a run are excluded from the **calibrated**
+median (raw median keeps every pair).
 
 - **crawl** = full frontier wave loop (3 waves: seed match, robots LPM
   broadcast join, Bloom + exact anti-join dedup, salted token-bucket

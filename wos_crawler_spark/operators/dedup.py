@@ -83,7 +83,15 @@ def dedup_frontier(
         candidates = dedup_intra_wave(candidates, hash_col)
     if seen is None:
         return candidates
-    seen_keys = seen.select(hash_col)
+    # shuffle_hash: the probe side (bloom-positive candidates) is
+    # usually LARGER than the per-partition seen build side, so a
+    # shuffled hash join skips the probe-side sort an SMJ would pay;
+    # when the crawl loop keeps seen hash-partitioned on url_hash the
+    # build side also skips its exchange. Scale note: per-partition
+    # seen must fit executor memory for the hash build — 10^10 hashes
+    # × 8B over ≥4096 buckets ≈ 20 MB/partition, and Spark ≥3.2 SHJ
+    # spills if it doesn't.
+    seen_keys = seen.select(hash_col).hint("shuffle_hash")
     if bloom is None:
         return candidates.join(seen_keys, hash_col, "left_anti")
     marked = mark_maybe_seen(candidates, bloom, hash_col)

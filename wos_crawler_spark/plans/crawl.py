@@ -114,22 +114,73 @@ class CrawlResult:
         ]
 
 
+#: Above this, seed evaluation falls back to a broadcast theta join.
+MAX_INLINE_SEEDS = 4096
+
+
 def init_frontier(seeds: DataFrame, pages: DataFrame) -> DataFrame:
     """S1/S3/J4: evaluate each advanced query against the pages corpus
-    — broadcast the (tiny) seeds to a theta join on contains(text,
-    term). One full pages scan, once per crawl (the reference's
-    AdvancedSearch POST analog). Returns wave-0 frontier rows."""
-    # canonicalize BELOW the theta join: BroadcastNestedLoopJoin is not
-    # whole-stage-codegen'd, so expressions placed above it run
-    # interpreted (~20x slower for this regexp-heavy projection).
-    # Under the join they fuse with the scan's codegen stage.
+    (the reference's AdvancedSearch POST analog). One full pages scan,
+    once per crawl. Returns wave-0 frontier rows.
+
+    Seeds are driver-scale (the reference reads a query list FILE on
+    the driver — SURVEY S1), so the default path collects them and
+    compiles the match into a single codegen'd projection:
+    ``explode(filter(array(when(contains(text, term), struct(...)))))``
+    — map-only, fused with the scan, no join at all. A
+    BroadcastNestedLoopJoin would evaluate the contains() predicate
+    INTERPRETED (BNLJ is outside whole-stage codegen) and measured
+    ~1.5-3x slower with poor core scaling. Seed lists beyond
+    MAX_INLINE_SEEDS fall back to the broadcast theta join."""
+    # canonicalize in the SAME projection: fuses with the scan's
+    # codegen stage, one pass over the pages cache.
     canon_pages = with_url_canon(pages.select("url", "text"))
-    matches = canon_pages.join(
-        F.broadcast(seeds.select("query_id", "term", "priority")),
-        F.col("text").contains(F.col("term")),
-        "inner",
-    )
-    f = matches.select("url", "url_canon", "url_hash", "host", "query_id", "priority")
+    seed_rows = None
+    if seeds.count() <= MAX_INLINE_SEEDS:
+        seed_rows = seeds.select("query_id", "term", "priority").collect()
+    if seed_rows is not None:
+        hits_arr = F.array(
+            *[
+                F.when(
+                    F.col("text").contains(F.lit(r.term)),
+                    F.struct(
+                        F.lit(r.query_id).cast("long").alias("query_id"),
+                        F.lit(r.priority).cast("int").alias("priority"),
+                    ),
+                )
+                for r in seed_rows
+            ]
+        )
+        # explode the full array and drop nulls AFTER: array filter()
+        # is a higher-order function (CodegenFallback — interpreted),
+        # while Generate(explode) + a null filter stay inside
+        # whole-stage codegen. Row amplification is n_seeds per page,
+        # the same work the join would do.
+        matches = (
+            canon_pages.select(
+                "url",
+                "url_canon",
+                "url_hash",
+                "host",
+                F.explode(hits_arr).alias("_m"),
+            )
+            .filter(F.col("_m").isNotNull())
+            .select(
+                "url", "url_canon", "url_hash", "host",
+                F.col("_m.query_id").alias("query_id"),
+                F.col("_m.priority").alias("priority"),
+            )
+        )
+        f = matches
+    else:
+        matches = canon_pages.join(
+            F.broadcast(seeds.select("query_id", "term", "priority")),
+            F.col("text").contains(F.col("term")),
+            "inner",
+        )
+        f = matches.select(
+            "url", "url_canon", "url_hash", "host", "query_id", "priority"
+        )
     return (
         f.withColumn("depth", F.lit(0))
         .withColumn("discovered_wave", F.lit(0))
@@ -221,7 +272,7 @@ def run_wave(
 ) -> tuple[WaveResult, DataFrame, DataFrame, BloomFilter]:
     """One wave. ``pages``/``links`` should be pre-partitioned via
     ``prepare_fetch_side``/``prepare_links_side`` (run_crawl does).
-    Returns (result, next_frontier, seen_delta, bloom)."""
+    Returns (result, next_frontier, seen_delta)."""
     timing = os.environ.get("WCS_TIMING", "") not in ("", "0")
 
     def _t(label: str, t0: float) -> None:
@@ -328,21 +379,11 @@ def run_wave(
     # retried/expanded counts are filled in by the caller AFTER the
     # next frontier materializes (checkpoint) — no extra jobs here.
 
-    # U2/A2: seen accumulates everything scheduled this wave
+    # U2/A2: seen accumulates everything scheduled this wave. The
+    # Bloom build over this delta happens in run_crawl, overlapped
+    # with the checkpoint jobs.
     _t("retry/expand/overflow plan", t0)
-    t0 = time.time()
     seen_delta = fetched.select("url_hash").withColumn("wave", F.lit(wave))
-    if scheduled_n:
-        wave_bloom = build_bloom(
-            seen_delta, "url_hash", capacity=cfg.bloom_capacity, fpp=cfg.bloom_fpp
-        )
-        new_bloom = bloom.merge(wave_bloom) if bloom is not None else wave_bloom
-    else:
-        new_bloom = bloom if bloom is not None else BloomFilter.sized(
-            cfg.bloom_capacity, cfg.bloom_fpp
-        )
-
-    _t("bloom build+merge", t0)
     res = WaveResult(
         wave=wave,
         scheduled=scheduled_n,
@@ -356,7 +397,7 @@ def run_wave(
         parsed=parsed,
         candidates=candidates,
     )
-    return res, next_frontier, seen_delta, new_bloom
+    return res, next_frontier, seen_delta
 
 
 def run_crawl(
@@ -433,7 +474,7 @@ def run_crawl(
         if not frontier_n:
             break
         t_wave = time.time()
-        res, next_frontier, seen_delta, bloom = run_wave(
+        res, next_frontier, seen_delta = run_wave(
             spark, wave, frontier, pages_kv, links_kv, robots, seen, bloom,
             cfg, wave_start,
         )
@@ -448,7 +489,21 @@ def run_crawl(
             parsed_frames.append(res.parsed)
         wave_start = res.next_start_ts
 
+        def _build_wave_bloom() -> BloomFilter:
+            """A2: per-partition Bloom partials over this wave's delta,
+            merged on the driver, folded into the cross-wave filter."""
+            if not res.scheduled:
+                return bloom if bloom is not None else BloomFilter.sized(
+                    cfg.bloom_capacity, cfg.bloom_fpp
+                )
+            wave_bloom = build_bloom(
+                seen_delta, "url_hash",
+                capacity=cfg.bloom_capacity, fpp=cfg.bloom_fpp,
+            )
+            return bloom.merge(wave_bloom) if bloom is not None else wave_bloom
+
         if cfg.ckpt_dir:
+            bloom = _build_wave_bloom()
             ckpt.commit_wave(
                 cfg.ckpt_dir, wave, next_frontier, seen_delta, bloom.to_bytes(),
                 metrics=None,  # committed below, after counts
@@ -458,26 +513,64 @@ def run_crawl(
             seen = ckpt.read_seen(spark, cfg.ckpt_dir, wave)
         else:
             t_ck = time.time()
-            new_seen = (
-                seen.unionByName(seen_delta) if seen is not None else seen_delta
-            )
-            seen = new_seen.localCheckpoint()  # truncate lineage in-memory
-            _t("  seen localCheckpoint", t_ck)
-            t_ck = time.time()
-            # retried/expanded/emptiness metrics piggyback on the
-            # checkpoint materialization via observe() — no separate
-            # count job per wave
+            # Three independent materialization jobs close the wave:
+            # (A) Bloom partial-build over the delta, (B) seen
+            # accumulate + lineage truncation, (C) next-frontier
+            # truncation (+ piggybacked metrics via observe — no
+            # separate count job). All three read only the wave's
+            # caches, so they run CONCURRENTLY from driver threads:
+            # the FIFO scheduler interleaves their stages and the
+            # parallelism-independent stage-launch latency is paid
+            # once (max of three) instead of serially (sum of three).
+            from concurrent.futures import ThreadPoolExecutor
+
             from pyspark.sql import Observation
 
-            obs = Observation()
-            frontier = next_frontier.observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("dont_filter").cast("long")).alias("retried"),
-            ).localCheckpoint()
-            nf_n = obs.get["n"]
-            retried_n = obs.get["retried"]
-            _t("  frontier localCheckpoint", t_ck)
+            def _seen_job() -> DataFrame:
+                new_seen = (
+                    seen.unionByName(seen_delta)
+                    if seen is not None
+                    else seen_delta
+                )
+                # Keep the seen table hash-partitioned AND sorted on
+                # url_hash (localCheckpoint preserves both): every
+                # later wave's exact anti-join then shuffles/sorts
+                # ONLY its (Bloom-shrunk) probe side — the growing
+                # seen side stays in place. Production analog: the
+                # seen Iceberg table PARTITIONED BY bucket(url_hash),
+                # storage-partitioned join.
+                return (
+                    new_seen.repartition(parts, "url_hash")
+                    .sortWithinPartitions("url_hash")
+                    .localCheckpoint()
+                )
+
+            def _frontier_job() -> tuple[DataFrame, int, int]:
+                obs = Observation()
+                fr = next_frontier.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("dont_filter").cast("long")).alias("retried"),
+                ).localCheckpoint()
+                return fr, obs.get["n"], obs.get["retried"]
+
+            def _timed(name, fn):
+                def _run():
+                    ts = time.time()
+                    try:
+                        return fn()
+                    finally:
+                        _t(f"    tail job {name}", ts)
+                return _run
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                f_bloom = pool.submit(_timed("bloom", _build_wave_bloom))
+                f_seen = pool.submit(_timed("seen", _seen_job))
+                f_frontier = pool.submit(_timed("frontier", _frontier_job))
+                bloom = f_bloom.result()
+                seen = f_seen.result()
+                frontier, nf_n, retried_n = f_frontier.result()
+            _t("  bloom+seen+frontier ckpt (parallel)", t_ck)
 
         if cfg.ckpt_dir:
             # the parquet write materialized the frontier; one cheap
