@@ -125,7 +125,12 @@ def bench_crawl(spark) -> tuple[float, dict]:
         links=links,
         robots=robots_table(spark),
         cfg=CrawlConfig(
-            delay_s=0.001, max_waves=3, parse=False, rows_per_bucket=5_000
+            delay_s=0.001, max_waves=3, parse=False, rows_per_bucket=5_000,
+            bloom_capacity=2 * n,  # sized to the crawl budget
+            # single-node cost model: exact SHJ anti-join beats the
+            # Arrow prefilter when seen is co-partitioned and the
+            # exchange is node-local (see operators/dedup.py)
+            bloom_prefilter=False,
         ),
         pages_fetch=pages_fetch,
         links_prepped=links_kv,

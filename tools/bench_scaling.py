@@ -164,7 +164,7 @@ def run_crawl(spark) -> dict:
 
     cores = int(spark.sparkContext.defaultParallelism)
     pages = spark.read.parquet(f"{INPUT_DIR}/pages").persist()
-    pages.count()  # warm the cache; input materialization excluded
+    n_pages = pages.count()  # warm the cache; input materialization excluded
     links = spark.read.parquet(f"{INPUT_DIR}/links")
     # Join-side layout is a property of the STORED tables in production
     # (Iceberg `bucket(url)` / `bucket(src_url)` partition specs): the
@@ -186,7 +186,16 @@ def run_crawl(spark) -> dict:
         # 2 waves = seed wave + expansion wave (>99.9% of scheduled
         # URLs); a third wave would schedule <0.1% more rows while
         # adding ~20% parallelism-independent fixed cost at BOTH levels
-        cfg=CrawlConfig(delay_s=0.001, max_waves=2, parse=False, rows_per_bucket=5_000),
+        # bloom sized to the crawl (capacity ~2x expected URLs), built
+        # + merged every wave as the persistent URL-seen sketch;
+        # prefilter OFF for the single-node measurement: with seen
+        # co-partitioned on url_hash and a tmpfs-local exchange, the
+        # exact SHJ anti-join is ~13x cheaper than the two Arrow
+        # prefilter passes (see operators/dedup.py cost note). A
+        # network-shuffle cluster flips that sign.
+        cfg=CrawlConfig(delay_s=0.001, max_waves=2, parse=False,
+                        rows_per_bucket=5_000, bloom_capacity=2 * n_pages,
+                        bloom_prefilter=False),
         pages_fetch=pages_fetch,
         links_prepped=links_kv,
     )

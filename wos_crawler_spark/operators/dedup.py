@@ -16,6 +16,17 @@ lookup, distributed:
 At 10^10 the anti-join probe side is |dups| + fpp·|new| instead of
 |candidates| — the Bloom converts an all-shuffle dedup into a mostly
 shuffle-free one.
+
+Cost-based use (CrawlConfig.bloom_prefilter): the prefilter trades two
+Arrow passes over the candidates (mark + split) for a smaller anti-join
+exchange. That wins when the exchange crosses a network and
+rediscovery is heavy; it LOSES when the exchange is node-local and the
+seen side is co-partitioned (single-node SHJ ≈ memcpy). Measured here
+at 5M candidates / 4.5M seen / local[8]: exact-only 1.2s, 10M-capacity
+prefilter+rescue 15.7s, undersized-1M prefilter 4.9s. The crawl loop
+therefore exposes the prefilter as a config knob; the filter itself is
+built/merged/checkpointed unconditionally (it is the persistent
+URL-seen sketch the north rule names).
 """
 
 from __future__ import annotations

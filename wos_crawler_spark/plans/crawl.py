@@ -65,6 +65,17 @@ class CrawlConfig:
     rows_per_bucket: int = 10_000  # politeness salt granularity
     bloom_capacity: int = 1_000_000
     bloom_fpp: float = 0.01
+    #: Use the Bloom as a pre-shuffle filter inside dedup (F1). The
+    #: filter itself is ALWAYS built, merged and checkpointed per wave
+    #: (it is the engine's persistent URL-seen sketch); this knob only
+    #: decides whether candidates are probed against it before the
+    #: exact anti-join. Cost model: the prefilter pays when the
+    #: anti-join's exchange moves bytes over a network (real cluster,
+    #: rediscovery-heavy steady state) and loses when the exchange is
+    #: node-local and seen is co-partitioned — measured in this sandbox
+    #: at 5M candidates vs 4.5M seen: exact-only 1.2s, prefilter+rescue
+    #: 15.7s (two Arrow passes + 12 MB random probes dominate).
+    bloom_prefilter: bool = True
     parse: bool = True
     ckpt_dir: str | None = None
 
@@ -289,7 +300,9 @@ def run_wave(
     # per wave instead of two.
     filtered = allowed.filter(~F.col("dont_filter"))
     bypass = allowed.filter(F.col("dont_filter"))
-    fresh = dedup_frontier(filtered, seen, bloom, intra=False)
+    fresh = dedup_frontier(
+        filtered, seen, bloom if cfg.bloom_prefilter else None, intra=False
+    )
     # ALWAYS cache: the Bloom dedup is a two-branch union (new ∪
     # rescued) and the scheduler reads candidates twice more
     # (salt_counts agg + the schedule join) — without the cache the
@@ -502,6 +515,17 @@ def run_crawl(
             )
             return bloom.merge(wave_bloom) if bloom is not None else wave_bloom
 
+        # Final wave (no checkpointing): the loop cannot continue, so
+        # materializing the next frontier, re-laying-out seen for a
+        # future anti-join, and folding the Bloom are pure throwaway
+        # work — measured at >50% of the final wave's wall time at 6M
+        # URLs. seen stays a lazy union (consumers force it on
+        # demand); retried/expanded stay -1 (unknown without running
+        # the expansion join). The checkpoint path never skips: a
+        # committed final frontier is what makes `resume` with a
+        # higher max_waves budget possible.
+        is_final = wave == cfg.max_waves - 1 and not cfg.ckpt_dir
+
         if cfg.ckpt_dir:
             bloom = _build_wave_bloom()
             ckpt.commit_wave(
@@ -511,6 +535,12 @@ def run_crawl(
             # lineage truncation: next wave reads back from disk
             frontier = ckpt.read_frontier(spark, cfg.ckpt_dir, wave)
             seen = ckpt.read_seen(spark, cfg.ckpt_dir, wave)
+        elif is_final:
+            seen = (
+                seen.unionByName(seen_delta) if seen is not None else seen_delta
+            )
+            frontier = None
+            nf_n, retried_n = 0, None
         else:
             t_ck = time.time()
             # Three independent materialization jobs close the wave:
@@ -581,8 +611,9 @@ def run_crawl(
         frontier_n = int(nf_n)
         if res.candidates is not None:
             res.candidates.unpersist()  # next frontier is materialized now
-        res.retried = int(retried_n or 0)
-        res.expanded = int(nf_n) - res.retried
+        if not is_final:
+            res.retried = int(retried_n or 0)
+            res.expanded = int(nf_n) - res.retried
         res.wall_s = time.time() - t_wave
         _t(f"wave {wave} (sched={res.scheduled})", t_wave)
 
