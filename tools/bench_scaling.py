@@ -163,8 +163,14 @@ def run_crawl(spark) -> dict:
     )
 
     cores = int(spark.sparkContext.defaultParallelism)
-    pages = spark.read.parquet(f"{INPUT_DIR}/pages").persist()
-    n_pages = pages.count()  # warm the cache; input materialization excluded
+    # NOT cached: the full pages table (with its text payload) is read
+    # exactly once — the wave-0 seed-match scan — so caching it would
+    # only evict the join-side caches at larger n (measured: the 12M
+    # rung thrashed MemoryStore and lost ~40% throughput at local[8]).
+    # tmpfs parquet + column pruning is the production Iceberg-scan
+    # analog anyway.
+    pages = spark.read.parquet(f"{INPUT_DIR}/pages")
+    n_pages = pages.count()
     links = spark.read.parquet(f"{INPUT_DIR}/links")
     # Join-side layout is a property of the STORED tables in production
     # (Iceberg `bucket(url)` / `bucket(src_url)` partition specs): the
@@ -264,13 +270,17 @@ def main() -> None:
     ap.add_argument("--workloads", default="crawl,parse",
                     help="subset of crawl,parse (crawl amortizes its "
                          "per-wave floor only at larger --n)")
+    ap.add_argument("--reuse-input", action="store_true",
+                    help="skip regeneration if the tmpfs input dir "
+                         "exists (same --n as the previous run!)")
     args = ap.parse_args()
     levels = (
         tuple(int(x) for x in args.levels.split(","))
         if args.levels else CORE_LEVELS
     )
 
-    prepare_input(args.n, args.n_parse)
+    if not (args.reuse_input and os.path.isdir(f"{INPUT_DIR}/pages")):
+        prepare_input(args.n, args.n_parse)
 
     lo, hi = levels
     ratio = hi // lo
