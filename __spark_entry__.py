@@ -125,7 +125,6 @@ def q_f1_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("https://HOST"),
             (F.col("doc_id") % 7).cast("string"),
             F.lit(".example.com"),
-            F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(F.lit("")),
             F.lit("/Docs/"),
             F.col("doc_id").cast("string"),
             F.when(F.col("doc_id") % 3 == 0, F.lit("?a=1&b=2"))

@@ -103,6 +103,18 @@ def test_unicode_passthrough():
     assert r["authors"][0]["full_name"] == "Müller, Hänsel"
 
 
+def test_usage_count_u2_zero_not_falsy():
+    """A legitimate ``U2 0`` must yield usage_count=0, NOT fall back to
+    U1 (regression: `or` treated 0 as missing)."""
+    r = parse_export_text(_load("usage_u2_zero.txt"))[0]
+    assert r["usage_count"] == 0
+
+
+def test_usage_count_prefers_u2_over_u1():
+    r = parse_export_text(_load("basic.txt"))[0]
+    assert r["usage_count"] == 3  # basic.txt: U1 1, U2 3 — U2 wins
+
+
 def test_pg_derivable():
     r = parse_export_text(_load("pg_absent.txt"))[0]
     assert int(r["end_page"]) - int(r["start_page"]) + 1 == 10  # P13

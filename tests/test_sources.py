@@ -85,3 +85,30 @@ def test_pages_and_normalized_sinks(spark, tmp_path):
     docs = spark.read.parquet(f"{root}/documents")
     assert docs.count() == 20
     assert docs.select("unique_id").distinct().count() == 20
+
+
+def test_normalized_sink_is_idempotent(spark, tmp_path):
+    """A5/S8: re-writing the same wave changes nothing — the sink
+    anti-joins on stored unique_ids before appending (the sandbox twin
+    of Iceberg MERGE INTO ... WHEN NOT MATCHED)."""
+    from wos_crawler_spark.operators.normalize import normalize_all
+
+    pages = spark.createDataFrame(gen_pages_pdf(list(range(12)), 12))
+    parsed = parse_pages(pages).cache()
+    tables = normalize_all(parsed)
+    root = str(tmp_path / "store")
+    write_normalized(tables, root)
+    first = {
+        name: spark.read.parquet(f"{root}/{name}").count() for name in tables
+    }
+    # same wave again — counts must not move
+    write_normalized(normalize_all(parsed), root)
+    for name in tables:
+        assert spark.read.parquet(f"{root}/{name}").count() == first[name], name
+    # a new wave with overlap: only the 6 new documents' rows land
+    pages2 = spark.createDataFrame(gen_pages_pdf(list(range(6, 18)), 18))
+    write_normalized(normalize_all(parse_pages(pages2)), root)
+    docs = spark.read.parquet(f"{root}/documents")
+    assert docs.count() == 18
+    assert docs.select("unique_id").distinct().count() == 18
+    parsed.unpersist()

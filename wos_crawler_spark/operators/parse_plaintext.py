@@ -410,6 +410,12 @@ def _assemble_record(fields: dict) -> dict:
         return [s.strip() for s in v.split(";") if s.strip()] if v else []
 
     ut = g("UT")
+    # usage_count: U2 (since-2013 usage) preferred, U1 fallback — the
+    # fallback triggers only when U2 is ABSENT, not when it is a
+    # legitimate 0 (explicit None check; `or` would treat `U2 0` as
+    # missing). Pinned by tests/fixtures golden `usage_u2_zero`.
+    _u2 = _parse_int(g("U2"))
+    usage = _u2 if _u2 is not None else _parse_int(g("U1"))
     rec = {
         "unique_id": re.sub(r"^WOS:", "", ut) if ut else None,  # P11
         "title": g("TI"),
@@ -431,9 +437,7 @@ def _assemble_record(fields: dict) -> dict:
         "funding_text": g("FX"),
         "reference_num": _parse_int(g("NR")),
         "cited_times": _parse_int(g("TC")),
-        # usage_count: U2 (since-2013 usage) preferred, U1 fallback —
-        # documented choice; the reference stores both (SURVEY §1.2).
-        "usage_count": _parse_int(g("U2")) or _parse_int(g("U1")),
+        "usage_count": usage,
         "authors": _parse_authors(f),
         "keywords": semi("DE"),
         "keywords_plus": semi("ID"),

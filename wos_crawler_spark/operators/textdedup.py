@@ -194,7 +194,7 @@ def minhash_lsh_dedup(
     shingle_n: int = 3,
     k: int = 32,
     bands: int = 8,
-    max_iter: int = 10,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Near-dup CLUSTERS — the 100 TB path. Returns
     (doc_id, cluster_id) with cluster_id = min doc_id of the
@@ -204,10 +204,15 @@ def minhash_lsh_dedup(
     band bucket (quadratic in bucket size — a template cluster of 10^4
     docs emits 10^8 pairs), this emits ONE star edge per (doc, bucket)
     to the bucket's min id — linear — then resolves transitive
-    closure by iterative min-label propagation (O(log diameter)
-    rounds; star edges keep the diameter ≤ 2·bands). This is the
-    standard industrial MinHash-dedup plan (band → bucket → star
-    edges → connected components)."""
+    closure by iterative min-label propagation. Convergence takes
+    ~component-diameter rounds — chain-shaped components (A~B via one
+    bucket, B~C via another, ...) have diameter proportional to chain
+    length, so the loop runs to observed convergence (the per-round
+    ``changed`` Observation), with ``max_iter`` as a safety bound;
+    exhausting it without convergence RAISES rather than silently
+    returning partial clusters. This is the standard industrial
+    MinHash-dedup plan (band → bucket → star edges → connected
+    components)."""
     banded = _banded(df, id_col, text_col, shingle_n, k, bands)
     w = Window.partitionBy("band_id", "band_hash")
     edges = (
@@ -225,27 +230,45 @@ def minhash_lsh_dedup(
 
     from pyspark.sql import Observation
 
-    for _ in range(max_iter):
-        # each vertex adopts the min label among itself + neighbors
-        neigh = (
-            und.join(labels, und.src == labels._id)
-            .groupBy("dst")
-            .agg(F.min("label").alias("nl"))
+    converged = False
+    prev_ckpt: DataFrame | None = None
+    try:
+        for _ in range(max_iter):
+            # each vertex adopts the min label among itself + neighbors
+            neigh = (
+                und.join(labels, und.src == labels._id)
+                .groupBy("dst")
+                .agg(F.min("label").alias("nl"))
+            )
+            new = F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label")))
+            stepped = labels.join(neigh, labels._id == neigh.dst, "left").select(
+                "_id",
+                new.alias("label"),
+                (new < F.col("label")).cast("long").alias("_chg"),
+            )
+            # convergence metric piggybacks on the checkpoint job — no
+            # separate count() pass per iteration
+            obs = Observation()
+            labels = stepped.observe(obs, F.sum("_chg").alias("changed")).drop(
+                "_chg"
+            ).localCheckpoint()  # truncate iteration lineage (SURVEY §4)
+            changed = obs.get["changed"] or 0
+            # the new checkpoint is materialized now — drop the previous
+            # iteration's cached blocks instead of accumulating them
+            if prev_ckpt is not None:
+                prev_ckpt.unpersist()
+            prev_ckpt = labels
+            if not changed:
+                converged = True
+                break
+    finally:
+        und.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"minhash_lsh_dedup: label propagation did not converge in "
+            f"{max_iter} iterations (component diameter exceeds the "
+            f"bound) — raise max_iter"
         )
-        new = F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label")))
-        stepped = labels.join(neigh, labels._id == neigh.dst, "left").select(
-            "_id",
-            new.alias("label"),
-            (new < F.col("label")).cast("long").alias("_chg"),
-        )
-        # convergence metric piggybacks on the checkpoint job — no
-        # separate count() pass per iteration
-        obs = Observation()
-        labels = stepped.observe(obs, F.sum("_chg").alias("changed")).drop(
-            "_chg"
-        ).localCheckpoint()  # truncate iteration lineage (SURVEY §4)
-        if not (obs.get["changed"] or 0):
-            break
     return labels.select(F.col("_id").alias(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -251,8 +251,12 @@ def prepare_fetch_side(
     cols = ["url", "text", "lang", "warc_ts"] if with_text else [
         "url", "lang", "warc_ts"
     ]
+    # `_page_hit` is the hit/miss probe for the left fetch join: always
+    # non-null for an existing page. Probing a data column instead
+    # (text/warc_ts) miscounts legitimately-null values as misses and
+    # re-queues existing pages as retries every wave.
     return (
-        pages.select(*cols)
+        pages.select(*cols, F.lit(True).alias("_page_hit"))
         .repartition(parts, "url")
         .sortWithinPartitions("url")
         .persist()
@@ -280,7 +284,7 @@ def run_wave(
     bloom: BloomFilter | None,
     cfg: CrawlConfig,
     wave_start: float,
-) -> tuple[WaveResult, DataFrame, DataFrame, BloomFilter]:
+) -> tuple[WaveResult, DataFrame, DataFrame]:
     """One wave. ``pages``/``links`` should be pre-partitioned via
     ``prepare_fetch_side``/``prepare_links_side`` (run_crawl does).
     Returns (result, next_frontier, seen_delta)."""
@@ -322,14 +326,36 @@ def run_wave(
     # count/aggregate below reads the cache, so the robots→dedup→
     # schedule→fetch chain executes exactly once per wave. pages is
     # pre-partitioned on url (prepare_fetch_side) → only sched shuffles.
-    probe = "text" if "text" in pages.columns else "warc_ts"
+    # hit/miss probe: the join-side marker (always non-null for an
+    # existing page — prepare_fetch_side adds it); data-column
+    # fallbacks only for callers passing a raw pages frame.
+    if "_page_hit" in pages.columns:
+        probe = "_page_hit"
+    elif "text" in pages.columns:
+        probe = "text"
+    else:
+        probe = "warc_ts"
     fetched = sched.join(pages, "url", "left").cache()
     hits = fetched.filter(F.col(probe).isNotNull())
     misses = fetched.filter(F.col(probe).isNull())
 
-    # one job → all wave metrics (count(probe) skips nulls = hits)
-    scheduled_n, hits_n, max_ts_row = fetched.agg(
-        F.count(F.lit(1)), F.count(probe), F.max("scheduled_ts")
+    # one job → all wave metrics (count(probe) skips nulls = hits).
+    # parsed_docs counts REAL WoS records (one export page holds up to
+    # 500 ER-terminated records — SURVEY S5), not pages: the record
+    # count piggybacks on this same cached-scan job as a regexp_count.
+    will_parse = cfg.parse and "text" in fetched.columns
+    rec_count = (
+        F.sum(
+            F.when(
+                F.col(probe).isNotNull() & F.col("text").isNotNull(),
+                F.regexp_count(F.col("text"), F.lit(r"(?m)^ER[ \t]*$")),
+            ).otherwise(F.lit(0))
+        )
+        if will_parse
+        else F.lit(0)
+    )
+    scheduled_n, hits_n, max_ts_row, rec_n = fetched.agg(
+        F.count(F.lit(1)), F.count(probe), F.max("scheduled_ts"), rec_count
     ).first()
     misses_n = scheduled_n - hits_n
     next_start = (max_ts_row + cfg.delay_s) if max_ts_row is not None else wave_start
@@ -348,9 +374,17 @@ def run_wave(
             F.col("query_id").alias("q"),
             F.col("lineage").alias("l"),
         )
-        overflow = (
-            candidates.join(fetched.select("url_hash"), "url_hash", "left_anti")
-            .groupBy("url_hash", "dont_filter")
+        not_scheduled = candidates.join(
+            fetched.select("url_hash"), "url_hash", "left_anti"
+        )
+        # Only FRESH overflow rows collapse to one representative per
+        # url_hash (intra-wave dedup deferred from the politeness
+        # shuffle). dont_filter retries pass through un-grouped — the
+        # 'retries are never dropped' contract, matching the simulator
+        # which keeps every bypass row in overflow.
+        fresh_overflow = (
+            not_scheduled.filter(~F.col("dont_filter"))
+            .groupBy("url_hash")
             .agg(
                 F.min_by(
                     F.struct(*[F.col(c).alias(c) for c in FRONTIER_COLS]), rep_key
@@ -359,15 +393,17 @@ def run_wave(
             .select("_r.*")
             .select(FRONTIER_COLS)
         )
+        overflow = fresh_overflow.unionByName(
+            not_scheduled.filter(F.col("dont_filter")).select(FRONTIER_COLS)
+        )
     else:
         overflow = None
 
     # parse (P1–P15)
     parsed = None
-    parsed_n = 0
-    if cfg.parse and hits_n:
+    parsed_n = int(rec_n or 0)
+    if will_parse and hits_n:
         parsed = parse_pages(hits)
-        parsed_n = hits_n  # 1 record per synthetic page; real count lazy
 
     # F7: retries — attempt+1, dont_filter, re-queued next wave
     retries = (

@@ -77,16 +77,42 @@ def write_pages(pages: DataFrame, path: str, wave: int | None = None) -> None:
 
 
 def write_normalized(tables: dict[str, DataFrame], root: str) -> None:
-    """S8: the relational-store sink. The reference commits one ORM
-    session per export file into SQLite (``ref:wos_crawler/model/
-    __init__.py::get_engine/get_session`` †); here each normalized
-    table (documents, authors, ...) appends to its own parquet/Iceberg
-    table. Idempotency at scale: Iceberg ``MERGE INTO ... ON
-    unique_id`` per A5 — the sandbox twin dedups with
-    ``dropDuplicates(['unique_id'])`` before the append (see
-    operators/normalize.py)."""
+    """S8: the relational-store sink — IDEMPOTENT per document (A5).
+    The reference commits one ORM session per export file into SQLite
+    (``ref:wos_crawler/model/__init__.py::get_engine/get_session`` †)
+    and skips records whose unique_id already exists; here each
+    normalized table (documents, authors, ...) appends to its own
+    parquet/Iceberg table after dropping rows whose ``unique_id`` is
+    already stored, so re-running a wave writes nothing new.
+
+    Scale notes: the existing-keys side is a column-pruned scan of
+    unique_id only (never the document payload), and the anti-join is
+    a broadcast when the store is small / shuffle-hash at scale. In
+    production this whole function is one Iceberg ``MERGE INTO ... ON
+    unique_id WHEN NOT MATCHED THEN INSERT`` per table (see
+    sources/iceberg.py) — snapshot-isolated, no read-modify-write race.
+    Contract: the incoming ``parsed`` frame is one row per WoS record;
+    intra-batch duplicate documents are collapsed here for the
+    documents table (min-url representative is NOT needed — records
+    with one unique_id are byte-identical re-parses)."""
+    from pyspark.sql.utils import AnalysisException
+
     for name, df in tables.items():
-        df.write.mode("append").parquet(f"{root}/{name}")
+        path = f"{root}/{name}"
+        out = df
+        if "unique_id" in df.columns:
+            if name == "documents":
+                out = out.dropDuplicates(["unique_id"])
+            try:
+                existing = (
+                    df.sparkSession.read.parquet(path)
+                    .select("unique_id")
+                    .distinct()
+                )
+                out = out.join(existing, "unique_id", "left_anti")
+            except AnalysisException:
+                pass  # first write — nothing stored yet
+        out.write.mode("append").parquet(path)
 
 
 def read_pages(
