@@ -496,20 +496,34 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- rows-only engine surfaces
 
 
+def _parsed_flat(parsed: DataFrame) -> DataFrame:
+    """Flat scalar projection of the parse output — the field-level
+    contract pinned by the committed snapshot (fixtures/data/
+    parsed_docs.parquet; tools/make_snapshots.py). All numeric columns
+    cast to long so Spark and the DuckDB snapshot agree byte-for-byte."""
+    return parsed.select(
+        "url",
+        "unique_id",
+        "journal",
+        F.col("pub_year").cast("long").alias("pub_year"),
+        "document_type",
+        "doi",
+        F.size("authors").cast("long").alias("n_authors"),
+        F.size("references").cast("long").alias("n_refs"),
+        F.length("extracted_text").cast("long").alias("extracted_len"),
+    )
+
+
 def q_parse_wos_plaintext(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1–P15: vectorized WoS field-tag parser over synthetic export
-    pages (byte-identity pinned by tests/fixtures goldens)."""
+    pages. Byte-identity of extracted_text is pinned by tests/fixtures
+    goldens; the field-level output is oracle-checked against the
+    committed parse snapshot (deterministic fixture corpus)."""
     from wos_crawler_spark.fixtures.synth import pages_table
     from wos_crawler_spark.operators.parse_plaintext import parse_pages
 
     pages = pages_table(spark, 200, partitions=8)
-    parsed = parse_pages(pages)
-    return parsed.select(
-        "url", "unique_id", "pub_year", "doi",
-        F.size("authors").alias("n_authors"),
-        F.size("references").alias("n_refs"),
-        F.length("extracted_text").alias("extracted_len"),
-    )
+    return _parsed_flat(parse_pages(pages))
 
 
 def q_parse_bibtex(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -535,8 +549,11 @@ def q_parse_bibtex(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     pages = spark.createDataFrame(texts, "url string, text string")
     parsed = parse_bib_pages(pages)
-    return parsed.select("url", "unique_id", "title", "pub_year",
-                         F.size("authors").alias("n_authors"))
+    return parsed.select(
+        "url", "unique_id", "title",
+        F.col("pub_year").cast("long").alias("pub_year"),
+        F.size("authors").cast("long").alias("n_authors"),
+    )
 
 
 def q_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,10 +579,15 @@ def q_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         robots=robots_table(spark),
         cfg=CrawlConfig(delay_s=0.1, max_waves=3, parse=False),
     )
-    return res.fetch_log.groupBy("wave", "host").agg(
-        F.count(F.lit(1)).alias("n_fetched"),
-        F.round(F.min("scheduled_ts"), 3).alias("first_ts"),
-        F.round(F.max("scheduled_ts"), 3).alias("last_ts"),
+    return (
+        res.fetch_log.groupBy(
+            F.col("wave").cast("long").alias("wave"), F.col("host")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_fetched"),
+            F.round(F.min("scheduled_ts"), 3).alias("first_ts"),
+            F.round(F.max("scheduled_ts"), 3).alias("last_ts"),
+        )
     )
 
 
@@ -579,6 +601,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "asset_id",
         F.size("features").cast("long").alias("feat_dim"),
+        # first feature component — pins the fake featurizer's values,
+        # not just the batch shape (snapshot-oracle-checked)
+        F.round(F.element_at("features", 1).cast("double"), 5).alias("f0"),
     )
 
 
@@ -634,7 +659,8 @@ def _parsed(spark: SparkSession, n: int = 200):
 def q_j5_author_affiliations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5/W3: author rank (posexplode order) joined to C1 bracket-parsed
     affiliations per (unique_id, rank) — the reference's per-record
-    author→address dict, normalized (rows-only: parse-derived)."""
+    author→address dict, normalized. Oracle: the same join recomputed
+    in DuckDB over the committed author/affiliation snapshots."""
     from wos_crawler_spark.operators import normalize
 
     parsed = _parsed(spark)
@@ -647,7 +673,12 @@ def q_j5_author_affiliations(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (authors.rank == affs.author_rank),
             "inner",
         )
-        .select(authors.unique_id, "rank", "full_name", "address")
+        .select(
+            authors.unique_id,
+            F.col("rank").cast("long").alias("rank"),
+            "full_name",
+            "address",
+        )
     )
 
 
@@ -666,7 +697,10 @@ def q_a5_distinct_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         parsed.dropDuplicates(["unique_id"])
         .groupBy("journal")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.max("pub_year").alias("max_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("pub_year").cast("long").alias("max_year"),
+        )
     )
 
 
@@ -676,7 +710,7 @@ def q_f5_doctype_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = _parsed(spark)
     return (
         parsed.filter(F.col("document_type") == "Article")
-        .groupBy("pub_year")
+        .groupBy(F.col("pub_year").cast("long").alias("pub_year"))
         .agg(F.count(F.lit(1)).alias("n_articles"))
     )
 
@@ -755,6 +789,23 @@ _ALL_STOP = "[" + ", ".join(
 ) + "]"
 
 _TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _snap(name: str) -> str:
+    """DuckDB scan of a committed parse/crawl snapshot (deterministic
+    fixture-corpus outputs pinned by tools/make_snapshots.py; drift is
+    caught by tests/test_snapshots.py). These back the oracles for the
+    mapInPandas / iterative entries DuckDB cannot recompute from
+    scratch: the SNAPSHOT pins the non-SQL step (parse, crawl loop,
+    featurizer), and the SQL recomputes every downstream join/agg
+    independently."""
+    import os
+
+    d = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "wos_crawler_spark", "fixtures", "data",
+    )
+    return f"read_parquet('{d}/{name}.parquet')"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1016,6 +1067,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprint": f"""
             SELECT doc_id, md5({_NORM}) AS fp FROM documents
+        """,
+        # ---- snapshot-backed oracles (parse family / crawl / media) --
+        "parse_wos_plaintext": f"""
+            SELECT url, unique_id, journal, pub_year, document_type,
+                   doi, n_authors, n_refs, extracted_len
+            FROM {_snap("parsed_docs")}
+        """,
+        "parse_bibtex": f"""
+            SELECT url, unique_id, title, pub_year, n_authors
+            FROM {_snap("parsed_bib")}
+        """,
+        "j5_author_affiliations": f"""
+            SELECT a.unique_id, a."rank", a.full_name, f.address
+            FROM {_snap("parsed_authors")} a
+            JOIN {_snap("parsed_affs")} f
+              ON a.unique_id = f.unique_id AND a."rank" = f.author_rank
+        """,
+        "j6_citation_doi_link": f"""
+            SELECT r.unique_id AS citing_uid, d.unique_id AS cited_uid,
+                   r.ref_doi AS doi
+            FROM {_snap("parsed_refs")} r
+            JOIN {_snap("parsed_docs")} d ON r.ref_doi = d.doi
+        """,
+        "a5_distinct_documents": f"""
+            SELECT journal, count(*) AS n_docs, max(pub_year) AS max_year
+            FROM (SELECT DISTINCT unique_id, journal, pub_year
+                  FROM {_snap("parsed_docs")})
+            GROUP BY journal
+        """,
+        "f5_doctype_filter": f"""
+            SELECT pub_year, count(*) AS n_articles
+            FROM {_snap("parsed_docs")}
+            WHERE document_type = 'Article'
+            GROUP BY pub_year
+        """,
+        "crawl_end_to_end": f"""
+            SELECT wave, host, n_fetched, first_ts, last_ts
+            FROM {_snap("crawl_fetch_log")}
+        """,
+        "multimodal_features": f"""
+            SELECT asset_id, feat_dim, f0 FROM {_snap("media_feats")}
         """,
     }
 
