@@ -385,13 +385,16 @@ def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures + near pairs (vectorized Arrow UDF — rows-only)."""
+    """SimHash signatures + EXACT near pairs via banded multi-table
+    blocking (pigeonhole: max_hamming+1 bands — every pair within the
+    radius shares ≥1 intact band). Signatures are a vectorized Arrow
+    UDF — rows-only at the driver; exactness vs Python brute force is
+    pinned in tests/test_textops.py."""
     from wos_crawler_spark.operators.textdedup import simhash, simhash_near_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_pairs(
-        simhash(docs, id_col="doc_id", text_col="text"),
-        max_hamming=8, prefix_bits=8,
+        simhash(docs, id_col="doc_id", text_col="text"), max_hamming=8
     )
 
 

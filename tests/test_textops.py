@@ -78,12 +78,72 @@ def test_minhash_lsh_dedup_clusters(corpus):
 
 
 def test_simhash_near_pairs(spark, corpus):
+    """Banded blocking is EXACT: every planted near-dup within the
+    radius is found (the old single-prefix block was probabilistic)."""
     sim = td.simhash(corpus)
     assert sim.count() == corpus.count()
-    pairs = td.simhash_near_pairs(sim, max_hamming=8, prefix_bits=8).collect()
+    sig = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    expected = {
+        (a, b)
+        for a in sig
+        for b in sig
+        if a < b and bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1") <= 8
+    }
+    pairs = td.simhash_near_pairs(sim, max_hamming=8).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
-    hits = sum((i, 100 + i) in found for i in range(5))
-    assert hits >= 3  # probabilistic blocking; most planted pairs found
+    assert found == expected  # exact contract vs Python brute force
+
+
+def test_simhash_banded_blocking_exact_brute_force(spark):
+    """Exhaustive equality vs all-pairs Hamming on planted signatures,
+    INCLUDING pairs that differ only inside the old 8-bit prefix (the
+    recall hole the banded rewrite closes)."""
+    from wos_crawler_spark.fixtures.wosgen import splitmix64
+
+    sigs = []
+    for i in range(40):
+        s = splitmix64(i * 7919)
+        sigs.append((i, s))
+        # neighbor at controlled distance: flip i%9 bits spread across
+        # the word, including the TOP bits for i%3==0 (prefix-differing)
+        flips = range(0, (i % 9))
+        off = 63 if i % 3 == 0 else 5
+        m = 0
+        for k in flips:
+            m |= 1 << ((off - k * 7) % 64)
+        sigs.append((1000 + i, s ^ m))
+
+    def to_i64(u):  # Spark longs are signed
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    df = spark.createDataFrame(
+        [(i, to_i64(s)) for i, s in sigs], "doc_id long, simhash long"
+    )
+    by_id = dict(sigs)
+    for radius in (1, 3, 8):
+        expected = {
+            (a, b)
+            for a in by_id
+            for b in by_id
+            if a < b and bin(by_id[a] ^ by_id[b]).count("1") <= radius
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in td.simhash_near_pairs(df, max_hamming=radius).collect()
+        }
+        assert got == expected, f"radius={radius}"
+
+
+def test_simhash_bucket_cap_bounds_degenerate_blocks(spark):
+    """bucket_cap drops oversized buckets (documented approximation):
+    a degenerate mass of identical signatures stays sub-quadratic."""
+    rows = [(i, 0) for i in range(50)] + [(100 + i, 7 + i) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    capped = td.simhash_near_pairs(df, max_hamming=2, bucket_cap=10).collect()
+    ids_in_pairs = {r["id_a"] for r in capped} | {r["id_b"] for r in capped}
+    assert not any(i < 50 for i in ids_in_pairs)  # degenerate block dropped
+    uncapped = td.simhash_near_pairs(df, max_hamming=2).count()
+    assert uncapped > len(capped)
 
 
 def test_ngram_jaccard_allpairs(corpus):

@@ -308,21 +308,95 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
-def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
-    """Near-dup pairs by SimHash: block on the top ``prefix_bits`` of
-    the signature (near-identical docs share prefixes with high
-    probability), verify Hamming distance ≤ max_hamming. Blocked
-    self-join avoids the quadratic pair space."""
-    pref = F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits).alias("block")
-    a = sim_df.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"), pref)
-    b = sim_df.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"), pref)
+def _simhash_bands(col: Column, n_bands: int) -> list[Column]:
+    """Split the 64-bit signature into ``n_bands`` contiguous bit bands
+    (widths differ by ≤1). Unsigned shifts so the sign bit is just a
+    bit."""
+    base, extra = divmod(64, n_bands)
+    vals, off = [], 0
+    for b in range(n_bands):
+        w = base + (1 if b < extra else 0)
+        if w >= 64:
+            vals.append(col)
+        else:
+            vals.append(
+                F.shiftrightunsigned(col, off).bitwiseAND(F.lit((1 << w) - 1))
+            )
+        off += w
+    return vals
+
+
+def simhash_near_pairs(
+    sim_df: DataFrame,
+    max_hamming: int = 3,
+    bucket_cap: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ALL pairs with SimHash Hamming distance ≤ ``max_hamming`` —
+    an EXACT contract, via banded multi-table blocking.
+
+    Pigeonhole: split the 64 bits into ``max_hamming + 1`` bands; a
+    pair within the radius differs in ≤ max_hamming bit positions, so
+    at least one band is bit-identical — every qualifying pair shares
+    ≥1 (band_id, band_val) bucket and the banded self-join generates a
+    superset of candidates, verified by exact ``bit_count(xor)``.
+    (A single prefix block misses any pair differing inside the
+    prefix; this replaces that probabilistic recall with a guarantee.)
+
+    Scale notes (100 TB): the exploded blocking relation carries only
+    (id, simhash, band_id, band_val) — (max_hamming+1)·|docs| small
+    rows; text never shuffles. Pair enumeration is quadratic IN BUCKET
+    SIZE: degenerate corpora (e.g. millions of empty docs hashing to
+    one signature) blow up one bucket. ``bucket_cap`` is the guardrail:
+    buckets with more than cap members are dropped from candidate
+    generation (logged via the returned plan's semantics — pairs inside
+    a dropped bucket that share no other small band bucket are NOT
+    emitted, a documented approximation; default None keeps the exact
+    contract). Upstream exact_dedup first is the right fix for the
+    degenerate mass — identical texts never reach SimHash."""
+    n_bands = max_hamming + 1
+    sig = sim_df.select(F.col(id_col).alias("_id"), F.col("simhash"))
+    bands = F.array(
+        *[
+            F.struct(F.lit(i).alias("band_id"), v.alias("band_val"))
+            for i, v in enumerate(_simhash_bands(F.col("simhash"), n_bands))
+        ]
+    )
+    blocked = sig.select(
+        "_id", "simhash", F.explode(bands).alias("_b")
+    ).select(
+        "_id",
+        "simhash",
+        F.col("_b.band_id").alias("band_id"),
+        F.col("_b.band_val").alias("band_val"),
+    )
+    if bucket_cap is not None:
+        w = Window.partitionBy("band_id", "band_val")
+        blocked = (
+            blocked.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= bucket_cap)
+            .drop("_bn")
+        )
+    a = blocked.select(
+        F.col("_id").alias("id_a"),
+        F.col("simhash").alias("h_a"),
+        "band_id",
+        "band_val",
+    )
+    b = blocked.select(
+        F.col("_id").alias("id_b"),
+        F.col("simhash").alias("h_b"),
+        "band_id",
+        "band_val",
+    )
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (
-        a.join(b, "block")
+        a.join(b, ["band_id", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
