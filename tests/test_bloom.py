@@ -4,7 +4,14 @@ serialization round-trip, false-positive rescue by the exact anti-join."""
 
 import numpy as np
 
-from wos_crawler_spark.operators.bloom import BloomFilter, bloom_prefilter, build_bloom
+from wos_crawler_spark.operators.bloom import (
+    BankedBloomFilter,
+    BloomFilter,
+    bloom_from_bytes,
+    bloom_prefilter,
+    build_banked_bloom,
+    build_bloom,
+)
 from wos_crawler_spark.operators.dedup import dedup_frontier
 
 
@@ -57,6 +64,98 @@ def test_prefilter_drops_seen(spark):
     df = spark.createDataFrame([(10,), (20,), (30,)], "url_hash long")
     kept = bloom_prefilter(df, bf).collect()
     assert {r["url_hash"] for r in kept} == {30}
+
+
+# ---------------------------------------------------- banked sharding
+
+
+def _spread_keys(n):
+    """Keys whose TOP bits vary (bank routing uses the top log2 B bits)."""
+    with np.errstate(over="ignore"):
+        u = np.arange(n, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return u.view(np.int64)
+
+
+def test_banked_no_false_negatives_and_fpp():
+    bb = BankedBloomFilter.sized(40_000, 0.01, n_banks=4)
+    keys = _spread_keys(40_000)
+    bb.add(keys)
+    assert bb.might_contain(keys).all()
+    probe = _spread_keys(140_000)[40_000:]
+    assert bb.might_contain(probe).mean() < 0.03
+    # all four banks actually used (top-bit routing spreads keys)
+    assert all(b.bits.any() for b in bb.banks)
+
+
+def test_banked_cross_merge_is_union():
+    a = BankedBloomFilter.sized(4000, 0.01, n_banks=8)
+    b = BankedBloomFilter.sized(4000, 0.01, n_banks=8)
+    ka, kb = _spread_keys(4000)[:2000], _spread_keys(4000)[2000:]
+    a.add(ka)
+    b.add(kb)
+    m = a.merge(b)
+    assert m.might_contain(ka).all() and m.might_contain(kb).all()
+
+
+def test_banked_serialization_roundtrip_and_dispatch():
+    bb = BankedBloomFilter.sized(1000, 0.01, n_banks=4)
+    keys = _spread_keys(500)
+    bb.add(keys)
+    rt = bloom_from_bytes(bb.to_bytes())
+    assert isinstance(rt, BankedBloomFilter) and rt.n_banks == 4
+    assert rt.might_contain(keys).all()
+    mono = BloomFilter.sized(1000, 0.01)
+    mono.add(keys)
+    rt2 = bloom_from_bytes(mono.to_bytes())
+    assert isinstance(rt2, BloomFilter)
+    assert rt2.might_contain(keys).all()
+
+
+def test_banked_distributed_build_equals_local(spark):
+    keys = _spread_keys(3000)
+    df = spark.createDataFrame(
+        [(int(k),) for k in keys], "url_hash long"
+    ).repartition(8)
+    dist = build_banked_bloom(df, "url_hash", capacity=3000, fpp=0.01, n_banks=4)
+    local = BankedBloomFilter.sized(3000, 0.01, n_banks=4)
+    local.add(keys)
+    for db, lb in zip(dist.banks, local.banks):
+        assert (db.bits == lb.bits).all()
+
+
+def test_crawl_banked_bloom_identical_to_monolithic(spark):
+    """B=4 vs B=1 must produce the SAME fetch log and seen set — the
+    Bloom is a prefilter; banking only changes its layout."""
+    from wos_crawler_spark.fixtures.synth import (
+        links_table,
+        pages_table,
+        robots_table,
+        seeds_table,
+    )
+    from wos_crawler_spark.plans.crawl import CrawlConfig, run_crawl
+
+    n = 200
+    logs = {}
+    for banks in (1, 4):
+        res = run_crawl(
+            spark,
+            pages=pages_table(spark, n, partitions=8),
+            seeds=seeds_table(spark),
+            links=links_table(spark, n, partitions=8),
+            robots=robots_table(spark),
+            cfg=CrawlConfig(
+                delay_s=0.1, max_waves=3, parse=False,
+                bloom_banks=banks, bloom_prefilter=True,
+            ),
+        )
+        logs[banks] = (
+            sorted(
+                (r["wave"], r["url"], r["scheduled_ts"])
+                for r in res.fetch_log.collect()
+            ),
+            sorted(r["url_hash"] for r in res.seen.collect()),
+        )
+    assert logs[1] == logs[4]
 
 
 def test_false_positive_rescued_by_exact_antijoin(spark):

@@ -111,6 +111,111 @@ class BloomFilter:
         return cls(bits=np.frombuffer(raw[4:], dtype=np.uint8).copy(), n_hashes=k)
 
 
+_BANK_MAGIC = 0x42414E4B  # "BANK" — cannot collide with n_hashes (≤64)
+
+
+@dataclass
+class BankedBloomFilter:
+    """Bank-sharded Bloom: B independent :class:`BloomFilter` banks,
+    keys routed by the TOP log2(B) bits of the hash
+    (``bank = url_hash >>> (64 - log2 B)`` — the north_rule's
+    10^10-scale layout from the module docstring, now code).
+
+    Why banks: a monolithic 1e10-key/1%-fpp filter is ~12 GB — too big
+    to broadcast or hold per executor. With B banks each executor
+    holds only the banks its hash-partitioned frontier slice routes to
+    (m/B bytes per bank); partial build/merge/serialize all stay
+    per-bank, so no single task or broadcast ever touches the full m
+    bits. B=1 degenerates to the monolithic filter bit-for-bit.
+
+    Same duck-typed surface as BloomFilter (add / might_contain /
+    merge / to_bytes), so the crawl loop, dedup prefilter and
+    checkpoints take either."""
+
+    banks: list[BloomFilter]
+
+    @classmethod
+    def sized(cls, capacity: int, fpp: float = 0.01, n_banks: int = 4) -> "BankedBloomFilter":
+        if n_banks < 1 or (n_banks & (n_banks - 1)):
+            raise ValueError("n_banks must be a power of two")
+        per_bank = max(1, capacity // n_banks)
+        return cls([BloomFilter.sized(per_bank, fpp) for _ in range(n_banks)])
+
+    @property
+    def n_banks(self) -> int:
+        return len(self.banks)
+
+    def _bank_idx(self, keys: np.ndarray) -> np.ndarray:
+        if self.n_banks == 1:
+            return np.zeros(len(keys), dtype=np.int64)
+        shift = np.uint64(64 - (self.n_banks.bit_length() - 1))
+        u = keys.astype(np.int64).view(np.uint64)
+        return (u >> shift).astype(np.int64)
+
+    def add(self, keys: np.ndarray) -> None:
+        keys = np.asarray(keys)
+        if not len(keys):
+            return
+        idx = self._bank_idx(keys)
+        for b in range(self.n_banks):
+            m = idx == b
+            if m.any():
+                self.banks[b].add(keys[m])
+
+    def might_contain(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys)
+        out = np.zeros(len(keys), dtype=bool)
+        if not len(keys):
+            return out
+        idx = self._bank_idx(keys)
+        for b in range(self.n_banks):
+            m = idx == b
+            if m.any():
+                out[m] = self.banks[b].might_contain(keys[m])
+        return out
+
+    def merge(self, other: "BankedBloomFilter") -> "BankedBloomFilter":
+        assert self.n_banks == other.n_banks
+        return BankedBloomFilter(
+            [a.merge(b) for a, b in zip(self.banks, other.banks)]
+        )
+
+    def to_bytes(self) -> bytes:
+        parts = [
+            _BANK_MAGIC.to_bytes(4, "little"),
+            self.n_banks.to_bytes(4, "little"),
+        ]
+        for b in self.banks:
+            raw = b.to_bytes()
+            parts.append(len(raw).to_bytes(4, "little"))
+            parts.append(raw)
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "BankedBloomFilter":
+        assert int.from_bytes(raw[:4], "little") == _BANK_MAGIC
+        n = int.from_bytes(raw[4:8], "little")
+        banks, off = [], 8
+        for _ in range(n):
+            ln = int.from_bytes(raw[off : off + 4], "little")
+            off += 4
+            banks.append(BloomFilter.from_bytes(raw[off : off + ln]))
+            off += ln
+        return cls(banks)
+
+
+#: Either filter flavor — everything downstream is duck-typed.
+AnyBloom = BloomFilter | BankedBloomFilter
+
+
+def bloom_from_bytes(raw: bytes) -> AnyBloom:
+    """Deserialize either flavor (banked blobs carry a magic header;
+    a plain filter's first word is its n_hashes ≤ 64)."""
+    if len(raw) >= 4 and int.from_bytes(raw[:4], "little") == _BANK_MAGIC:
+        return BankedBloomFilter.from_bytes(raw)
+    return BloomFilter.from_bytes(raw)
+
+
 def build_bloom(df: DataFrame, hash_col: str, capacity: int, fpp: float = 0.01) -> BloomFilter:
     """Distributed build: per-partition partial bit arrays (mapInPandas),
     OR-reduced **executor-side** (one shuffle of the fixed-size partials
@@ -167,7 +272,72 @@ def build_bloom(df: DataFrame, hash_col: str, capacity: int, fpp: float = 0.01) 
     return out
 
 
-def bloom_prefilter(df: DataFrame, bloom: BloomFilter, hash_col: str = "url_hash", keep_maybe_seen: bool = False) -> DataFrame:
+def build_banked_bloom(
+    df: DataFrame,
+    hash_col: str,
+    capacity: int,
+    fpp: float = 0.01,
+    n_banks: int = 4,
+) -> BankedBloomFilter:
+    """Distributed banked build. Per-partition partials emit one
+    (bank, bits) row per bank they saw — each m/B bits, so the
+    transient bool array per task is also m/B per bank; the per-bank
+    OR-fold runs as B independent groupBy tasks (vs build_bloom's
+    single merge task), and the driver receives exactly B rows of m/B
+    bytes = O(m) total. At cluster scale the frontier is hash-
+    partitioned on url_hash, so most partitions route to ONE bank and
+    the partial traffic collapses to ~m/B per partition."""
+    proto = BankedBloomFilter.sized(capacity, fpp, n_banks)
+    m_bytes = len(proto.banks[0].bits)
+    k = proto.banks[0].n_hashes
+    nb = n_banks
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tmpl = BankedBloomFilter(
+            [BloomFilter(np.zeros(m_bytes, dtype=np.uint8), k) for _ in range(nb)]
+        )
+        bank_bits: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = pdf[hash_col].to_numpy()
+            idx = tmpl._bank_idx(keys)
+            for b in np.unique(idx):
+                bb = bank_bits.setdefault(
+                    int(b), np.zeros(m_bytes * 8, dtype=bool)
+                )
+                pos = tmpl.banks[int(b)]._positions(keys[idx == b])
+                bb[pos.ravel().astype(np.int64)] = True
+        for b, bb in bank_bits.items():
+            yield pd.DataFrame(
+                {"bank": [b],
+                 "bits": [np.packbits(bb, bitorder="little").tobytes()]}
+            )
+
+    def _reduce(key, pdf):
+        acc: np.ndarray | None = None
+        for raw in pdf["bits"]:
+            a = np.frombuffer(raw, dtype=np.uint8)
+            acc = a.copy() if acc is None else (acc | a)
+        return pd.DataFrame({"bank": [key[0]], "bits": [acc.tobytes()]})
+
+    partials = df.select(hash_col).mapInPandas(_partial, "bank int, bits binary")
+    merged = (
+        partials.groupBy("bank")
+        .applyInPandas(_reduce, "bank int, bits binary")
+        .toPandas()
+    )
+    out = BankedBloomFilter(
+        [BloomFilter(np.zeros(m_bytes, dtype=np.uint8), k) for _ in range(nb)]
+    )
+    for _, row in merged.iterrows():
+        out.banks[int(row["bank"])].bits |= np.frombuffer(
+            row["bits"], dtype=np.uint8
+        )
+    return out
+
+
+def bloom_prefilter(df: DataFrame, bloom: AnyBloom, hash_col: str = "url_hash", keep_maybe_seen: bool = False) -> DataFrame:
     """Executor-side prefilter: drop rows the Bloom says are seen
     (definitely-new rows pass; 'maybe seen' rows go to the exact
     anti-join when ``keep_maybe_seen`` — see frontier.dedup)."""
@@ -177,7 +347,7 @@ def bloom_prefilter(df: DataFrame, bloom: BloomFilter, hash_col: str = "url_hash
     schema = df.schema
 
     def _filt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bf = BloomFilter.from_bytes(b.value)
+        bf = bloom_from_bytes(b.value)
         for pdf in batches:
             if not len(pdf):
                 continue

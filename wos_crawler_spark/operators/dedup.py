@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from wos_crawler_spark.operators.bloom import BloomFilter
+from wos_crawler_spark.operators.bloom import AnyBloom, bloom_from_bytes
 
 
 def _rep_order():
@@ -64,14 +64,15 @@ def dedup_intra_wave(candidates: DataFrame, hash_col: str = "url_hash") -> DataF
     )
 
 
-def mark_maybe_seen(df: DataFrame, bloom: BloomFilter, hash_col: str = "url_hash") -> DataFrame:
-    """Attach boolean ``maybe_seen`` from the broadcast Bloom."""
+def mark_maybe_seen(df: DataFrame, bloom: AnyBloom, hash_col: str = "url_hash") -> DataFrame:
+    """Attach boolean ``maybe_seen`` from the broadcast Bloom (either
+    flavor — monolithic or bank-sharded)."""
     spark = df.sparkSession
     b = spark.sparkContext.broadcast(bloom.to_bytes())
 
     @F.pandas_udf("boolean")
     def _maybe(h: pd.Series) -> pd.Series:
-        bf = BloomFilter.from_bytes(b.value)
+        bf = bloom_from_bytes(b.value)
         return pd.Series(bf.might_contain(h.to_numpy()))
 
     return df.withColumn("maybe_seen", _maybe(F.col(hash_col)))
@@ -80,7 +81,7 @@ def mark_maybe_seen(df: DataFrame, bloom: BloomFilter, hash_col: str = "url_hash
 def dedup_frontier(
     candidates: DataFrame,
     seen: DataFrame | None,
-    bloom: BloomFilter | None,
+    bloom: AnyBloom | None,
     hash_col: str = "url_hash",
     intra: bool = True,
 ) -> DataFrame:

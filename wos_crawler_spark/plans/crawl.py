@@ -34,7 +34,14 @@ from pyspark.sql import functions as F
 
 from wos_crawler_spark.functions.urlnorm import with_url_canon
 from wos_crawler_spark.operators import checkpoint as ckpt
-from wos_crawler_spark.operators.bloom import BloomFilter, build_bloom
+from wos_crawler_spark.operators.bloom import (
+    AnyBloom,
+    BankedBloomFilter,
+    BloomFilter,
+    bloom_from_bytes,
+    build_banked_bloom,
+    build_bloom,
+)
 from wos_crawler_spark.operators.dedup import dedup_frontier
 from wos_crawler_spark.operators.parse_plaintext import parse_pages
 from wos_crawler_spark.operators.politeness import schedule_wave
@@ -65,6 +72,11 @@ class CrawlConfig:
     rows_per_bucket: int = 10_000  # politeness salt granularity
     bloom_capacity: int = 1_000_000
     bloom_fpp: float = 0.01
+    #: Bank-shard the URL-seen filter into B banks routed by the top
+    #: log2(B) hash bits (north_rule 10^10 layout: per-executor memory
+    #: and broadcast size drop to m/B; build/merge stay per-bank).
+    #: 1 = monolithic filter, identical bits to the banked B=1 case.
+    bloom_banks: int = 1
     #: Use the Bloom as a pre-shuffle filter inside dedup (F1). The
     #: filter itself is ALWAYS built, merged and checkpointed per wave
     #: (it is the engine's persistent URL-seen sketch); this knob only
@@ -281,7 +293,7 @@ def run_wave(
     links: DataFrame | None,
     robots: DataFrame | None,
     seen: DataFrame | None,
-    bloom: BloomFilter | None,
+    bloom: AnyBloom | None,
     cfg: CrawlConfig,
     wave_start: float,
 ) -> tuple[WaveResult, DataFrame, DataFrame]:
@@ -476,7 +488,7 @@ def run_crawl(
     start_wave = 0
     frontier = None
     seen: DataFrame | None = None
-    bloom: BloomFilter | None = None
+    bloom: AnyBloom | None = None
     wave_start = 0.0
 
     if resume and cfg.ckpt_dir:
@@ -485,7 +497,7 @@ def run_crawl(
             start_wave = last + 1
             frontier = ckpt.read_frontier(spark, cfg.ckpt_dir, last)
             seen = ckpt.read_seen(spark, cfg.ckpt_dir, last)
-            bloom = BloomFilter.from_bytes(ckpt.read_bloom_bytes(cfg.ckpt_dir, last))
+            bloom = bloom_from_bytes(ckpt.read_bloom_bytes(cfg.ckpt_dir, last))
             wave_start = ckpt.read_metrics(cfg.ckpt_dir, last)["next_start_ts"]
 
     timing = os.environ.get("WCS_TIMING", "") not in ("", "0")
@@ -538,17 +550,29 @@ def run_crawl(
             parsed_frames.append(res.parsed)
         wave_start = res.next_start_ts
 
-        def _build_wave_bloom() -> BloomFilter:
+        def _build_wave_bloom() -> AnyBloom:
             """A2: per-partition Bloom partials over this wave's delta,
-            merged on the driver, folded into the cross-wave filter."""
+            OR-folded executor-side, folded into the cross-wave filter.
+            bloom_banks > 1 shards build/merge/broadcast per bank."""
             if not res.scheduled:
-                return bloom if bloom is not None else BloomFilter.sized(
-                    cfg.bloom_capacity, cfg.bloom_fpp
+                if bloom is not None:
+                    return bloom
+                if cfg.bloom_banks > 1:
+                    return BankedBloomFilter.sized(
+                        cfg.bloom_capacity, cfg.bloom_fpp, cfg.bloom_banks
+                    )
+                return BloomFilter.sized(cfg.bloom_capacity, cfg.bloom_fpp)
+            if cfg.bloom_banks > 1:
+                wave_bloom = build_banked_bloom(
+                    seen_delta, "url_hash",
+                    capacity=cfg.bloom_capacity, fpp=cfg.bloom_fpp,
+                    n_banks=cfg.bloom_banks,
                 )
-            wave_bloom = build_bloom(
-                seen_delta, "url_hash",
-                capacity=cfg.bloom_capacity, fpp=cfg.bloom_fpp,
-            )
+            else:
+                wave_bloom = build_bloom(
+                    seen_delta, "url_hash",
+                    capacity=cfg.bloom_capacity, fpp=cfg.bloom_fpp,
+                )
             return bloom.merge(wave_bloom) if bloom is not None else wave_bloom
 
         # Final wave (no checkpointing): the loop cannot continue, so
