@@ -58,6 +58,26 @@ def test_resume_equals_uninterrupted(spark, tmp_path):
         mp = ckpt.read_metrics(part_dir, w)
         assert mf == mp
 
+    # per-partition lineage + metrics continuity (north_rule): every
+    # committed wave carries a partition_metrics frame whose sums
+    # reconcile with the wave scalars, in both the uninterrupted and
+    # the resumed history
+    from pyspark.sql import functions as F
+
+    for d in (full_dir, part_dir):
+        for w in range(3):
+            pm = ckpt.read_partition_metrics(spark, d, w)
+            assert pm.count() >= 1
+            tot = pm.agg(
+                F.sum("scheduled"), F.sum("hits"), F.sum("misses"),
+                F.sum("from_seed") + F.sum("from_link"),
+            ).first()
+            m = ckpt.read_metrics(d, w)
+            assert tot[0] == m["scheduled"] and tot[1] == m["hits"]
+            assert tot[2] == m["misses"]
+            # every frontier row's lineage is seed:- or link:-origin
+            assert tot[3] == m["scheduled"]
+
 
 def test_torn_checkpoint_invisible(spark, tmp_path):
     """A wave dir without _COMMITTED must be ignored by resume."""

@@ -16,6 +16,10 @@ time-travel to the last committed one):
       wave=K/
         frontier/            parquet — the NEXT wave's pending frontier
         seen_delta/          parquet — url_hashes first seen this wave
+        partition_metrics/   parquet — per-partition counters + lineage
+                             (partition_id, scheduled, hits, misses,
+                              parsed_docs, from_seed, from_link,
+                              from_retry, payload_bytes)
         bloom.bin            merged Bloom bytes
         metrics.json         wave counters + next_start_ts + lineage
         _COMMITTED           empty marker, written LAST (atomicity)
@@ -47,14 +51,21 @@ def commit_wave(
     seen_delta: DataFrame,
     bloom_bytes: bytes,
     metrics: dict | None,
+    part_metrics: DataFrame | None = None,
 ) -> None:
     """Write the wave's data artifacts. With ``metrics`` given, also
     finalize (marker written LAST). With ``metrics=None``, the caller
     finalizes later via :func:`write_metrics` — the wave stays
-    invisible to resume until then."""
+    invisible to resume until then. ``part_metrics`` persists the
+    per-partition counter+lineage frame (north_rule: "per-partition
+    lineage + metrics") — one map-side agg job over the wave's cache."""
     d = wave_dir(ckpt_dir, wave)
     frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
     seen_delta.write.mode("overwrite").parquet(os.path.join(d, "seen_delta"))
+    if part_metrics is not None:
+        part_metrics.write.mode("overwrite").parquet(
+            os.path.join(d, "partition_metrics")
+        )
     with open(os.path.join(d, "bloom.bin"), "wb") as f:
         f.write(bloom_bytes)
     if metrics is not None:
@@ -95,6 +106,16 @@ def read_seen(spark: SparkSession, ckpt_dir: str, upto_wave: int) -> DataFrame:
         for w in range(upto_wave + 1)
     ]
     return spark.read.parquet(*paths)
+
+
+def read_partition_metrics(
+    spark: SparkSession, ckpt_dir: str, wave: int
+) -> DataFrame:
+    """Per-partition counters + lineage provenance for a committed
+    wave (resume diagnostics / skew forensics)."""
+    return spark.read.parquet(
+        os.path.join(wave_dir(ckpt_dir, wave), "partition_metrics")
+    )
 
 
 def read_bloom_bytes(ckpt_dir: str, wave: int) -> bytes:

@@ -105,6 +105,7 @@ class WaveResult:
     fetched: DataFrame | None = None
     parsed: DataFrame | None = None
     candidates: DataFrame | None = None  # cached; unpersisted post-ckpt
+    part_metrics: DataFrame | None = None  # lazy per-partition counters
     wall_s: float = 0.0  # driver wall-clock for this wave (incl. ckpt)
 
 
@@ -369,6 +370,33 @@ def run_wave(
     scheduled_n, hits_n, max_ts_row, rec_n = fetched.agg(
         F.count(F.lit(1)), F.count(probe), F.max("scheduled_ts"), rec_count
     ).first()
+
+    # A4 (north_rule "per-partition lineage + metrics"): lazy
+    # per-partition counter frame over the SAME cache — materialized
+    # only by the checkpoint path (commit_wave), costing one map-side
+    # agg job there and nothing otherwise. lineage provenance is
+    # bucketed by origin kind (seed/link/retry) per partition.
+    bytes_agg = (
+        F.sum(
+            F.when(F.col("text").isNotNull(), F.length("text")).otherwise(0)
+        )
+        if "text" in fetched.columns
+        else F.sum(F.lit(0))
+    )
+    part_metrics = fetched.groupBy(
+        F.spark_partition_id().alias("partition_id")
+    ).agg(
+        F.count(F.lit(1)).alias("scheduled"),
+        F.count(probe).alias("hits"),
+        (F.count(F.lit(1)) - F.count(probe)).alias("misses"),
+        rec_count.alias("parsed_docs"),
+        F.sum(F.when(F.col("lineage").startswith("seed:"), 1).otherwise(0))
+        .alias("from_seed"),
+        F.sum(F.when(F.col("lineage").startswith("link:"), 1).otherwise(0))
+        .alias("from_link"),
+        F.sum(F.col("dont_filter").cast("long")).alias("from_retry"),
+        bytes_agg.alias("payload_bytes"),
+    )
     misses_n = scheduled_n - hits_n
     next_start = (max_ts_row + cfg.delay_s) if max_ts_row is not None else wave_start
     _t("fetch-agg job", t0)
@@ -457,6 +485,7 @@ def run_wave(
         fetched=fetched,
         parsed=parsed,
         candidates=candidates,
+        part_metrics=part_metrics,
     )
     return res, next_frontier, seen_delta
 
@@ -591,6 +620,7 @@ def run_crawl(
             ckpt.commit_wave(
                 cfg.ckpt_dir, wave, next_frontier, seen_delta, bloom.to_bytes(),
                 metrics=None,  # committed below, after counts
+                part_metrics=res.part_metrics,
             )
             # lineage truncation: next wave reads back from disk
             frontier = ckpt.read_frontier(spark, cfg.ckpt_dir, wave)
@@ -688,6 +718,7 @@ def run_crawl(
                     "misses": res.misses,
                     "retried": res.retried,
                     "expanded": res.expanded,
+                    "parsed_docs": res.parsed_docs,
                     "next_start_ts": res.next_start_ts,
                 },
             )
