@@ -413,17 +413,18 @@ def q_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via deterministic hyperplane LSH buckets (rows-only;
-    recall vs brute force is asserted in tests/test_similarity.py)."""
+    """ANN top-k via multi-probe multi-table hyperplane LSH (rows-only;
+    recall ≥0.9 vs brute force is pinned in tests/test_similarity.py;
+    n_candidates surfaces bucket starvation to callers)."""
     from wos_crawler_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return lsh_topk(emb, queries, dim=64, k=10, n_planes=6).select(
-        "q_id", "vec_id", "rank"
-    )
+    return lsh_topk(
+        emb, queries, dim=64, k=10, n_planes=6, n_tables=2, probe_hamming=1
+    ).select("q_id", "vec_id", "rank", "n_candidates")
 
 
 def q_sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -50,19 +50,63 @@ def test_brute_force_matches_numpy(emb, queries, dim):
 
 
 def test_lsh_recall(emb, queries, dim):
+    """Multi-probe ANN: recall of the true top-10 ≥ 0.9 at fixture
+    scale, and n_candidates exposes bucket fan-in to the caller."""
     exact = sim.brute_force_topk(emb, queries, k=10).collect()
-    approx = sim.lsh_topk(emb, queries, dim=dim, k=10, n_planes=6).collect()
+    approx = sim.lsh_topk(
+        emb, queries, dim=dim, k=10, n_planes=6, n_tables=4, probe_hamming=2
+    ).collect()
     exact_sets = {}
     for r in exact:
         exact_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
-    hit = total = 0
+    got_sets = {}
     for r in approx:
-        total += 1
-        hit += r["vec_id"] in exact_sets[r["q_id"]]
-    assert total > 0
+        got_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+        assert r["n_candidates"] >= 1
+    recall = sum(
+        len(exact_sets[q] & got_sets.get(q, set())) for q in exact_sets
+    ) / sum(len(s) for s in exact_sets.values())
+    assert recall >= 0.9, f"multi-probe recall {recall:.2f} < 0.9"
     # self-NN must always survive (identical vector → same bucket)
     self_hits = {r["q_id"] for r in approx if r["vec_id"] == r["q_id"]}
     assert self_hits == set(range(5))
+
+
+def test_lsh_starvation_is_visible(emb, queries, dim):
+    """With zero extra probes and many planes, sparse buckets starve —
+    n_candidates must report it rather than silently under-fill."""
+    out = sim.lsh_topk(
+        emb, queries, dim=dim, k=10, n_planes=12, n_probes=0
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["q_id"], []).append(r)
+    for q, rows in per_q.items():
+        n_cand = rows[0]["n_candidates"]
+        if len(rows) < 10:  # under-filled list...
+            assert n_cand < 10  # ...is exactly what n_candidates says
+
+
+def test_batch_matmul_topk_matches_numpy(spark, emb, queries, dim):
+    import numpy as np
+
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    got = sim.brute_force_topk_batch(emb, queries, k=5).collect()
+    for q in range(5):
+        qv = Mn[ids == q][0]
+        cos = Mn @ qv
+        order = np.lexsort((ids, -np.round(cos, 10)))
+        expect = list(ids[order][:5])
+        mine = [
+            r["vec_id"]
+            for r in sorted(
+                (g for g in got if g["q_id"] == q), key=lambda r: r["rank"]
+            )
+        ]
+        assert mine == expect
 
 
 def test_cosine_near_dup_pairs(spark, emb, dim):

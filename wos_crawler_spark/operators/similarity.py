@@ -62,19 +62,27 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
+def hyperplane_signature(
+    vec: Column, dim: int, n_planes: int = 16, table: int = 0
+) -> Column:
     """Deterministic random-hyperplane LSH signature (int). Plane
-    coefficients derive from xxhash64(plane, dim_index) — reproducible
-    anywhere, no RNG state (same rule as the fixtures)."""
+    coefficients derive from xxhash64(plane_seed, dim_index) —
+    reproducible anywhere, no RNG state (same rule as the fixtures).
+    ``table`` offsets the plane seeds so independent hash tables (the
+    multi-table recall lever) share no planes; table 0 reproduces the
+    single-table signature exactly."""
     bits = []
     for p in range(n_planes):
         # pseudo-random ±1 plane: sign of a hash per (plane, dim)
+        seed = table * n_planes + p
         proj = F.aggregate(
             F.zip_with(
                 vec,
                 F.sequence(F.lit(0), F.lit(dim - 1)),
                 lambda v, i: v
-                * F.when(F.pmod(F.xxhash64(F.lit(p), i), 2) == 0, 1.0).otherwise(-1.0),
+                * F.when(
+                    F.pmod(F.xxhash64(F.lit(seed), i), 2) == 0, 1.0
+                ).otherwise(-1.0),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
@@ -92,23 +100,156 @@ def lsh_topk(
     dim: int,
     k: int = 10,
     n_planes: int = 12,
+    n_probes: int | None = None,
+    n_tables: int = 1,
+    probe_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
 ) -> DataFrame:
-    """ANN top-k: score only the query's LSH bucket. Approximate —
-    recall measured against brute_force_topk in tests."""
-    c = corpus.withColumn("_sig", hyperplane_signature(F.col(vec_col), dim, n_planes))
-    q = queries.withColumn("_sig", hyperplane_signature(F.col(q_vec_col), dim, n_planes))
-    scored = c.join(F.broadcast(q), "_sig").select(
-        F.col(q_id_col),
-        F.col(id_col),
-        cosine(F.col(vec_col), F.col(q_vec_col)).alias("cos"),
+    """ANN top-k with MULTI-PROBE and MULTI-TABLE candidate generation.
+
+    Each query probes, in every one of ``n_tables`` independent hash
+    tables (disjoint plane seeds), its own bucket plus ``n_probes``
+    1-bit-flip neighbor buckets (default: all ``n_planes``). The old
+    single-table exact-signature join starves as n_planes grows —
+    buckets shrink exponentially and a query whose bucket holds <k
+    corpus rows silently under-fills. Multi-probe recovers near-miss
+    buckets; extra tables multiply the independent chances a true
+    neighbor collides at all (recall 1-(1-p)^L).
+
+    Output carries ``n_candidates`` — distinct corpus vectors scored
+    for that query — so callers DETECT starvation (n_candidates < k)
+    instead of silently consuming short lists.
+
+    Scale shape: candidate generation carries only (table, sig, id) —
+    the corpus embedding column is joined back ONLY for the deduped
+    candidates (semi-join-reduced scoring); the probe fan-out lives on
+    the broadcast query side and never touches the corpus scan."""
+    if n_probes is None:
+        n_probes = n_planes
+    n_probes = min(n_probes, n_planes)
+    # probe masks: all bit-flip patterns of ≤ probe_hamming bits over
+    # the first n_probes planes (probe_hamming=1 → classic multi-probe;
+    # 2 adds the C(n,2) two-bit neighbors — still broadcast-side only)
+    from itertools import combinations
+
+    flips = [0]
+    for h in range(1, probe_hamming + 1):
+        for bits in combinations(range(n_probes), h):
+            flips.append(sum(1 << b for b in bits))
+
+    def sig_t(col: Column, t: int) -> Column:
+        return hyperplane_signature(col, dim, n_planes, table=t)
+
+    c_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("_t"), sig_t(F.col(vec_col), t).alias("_sig")
+            )
+            for t in range(n_tables)
+        ]
     )
-    w = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    c_keys = corpus.select(id_col, F.explode(c_sigs).alias("_ts")).select(
+        id_col, F.col("_ts._t").alias("_t"), F.col("_ts._sig").alias("_sig")
+    )
+    q_probes = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("_t"),
+                (
+                    sig_t(F.col(q_vec_col), t).bitwiseXOR(F.lit(flip))
+                ).cast("int").alias("_sig"),
+            )
+            for t in range(n_tables)
+            for flip in flips
+        ]
+    )
+    q_keys = queries.select(q_id_col, F.explode(q_probes).alias("_ts")).select(
+        q_id_col, F.col("_ts._t").alias("_t"), F.col("_ts._sig").alias("_sig")
+    )
+    cand_ids = (
+        c_keys.join(F.broadcast(q_keys), ["_t", "_sig"])
+        .select(q_id_col, id_col)
+        .dropDuplicates([q_id_col, id_col])  # probes/tables re-find
+    )
+    scored = (
+        cand_ids.join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries.select(q_id_col, q_vec_col)), q_id_col)
+        .select(
+            F.col(q_id_col),
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col(q_vec_col)).alias("cos"),
+        )
+    )
+    w = Window.partitionBy(q_id_col)
+    wr = w.orderBy(F.col("cos").desc(), F.col(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        scored.withColumn("n_candidates", F.count(F.lit(1)).over(w))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def brute_force_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact cosine top-k for LARGE query batches (10^2–10^5 queries):
+    one Arrow pass over the corpus with a numpy matmul per batch
+    (rows × queries), per-batch top-k via argpartition, then a tiny
+    global top-k window over ≤ k·|queries|·n_batches candidate rows.
+
+    :func:`brute_force_topk`'s higher-order-expr scorer evaluates the
+    dot product per (row, query) pair inside a BroadcastNestedLoopJoin
+    — interpreted, the wrong shape beyond ~10² queries. This path is
+    the vectorized batch twin: the corpus is scanned once, queries ride
+    a broadcast numpy matrix. Integral ids assumed (schema: long)."""
+    import numpy as np
+    import pandas as pd
+
+    q_pdf = queries.select(q_id_col, q_vec_col).toPandas()  # driver-scale
+    q_ids = q_pdf[q_id_col].to_numpy(dtype=np.int64)
+    Q = np.array(q_pdf[q_vec_col].tolist(), dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    Qn = (Q / np.where(qn == 0, 1.0, qn)[:, None]).T  # (dim, nq)
+    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, Qn))
+
+    def _score(batches):
+        ids_b, Qn_b = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            mn = np.linalg.norm(M, axis=1)
+            Mn = M / np.where(mn == 0, 1.0, mn)[:, None]
+            S = Mn @ Qn_b  # (batch, nq)
+            vid = pdf[id_col].to_numpy(dtype=np.int64)
+            kk = min(k, len(vid))
+            top = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, nq)
+            nq = S.shape[1]
+            qcol = np.repeat(ids_b, kk)
+            rows = top.T.ravel()
+            yield pd.DataFrame(
+                {
+                    q_id_col: qcol,
+                    id_col: vid[rows],
+                    "cos": S[rows, np.repeat(np.arange(nq), kk)],
+                }
+            )
+
+    part_top = corpus.select(id_col, vec_col).mapInPandas(
+        _score, f"{q_id_col} long, {id_col} long, cos double"
+    )
+    wr = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return part_top.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= k
     )
 
 
