@@ -87,6 +87,30 @@ def test_pages_and_normalized_sinks(spark, tmp_path):
     assert docs.select("unique_id").distinct().count() == 20
 
 
+def test_iceberg_conditional_path(spark, tmp_path):
+    """Jars are absent in this sandbox: iceberg_available must say so,
+    the generated MERGE/DDL SQL must carry the spec'd layout, and the
+    auto dispatcher must fall back to the parquet sink."""
+    from wos_crawler_spark.operators.normalize import normalize_all
+    from wos_crawler_spark.sources import iceberg as ib
+
+    assert ib.iceberg_available(spark) is False
+    m = ib.merge_into_sql("cat.db.documents", "_staging_documents")
+    assert "MERGE INTO cat.db.documents" in m
+    assert "ON t.unique_id = s.unique_id" in m
+    assert "WHEN NOT MATCHED THEN INSERT *" in m
+    ddl = ib.create_pages_table_sql("cat.db.pages")
+    assert "USING iceberg" in ddl
+    assert "PARTITIONED BY (days(warc_ts), bucket(256, url))" in ddl
+    assert "bucket(256, url_hash)" in ib.create_seen_table_sql()
+
+    pages = spark.createDataFrame(gen_pages_pdf(list(range(5)), 5))
+    tables = normalize_all(parse_pages(pages))
+    root = str(tmp_path / "auto_store")
+    ib.write_normalized_auto(tables, root, spark)  # parquet fallback
+    assert spark.read.parquet(f"{root}/documents").count() == 5
+
+
 def test_normalized_sink_is_idempotent(spark, tmp_path):
     """A5/S8: re-writing the same wave changes nothing — the sink
     anti-joins on stored unique_ids before appending (the sandbox twin

@@ -6,3 +6,8 @@ from wos_crawler_spark.sources.exports import (  # noqa: F401
     write_normalized,
     write_pages,
 )
+from wos_crawler_spark.sources.iceberg import (  # noqa: F401
+    iceberg_available,
+    merge_into_sql,
+    write_normalized_auto,
+)
