@@ -1113,6 +1113,94 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": f"""
             SELECT asset_id, feat_dim, f0 FROM {_snap("media_feats")}
         """,
+        # ---- hash-intermediate snapshots + independent SQL recompute -
+        # (sf0.01-pinned; the driver's oracle compare runs only there)
+        "dedup_simhash": f"""
+            -- brute-force Hamming over the pinned signatures verifies
+            -- the banded blocking found EVERY pair within the radius
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                     AS hamming
+            FROM {_snap("simhash_sigs_sf001")} a
+            JOIN {_snap("simhash_sigs_sf001")} b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        """,
+        "dedup_minhash_lsh": f"""
+            -- candidates from the pinned LSH buckets; exact Jaccard
+            -- recomputed in SQL from the live documents view
+            WITH cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM {_snap("minhash_bands_sf001")} a
+                JOIN {_snap("minhash_bands_sf001")} b
+                  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                WHERE a.doc_id < b.doc_id
+            ),
+            sh AS (
+                SELECT doc_id, list_distinct({_WORDS}) AS s FROM documents
+            )
+            SELECT c.id_a, c.id_b,
+                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                   len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.id_a
+            JOIN sh b ON b.doc_id = c.id_b
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                  len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        """,
+        "dedup_minhash_clusters": f"""
+            -- connected components over the pinned star edges via a
+            -- recursive CTE — independently verifies min-label
+            -- propagation's transitive closure
+            WITH RECURSIVE und AS (
+                SELECT src, dst FROM {_snap("minhash_edges_sf001")}
+                UNION
+                SELECT dst AS src, src AS dst
+                FROM {_snap("minhash_edges_sf001")}
+            ),
+            reach(a, b) AS (
+                SELECT src, dst FROM und
+                UNION
+                SELECT r.a, u.dst FROM reach r JOIN und u ON r.b = u.src
+            )
+            SELECT d.doc_id,
+                   least(d.doc_id, coalesce(min(r.b), d.doc_id))
+                     AS cluster_id
+            FROM documents d
+            LEFT JOIN reach r ON r.a = d.doc_id
+            GROUP BY d.doc_id
+        """,
+        "sim_lsh_topk": f"""
+            -- cosine ranking recomputed in SQL over the pinned
+            -- candidate ids (the xxhash bucket step DuckDB can't do)
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            s AS (
+                SELECT c.q_id, c.vec_id,
+                       list_cosine_similarity(ce.v, qe.v) AS cos
+                FROM {_snap("lsh_cand_sf001")} c
+                JOIN e ce ON ce.vec_id = c.vec_id
+                JOIN e qe ON qe.vec_id = c.q_id
+            )
+            SELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank,
+                   n_candidates
+            FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (
+                         PARTITION BY q_id ORDER BY cos DESC, vec_id
+                       ) AS rank,
+                       count(*) OVER (PARTITION BY q_id) AS n_candidates
+                FROM s
+            ) WHERE rank <= 10
+        """,
+        "sim_cosine_near_dup": f"""
+            -- output pin: the blocked pair set (threshold semantics
+            -- are independently oracle-checked by sim_cosine_pairs_exact;
+            -- duplicating the float threshold across engines would
+            -- race IEEE rounding at the boundary)
+            SELECT id_a, id_b FROM {_snap("cos_near_dup_sf001")}
+        """,
     }
 
 

@@ -30,6 +30,11 @@ SNAPSHOT_NAMES = [
     "parsed_bib",
     "crawl_fetch_log",
     "media_feats",
+    "simhash_sigs_sf001",
+    "minhash_bands_sf001",
+    "minhash_edges_sf001",
+    "lsh_cand_sf001",
+    "cos_near_dup_sf001",
 ]
 
 

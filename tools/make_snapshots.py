@@ -19,6 +19,21 @@ a full rows+schema+hash gate:
 - ``crawl_fetch_log``   q_crawl_end_to_end output (3-wave loop, n=300)
 - ``media_feats``       q_multimodal_features output (fake featurizer)
 
+Plus the sf0.01-pinned intermediates for the hash-based dedup/ANN
+family (the driver's oracle compare runs at sf0.01 ONLY, and
+/root/testdata is seeded + read-only per TESTDATA.md, so pinning is
+sound). For these the snapshot carries just the non-SQL step
+(xxhash64 signatures / LSH buckets / candidate ids) and oracle_sql()
+recomputes the whole downstream — brute-force Hamming, exact Jaccard,
+recursive-CTE connected components, cosine ranking — independently in
+DuckDB over the live documents/embeddings views:
+
+- ``simhash_sigs_sf001``   (doc_id, simhash) over sf0.01 documents
+- ``minhash_bands_sf001``  (doc_id, band_id, band_hash) LSH front-end
+- ``minhash_edges_sf001``  (src, dst) star edges per bucket
+- ``lsh_cand_sf001``       (q_id, vec_id) ANN candidates
+- ``cos_near_dup_sf001``   (id_a, id_b) blocked near-dup output pin
+
 Files are single deterministic parquet files (collected, sorted,
 written via pandas/pyarrow). Re-run this tool ONLY when the parser /
 fixtures intentionally change behavior; tests/test_snapshots.py fails
@@ -90,6 +105,42 @@ def build_frames(spark) -> dict:
     frames["media_feats"] = (
         entrymod.q_multimodal_features(spark, "").toPandas(),
         ["asset_id"],
+    )
+
+    # ---- sf0.01-pinned hash intermediates (dedup/ANN family) --------
+    sf = "/root/testdata/sf0.01"
+    from wos_crawler_spark.operators import similarity as sim
+    from wos_crawler_spark.operators import textdedup as td
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    frames["simhash_sigs_sf001"] = (
+        td.simhash(docs, id_col="doc_id", text_col="text").toPandas(),
+        ["doc_id"],
+    )
+    banded = td._banded(
+        docs, id_col="doc_id", text_col="text", shingle_n=1, k=32, bands=8
+    )
+    frames["minhash_bands_sf001"] = (
+        banded.withColumnRenamed("_id", "doc_id").toPandas(),
+        ["doc_id", "band_id"],
+    )
+    frames["minhash_edges_sf001"] = (
+        td.minhash_star_edges(banded).toPandas(),
+        ["src", "dst"],
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    frames["lsh_cand_sf001"] = (
+        sim.lsh_candidates(
+            emb, queries, dim=64, n_planes=6, n_tables=2, probe_hamming=1
+        ).toPandas(),
+        ["q_id", "vec_id"],
+    )
+    frames["cos_near_dup_sf001"] = (
+        entrymod.q_sim_cosine_near_dup(spark, sf).toPandas(),
+        ["id_a", "id_b"],
     )
     return frames
 

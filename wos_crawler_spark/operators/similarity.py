@@ -94,11 +94,10 @@ def hyperplane_signature(
     return sig.cast("int")
 
 
-def lsh_topk(
+def lsh_candidates(
     corpus: DataFrame,
     queries: DataFrame,
     dim: int,
-    k: int = 10,
     n_planes: int = 12,
     n_probes: int | None = None,
     n_tables: int = 1,
@@ -108,25 +107,10 @@ def lsh_topk(
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
 ) -> DataFrame:
-    """ANN top-k with MULTI-PROBE and MULTI-TABLE candidate generation.
-
-    Each query probes, in every one of ``n_tables`` independent hash
-    tables (disjoint plane seeds), its own bucket plus ``n_probes``
-    1-bit-flip neighbor buckets (default: all ``n_planes``). The old
-    single-table exact-signature join starves as n_planes grows —
-    buckets shrink exponentially and a query whose bucket holds <k
-    corpus rows silently under-fills. Multi-probe recovers near-miss
-    buckets; extra tables multiply the independent chances a true
-    neighbor collides at all (recall 1-(1-p)^L).
-
-    Output carries ``n_candidates`` — distinct corpus vectors scored
-    for that query — so callers DETECT starvation (n_candidates < k)
-    instead of silently consuming short lists.
-
-    Scale shape: candidate generation carries only (table, sig, id) —
-    the corpus embedding column is joined back ONLY for the deduped
-    candidates (semi-join-reduced scoring); the probe fan-out lives on
-    the broadcast query side and never touches the corpus scan."""
+    """Candidate (q_id, vec_id) pairs for :func:`lsh_topk` — multi-
+    table, multi-probe bucket collisions, deduped. Exposed separately
+    so the candidate set can be audited / snapshot-pinned while the
+    scoring+ranking stays SQL-recomputable."""
     if n_probes is None:
         n_probes = n_planes
     n_probes = min(n_probes, n_planes)
@@ -169,10 +153,49 @@ def lsh_topk(
     q_keys = queries.select(q_id_col, F.explode(q_probes).alias("_ts")).select(
         q_id_col, F.col("_ts._t").alias("_t"), F.col("_ts._sig").alias("_sig")
     )
-    cand_ids = (
+    return (
         c_keys.join(F.broadcast(q_keys), ["_t", "_sig"])
         .select(q_id_col, id_col)
         .dropDuplicates([q_id_col, id_col])  # probes/tables re-find
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    n_probes: int | None = None,
+    n_tables: int = 1,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """ANN top-k with MULTI-PROBE and MULTI-TABLE candidate generation.
+
+    Each query probes, in every one of ``n_tables`` independent hash
+    tables (disjoint plane seeds), its own bucket plus ``n_probes``
+    1-bit-flip neighbor buckets (default: all ``n_planes``). The old
+    single-table exact-signature join starves as n_planes grows —
+    buckets shrink exponentially and a query whose bucket holds <k
+    corpus rows silently under-fills. Multi-probe recovers near-miss
+    buckets; extra tables multiply the independent chances a true
+    neighbor collides at all (recall 1-(1-p)^L).
+
+    Output carries ``n_candidates`` — distinct corpus vectors scored
+    for that query — so callers DETECT starvation (n_candidates < k)
+    instead of silently consuming short lists.
+
+    Scale shape: candidate generation carries only (table, sig, id) —
+    the corpus embedding column is joined back ONLY for the deduped
+    candidates (semi-join-reduced scoring); the probe fan-out lives on
+    the broadcast query side and never touches the corpus scan."""
+    cand_ids = lsh_candidates(
+        corpus, queries, dim, n_planes, n_probes, n_tables, probe_hamming,
+        id_col, vec_col, q_id_col, q_vec_col,
     )
     scored = (
         cand_ids.join(corpus.select(id_col, vec_col), id_col)

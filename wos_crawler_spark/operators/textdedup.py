@@ -187,6 +187,19 @@ def _banded(df: DataFrame, id_col: str, text_col: str, shingle_n: int,
     )
 
 
+def minhash_star_edges(banded: DataFrame) -> DataFrame:
+    """One (src → bucket-min) star edge per (doc, bucket) — the
+    LINEAR candidate encoding minhash_lsh_dedup resolves into
+    components (vs the quadratic per-bucket pair enumeration)."""
+    w = Window.partitionBy("band_id", "band_hash")
+    return (
+        banded.withColumn("_root", F.min("_id").over(w))
+        .filter(F.col("_root") != F.col("_id"))
+        .select(F.col("_id").alias("src"), F.col("_root").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -214,13 +227,7 @@ def minhash_lsh_dedup(
     MinHash-dedup plan (band → bucket → star edges → connected
     components)."""
     banded = _banded(df, id_col, text_col, shingle_n, k, bands)
-    w = Window.partitionBy("band_id", "band_hash")
-    edges = (
-        banded.withColumn("_root", F.min("_id").over(w))
-        .filter(F.col("_root") != F.col("_id"))
-        .select(F.col("_id").alias("src"), F.col("_root").alias("dst"))
-        .dropDuplicates(["src", "dst"])
-    )
+    edges = minhash_star_edges(banded)
     vertices = df.select(F.col(id_col).alias("_id")).distinct()
     labels = vertices.select("_id", F.col("_id").alias("label"))
 
