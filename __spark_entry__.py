@@ -530,6 +530,19 @@ def q_parse_wos_plaintext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _parsed_flat(parse_pages(pages))
 
 
+def q_parse_tab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14 (tab flavor): the WoS tab-delimited export parser. Same
+    urls + logical records as the plaintext fixture corpus, so it
+    shares parse_wos_plaintext's snapshot oracle — the two parsers
+    must produce identical normalized rows (incl. extracted_text
+    bytes; pinned in tests/test_parser.py)."""
+    from wos_crawler_spark.fixtures.synth import tab_pages_table
+    from wos_crawler_spark.operators.parse_tab import parse_tab_pages
+
+    pages = tab_pages_table(spark, 200, partitions=8)
+    return _parsed_flat(parse_tab_pages(pages))
+
+
 def q_parse_bibtex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P14: BibTeX parser (LaTeX de-escape + field mapping)."""
     from wos_crawler_spark.fixtures import wosgen
@@ -756,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         # rows-only engine surfaces (non-SQL-expressible)
         "parse_wos_plaintext": q_parse_wos_plaintext,
+        "parse_tab": q_parse_tab,
         "parse_bibtex": q_parse_bibtex,
         "j5_author_affiliations": q_j5_author_affiliations,
         "j6_citation_doi_link": q_j6_citation_doi_link,
@@ -1074,6 +1088,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ---- snapshot-backed oracles (parse family / crawl / media) --
         "parse_wos_plaintext": f"""
+            SELECT url, unique_id, journal, pub_year, document_type,
+                   doi, n_authors, n_refs, extracted_len
+            FROM {_snap("parsed_docs")}
+        """,
+        "parse_tab": f"""
             SELECT url, unique_id, journal, pub_year, document_type,
                    doi, n_authors, n_refs, extracted_len
             FROM {_snap("parsed_docs")}

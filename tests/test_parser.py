@@ -120,6 +120,54 @@ def test_pg_derivable():
     assert int(r["end_page"]) - int(r["start_page"]) + 1 == 10  # P13
 
 
+# -------------------------------------------------- tab-delimited twin
+
+
+def test_tab_parse_equals_plaintext_parse():
+    """A record exported as tab-delimited parses to the IDENTICAL
+    normalized record — including byte-identical extracted_text — as
+    its plaintext-export twin (shared _assemble_record contract)."""
+    n = 40
+    tab_recs = wosgen.tab_export_payload(list(range(n)), n)
+    from wos_crawler_spark.operators.parse_tab import parse_tab_text
+
+    got = parse_tab_text(tab_recs)
+    assert len(got) == n
+    for i, rec in enumerate(got):
+        exp = parse_export_text(wosgen.export_payload(i, n))[0]
+        for key in exp:
+            if key == "url":
+                continue
+            assert rec[key] == exp[key], (i, key)
+
+
+def test_tab_parse_empty_cells_and_blank_lines():
+    from wos_crawler_spark.operators.parse_tab import parse_tab_text
+
+    payload = "PT\tAU\tTI\tPY\tUT\nJ\tSolo, H\tMinimal tab\t2020\tWOS:42\n\n"
+    r = parse_tab_text(payload)[0]
+    assert r["unique_id"] == "42" and r["pub_year"] == 2020
+    assert r["authors"][0]["last_name"] == "Solo"
+    assert r["abstract"] is None and r["references"] == []
+
+
+def test_tab_dir_scan_feeds_tab_parser(spark, tmp_path):
+    from wos_crawler_spark.operators.parse_tab import parse_tab_pages
+    from wos_crawler_spark.sources import read_tab_dir
+
+    exp = tmp_path / "tabs"
+    exp.mkdir()
+    (exp / "1.tab.txt").write_text(
+        wosgen.tab_export_payload([0, 1, 2], 10), encoding="utf-8"
+    )
+    (exp / "2.tab.txt").write_text(
+        wosgen.tab_export_payload([3, 4], 10), encoding="utf-8"
+    )
+    parsed = parse_tab_pages(read_tab_dir(spark, str(exp)))
+    uids = sorted(r["unique_id"] for r in parsed.select("unique_id").collect())
+    assert uids == [f"{i:015d}" for i in range(5)]
+
+
 # ----------------------------------------------------- Spark operator
 
 

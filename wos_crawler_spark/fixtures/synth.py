@@ -56,6 +56,34 @@ def pages_table(spark: SparkSession, n: int, partitions: int | None = None) -> D
     return rng.mapInPandas(_gen, PAGES_SCHEMA)
 
 
+def tab_pages_table(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """Tab-delimited export twin of :func:`pages_table`: same urls,
+    same logical records, one single-record tab file per page — so
+    parse_tab_pages(tab_pages_table(n)) ≡ parse_pages(pages_table(n))
+    row for row (the shared-oracle property)."""
+    rng = spark.range(0, n, 1, partitions) if partitions else spark.range(n)
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            if not ids:
+                continue
+            texts = [wosgen.tab_export_payload([i], n) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "url": [wosgen.url_of(i) for i in ids],
+                    "warc_ts": [
+                        _EPOCH + pd.Timedelta(seconds=i % 86400) for i in ids
+                    ],
+                    "html": [None] * len(ids),
+                    "text": texts,
+                    "lang": [_LANG_CODES[i % 4] for i in ids],
+                }
+            )
+
+    return rng.mapInPandas(_gen, PAGES_SCHEMA)
+
+
 def seeds_table(spark: SparkSession, terms: list[tuple[str, int]] | None = None) -> DataFrame:
     """seeds(query_id, query, priority) — one advanced query per row
     (reference: one query per seed-file line, SURVEY.md S1)."""

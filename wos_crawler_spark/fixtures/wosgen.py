@@ -78,10 +78,25 @@ def _authors(i: int) -> list[tuple[str, str]]:
     return out
 
 
-def wos_record(i: int, n_total: int) -> str:
-    """One complete field-tagged record for url index ``i``. Cited
-    references point at other record indices (deterministic link
-    structure mirrors fixtures ``links``)."""
+#: Fixed column order of the tab-delimited export twin (WoS "Tab-
+#: delimited" download format: one header row of 2-char tags, one row
+#: per record). Absent fields are empty cells.
+TAB_HEADER = (
+    "PT AU AF TI SO LA DT DE ID AB C1 RP FU FX CR NR TC Z9 U1 U2 "
+    "PU SN J9 JI PD PY VL IS BP EP DI PG WC SC GA UT"
+).split()
+
+#: Tags whose tab cell packs multiple items with '; ' (the WoS tab
+#: format's list separator — same tags the plaintext grammar treats as
+#: one-item-per-continuation-line).
+TAB_LIST_TAGS = frozenset({"AU", "AF", "CR", "C1"})
+
+
+def wos_record_fields(i: int, n_total: int) -> list[tuple[str, list[str]]]:
+    """The record as ordered (tag, line-items) pairs — the single
+    source both serializers derive from: the field-tagged text
+    (items[0] on the tag line, the rest as 3-space continuations) and
+    the tab-delimited row (items joined per TAB_LIST_TAGS)."""
     auths = _authors(i)
     title_words = _words(i, 3, 4, 8)
     abstract_words = _words(i, 4, 10, 24)
@@ -93,40 +108,45 @@ def wos_record(i: int, n_total: int) -> str:
     year = 2010 + h(i, 10) % 15
     n_refs = h(i, 11) % 5
 
-    lines = ["PT J"]
-    lines.append("AU " + f"{auths[0][0]}, {auths[0][1][0]}")
-    for last, first in auths[1:]:
-        lines.append(f"   {last}, {first[0]}")
-    lines.append("AF " + f"{auths[0][0]}, {auths[0][1]}")
-    for last, first in auths[1:]:
-        lines.append(f"   {last}, {first}")
-    # wrap long titles onto a continuation line (exercises P2)
-    lines.append("TI " + " ".join(title_words[:4]))
-    if len(title_words) > 4:
-        lines.append("   " + " ".join(title_words[4:]))
-    lines.append(f"SO {journal}")
-    lines.append(f"LA {lang}")
-    lines.append(f"DT {dt}")
-    lines.append("DE " + "; ".join(kws))
-    lines.append("ID " + "; ".join(kwp))
-    lines.append("AB " + " ".join(abstract_words[:12]))
-    if len(abstract_words) > 12:
-        lines.append("   " + " ".join(abstract_words[12:]))
-    first_c1 = (
-        f"C1 [{auths[0][0]}, {auths[0][1]}] Univ {h(i, 12) % 50}, "
-        f"Dept CS, City, Country."
+    fields: list[tuple[str, list[str]]] = [("PT", ["J"])]
+    fields.append(
+        ("AU", [f"{last}, {first[0]}" for last, first in auths])
     )
-    lines.append(first_c1)
+    fields.append(("AF", [f"{last}, {first}" for last, first in auths]))
+    # wrap long titles onto a continuation line (exercises P2)
+    ti = [" ".join(title_words[:4])]
+    if len(title_words) > 4:
+        ti.append(" ".join(title_words[4:]))
+    fields.append(("TI", ti))
+    fields.append(("SO", [journal]))
+    fields.append(("LA", [lang]))
+    fields.append(("DT", [dt]))
+    fields.append(("DE", ["; ".join(kws)]))
+    fields.append(("ID", ["; ".join(kwp)]))
+    ab = [" ".join(abstract_words[:12])]
+    if len(abstract_words) > 12:
+        ab.append(" ".join(abstract_words[12:]))
+    fields.append(("AB", ab))
+    c1 = [
+        f"[{auths[0][0]}, {auths[0][1]}] Univ {h(i, 12) % 50}, "
+        f"Dept CS, City, Country."
+    ]
     for last, first in auths[1:]:
-        lines.append(f"   [{last}, {first}] Univ {h(i, 13) % 50}, Dept IS, Town, Nation.")
-    lines.append(
-        f"RP {auths[0][0]}, {auths[0][1][0]} (reprint author), "
-        f"Univ {h(i, 12) % 50}, Dept CS, City, Country."
+        c1.append(f"[{last}, {first}] Univ {h(i, 13) % 50}, Dept IS, Town, Nation.")
+    fields.append(("C1", c1))
+    fields.append(
+        (
+            "RP",
+            [
+                f"{auths[0][0]}, {auths[0][1][0]} (reprint author), "
+                f"Univ {h(i, 12) % 50}, Dept CS, City, Country."
+            ],
+        )
     )
     if h(i, 14) % 3:
         ag = _AGENCIES[h(i, 15) % len(_AGENCIES)]
-        lines.append(f"FU {ag} [G-{h(i, 16) % 1000}]")
-        lines.append("FX The funding text.")
+        fields.append(("FU", [f"{ag} [G-{h(i, 16) % 1000}]"]))
+        fields.append(("FX", ["The funding text."]))
     if n_refs:
         refs = []
         for k in range(n_refs):
@@ -137,33 +157,70 @@ def wos_record(i: int, n_total: int) -> str:
                 f"{_JOURNALS[h(j, 5) % len(_JOURNALS)]}, V{1 + h(j, 17) % 40}, "
                 f"P{1 + h(j, 18) % 900}, DOI 10.1000/rec{j:08d}"
             )
-        lines.append("CR " + refs[0])
-        for r in refs[1:]:
-            lines.append("   " + r)
-    lines.append(f"NR {n_refs}")
-    lines.append(f"TC {h(i, 19) % 100}")
-    lines.append(f"Z9 {h(i, 19) % 100}")
-    lines.append(f"U1 {h(i, 20) % 10}")
-    lines.append(f"U2 {h(i, 21) % 50}")
-    lines.append("PU PUBLISHER")
-    lines.append(f"SN {1000 + i % 9000:04d}-{1000 + h(i, 22) % 9000:04d}")
-    lines.append(f"J9 {journal.split()[0][:8]}")
-    lines.append(f"JI J. {journal.split()[0].title()}.")
-    lines.append("PD FEB")
-    lines.append(f"PY {year}")
-    lines.append(f"VL {1 + h(i, 23) % 40}")
-    lines.append(f"IS {1 + h(i, 24) % 12}")
+        fields.append(("CR", refs))
+    fields.append(("NR", [str(n_refs)]))
+    fields.append(("TC", [str(h(i, 19) % 100)]))
+    fields.append(("Z9", [str(h(i, 19) % 100)]))
+    fields.append(("U1", [str(h(i, 20) % 10)]))
+    fields.append(("U2", [str(h(i, 21) % 50)]))
+    fields.append(("PU", ["PUBLISHER"]))
+    fields.append(("SN", [f"{1000 + i % 9000:04d}-{1000 + h(i, 22) % 9000:04d}"]))
+    fields.append(("J9", [journal.split()[0][:8]]))
+    fields.append(("JI", [f"J. {journal.split()[0].title()}."]))
+    fields.append(("PD", ["FEB"]))
+    fields.append(("PY", [str(year)]))
+    fields.append(("VL", [str(1 + h(i, 23) % 40)]))
+    fields.append(("IS", [str(1 + h(i, 24) % 12)]))
     bp = 1 + h(i, 25) % 900
-    lines.append(f"BP {bp}")
-    lines.append(f"EP {bp + 10}")
-    lines.append(f"DI 10.1000/rec{i:08d}")
-    lines.append("PG 11")
-    lines.append("WC " + "; ".join(sorted({_CATS[h(i, 26 + k) % len(_CATS)] for k in range(2)})))
-    lines.append("SC " + _CATS[h(i, 27) % len(_CATS)].split(",")[0])
-    lines.append(f"GA X{h(i, 28) % 100:02d}")
-    lines.append(f"UT WOS:{i:015d}")
+    fields.append(("BP", [str(bp)]))
+    fields.append(("EP", [str(bp + 10)]))
+    fields.append(("DI", [f"10.1000/rec{i:08d}"]))
+    fields.append(("PG", ["11"]))
+    fields.append(
+        ("WC", ["; ".join(sorted({_CATS[h(i, 26 + k) % len(_CATS)] for k in range(2)}))])
+    )
+    fields.append(("SC", [_CATS[h(i, 27) % len(_CATS)].split(",")[0]]))
+    fields.append(("GA", [f"X{h(i, 28) % 100:02d}"]))
+    fields.append(("UT", [f"WOS:{i:015d}"]))
+    return fields
+
+
+def wos_record(i: int, n_total: int) -> str:
+    """One complete field-tagged record for url index ``i``. Cited
+    references point at other record indices (deterministic link
+    structure mirrors fixtures ``links``). Byte layout: tag line +
+    3-space continuation per extra item, ER-terminated."""
+    lines: list[str] = []
+    for tag, items in wos_record_fields(i, n_total):
+        lines.append(f"{tag} {items[0]}")
+        lines.extend(f"   {it}" for it in items[1:])
     lines.append("ER")
     return "\n".join(lines)
+
+
+def tab_row(i: int, n_total: int) -> str:
+    """The SAME record as one tab-delimited row under TAB_HEADER:
+    list tags pack items with '; ', multi-line scalars join with ' ',
+    absent tags are empty cells."""
+    by_tag = dict(wos_record_fields(i, n_total))
+    cells = []
+    for tag in TAB_HEADER:
+        items = by_tag.get(tag)
+        if not items:
+            cells.append("")
+        elif tag in TAB_LIST_TAGS:
+            cells.append("; ".join(items))
+        else:
+            cells.append(" ".join(items))
+    return "\t".join(cells)
+
+
+def tab_export_payload(ids: list[int], n_total: int) -> str:
+    """A whole tab-delimited export file: header row + one row per
+    record (the tab twin of export_payload's ≤500-record batches)."""
+    return "\n".join(
+        ["\t".join(TAB_HEADER), *(tab_row(i, n_total) for i in ids)]
+    ) + "\n"
 
 
 def export_payload(i: int, n_total: int) -> str:

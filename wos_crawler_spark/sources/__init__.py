@@ -3,6 +3,7 @@ from wos_crawler_spark.sources.exports import (  # noqa: F401
     read_export_dir,
     read_pages,
     read_seeds,
+    read_tab_dir,
     write_normalized,
     write_pages,
 )

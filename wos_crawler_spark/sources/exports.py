@@ -37,6 +37,20 @@ def read_export_dir(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_tab_dir(spark: SparkSession, path: str) -> DataFrame:
+    """S7 (tab-delimited flavor): ``.tab.txt`` export files (header row
+    of field tags + one row per record), one pages-shaped row per file
+    for operators/parse_tab.parse_tab_pages."""
+    df = spark.read.text(f"{path}/*.tab.txt", wholetext=True)
+    return df.select(
+        F.input_file_name().alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("value").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
 def read_bibtex_dir(spark: SparkSession, path: str) -> DataFrame:
     """S7 (BibTeX flavor): ``.bib`` export files, one row per file."""
     df = spark.read.text(f"{path}/*.bib", wholetext=True)
