@@ -5,10 +5,12 @@
 training-data pipeline family); each callable takes (spark, sf_dir)
 and returns a DataFrame.
 ``oracle_sql()`` — matching ANSI SQL for DuckDB over the same parquet
-tables. Non-SQL-expressible operators (xxhash64-based LSH/Bloom,
-mapInPandas parsers, full crawl loop) are intentionally omitted there
-and get the driver's weaker rows-only check; their exact semantics are
-pinned by pytest goldens instead (tests/).
+tables. EVERY entry has an oracle. Operators DuckDB cannot recompute
+from scratch (xxhash64-based LSH/Bloom, mapInPandas parsers, the
+iterative crawl loop) pin their non-SQL step to committed parquet
+snapshots (wos_crawler_spark/fixtures/data/, tools/make_snapshots.py)
+and the oracle recomputes all downstream joins/aggregations/rankings
+independently in SQL; drift guard in tests/test_snapshots.py.
 
 Column-name contract: every computed column is aliased identically on
 both sides (the driver's compare sorts columns by name before
