@@ -545,6 +545,17 @@ def q_parse_tab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _parsed_flat(parse_tab_pages(pages))
 
 
+def q_parse_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14 (XML flavor): same urls + logical records as the plaintext
+    fixture corpus — shares the parse snapshot oracle (identical
+    normalized rows across all export serializations)."""
+    from wos_crawler_spark.fixtures.synth import xml_pages_table
+    from wos_crawler_spark.operators.parse_xml import parse_xml_pages
+
+    pages = xml_pages_table(spark, 200, partitions=8)
+    return _parsed_flat(parse_xml_pages(pages))
+
+
 def q_parse_bibtex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P14: BibTeX parser (LaTeX de-escape + field mapping)."""
     from wos_crawler_spark.fixtures import wosgen
@@ -772,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only engine surfaces (non-SQL-expressible)
         "parse_wos_plaintext": q_parse_wos_plaintext,
         "parse_tab": q_parse_tab,
+        "parse_xml": q_parse_xml,
         "parse_bibtex": q_parse_bibtex,
         "j5_author_affiliations": q_j5_author_affiliations,
         "j6_citation_doi_link": q_j6_citation_doi_link,
@@ -1095,6 +1107,11 @@ def oracle_sql() -> dict[str, str]:
             FROM {_snap("parsed_docs")}
         """,
         "parse_tab": f"""
+            SELECT url, unique_id, journal, pub_year, document_type,
+                   doi, n_authors, n_refs, extracted_len
+            FROM {_snap("parsed_docs")}
+        """,
+        "parse_xml": f"""
             SELECT url, unique_id, journal, pub_year, document_type,
                    doi, n_authors, n_refs, extracted_len
             FROM {_snap("parsed_docs")}

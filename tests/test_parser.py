@@ -168,6 +168,22 @@ def test_tab_dir_scan_feeds_tab_parser(spark, tmp_path):
     assert uids == [f"{i:015d}" for i in range(5)]
 
 
+def test_xml_parse_equals_plaintext_parse():
+    """XML-exported records parse to identical normalized rows incl.
+    extracted_text bytes (third serialization, one record contract)."""
+    from wos_crawler_spark.operators.parse_xml import parse_xml_text
+
+    n = 40
+    got = parse_xml_text(wosgen.xml_export_payload(list(range(n)), n))
+    assert len(got) == n
+    for i, rec in enumerate(got):
+        exp = parse_export_text(wosgen.export_payload(i, n))[0]
+        for key in exp:
+            if key == "url":
+                continue
+            assert rec[key] == exp[key], (i, key)
+
+
 # ----------------------------------------------------- Spark operator
 
 

@@ -56,11 +56,11 @@ def pages_table(spark: SparkSession, n: int, partitions: int | None = None) -> D
     return rng.mapInPandas(_gen, PAGES_SCHEMA)
 
 
-def tab_pages_table(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
-    """Tab-delimited export twin of :func:`pages_table`: same urls,
-    same logical records, one single-record tab file per page — so
-    parse_tab_pages(tab_pages_table(n)) ≡ parse_pages(pages_table(n))
-    row for row (the shared-oracle property)."""
+def _variant_pages_table(spark: SparkSession, n: int, partitions, payload_fn) -> DataFrame:
+    """pages-shaped table with the same urls/records as pages_table but
+    an alternative export serialization per page — so
+    parse_*_pages(variant(n)) ≡ parse_pages(pages_table(n)) row for
+    row (the shared-oracle property across export formats)."""
     rng = spark.range(0, n, 1, partitions) if partitions else spark.range(n)
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -68,7 +68,6 @@ def tab_pages_table(spark: SparkSession, n: int, partitions: int | None = None) 
             ids = pdf["id"].tolist()
             if not ids:
                 continue
-            texts = [wosgen.tab_export_payload([i], n) for i in ids]
             yield pd.DataFrame(
                 {
                     "url": [wosgen.url_of(i) for i in ids],
@@ -76,12 +75,22 @@ def tab_pages_table(spark: SparkSession, n: int, partitions: int | None = None) 
                         _EPOCH + pd.Timedelta(seconds=i % 86400) for i in ids
                     ],
                     "html": [None] * len(ids),
-                    "text": texts,
+                    "text": [payload_fn([i], n) for i in ids],
                     "lang": [_LANG_CODES[i % 4] for i in ids],
                 }
             )
 
     return rng.mapInPandas(_gen, PAGES_SCHEMA)
+
+
+def tab_pages_table(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """Tab-delimited export twin of :func:`pages_table`."""
+    return _variant_pages_table(spark, n, partitions, wosgen.tab_export_payload)
+
+
+def xml_pages_table(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """XML export twin of :func:`pages_table`."""
+    return _variant_pages_table(spark, n, partitions, wosgen.xml_export_payload)
 
 
 def seeds_table(spark: SparkSession, terms: list[tuple[str, int]] | None = None) -> DataFrame:

@@ -223,6 +223,26 @@ def tab_export_payload(ids: list[int], n_total: int) -> str:
     ) + "\n"
 
 
+def xml_export_payload(ids: list[int], n_total: int) -> str:
+    """The SAME records as a WoS-XML-style export: ``<records>`` of
+    ``<REC>`` elements, each field a ``<field tag=..>`` with one
+    ``<item>`` per line-item (continuation items stay distinct items,
+    exactly like the plaintext grammar)."""
+    from xml.sax.saxutils import escape
+
+    recs = []
+    for i in ids:
+        fs = "".join(
+            '<field tag="%s">%s</field>'
+            % (tag, "".join(f"<item>{escape(it)}</item>" for it in items))
+            for tag, items in wos_record_fields(i, n_total)
+        )
+        recs.append(f"<REC>{fs}</REC>")
+    return '<?xml version="1.0" encoding="UTF-8"?><records>' + "".join(
+        recs
+    ) + "</records>"
+
+
 def export_payload(i: int, n_total: int) -> str:
     """Full export file payload for url i: header + record + trailer."""
     return (
