@@ -77,6 +77,32 @@ def test_minhash_lsh_dedup_clusters(corpus):
         assert sum(1 for v in labels.values() if v == i) == 1
 
 
+def test_min_label_components_chain_converges_logarithmically(spark):
+    """A 200-vertex CHAIN (diameter 199 — the shape plain min-label
+    propagation needs ~diameter rounds for) must converge within
+    max_iter=12 thanks to pointer jumping (O(log n) rounds), with every
+    vertex labeled by the component min."""
+    n = 200
+    vertices = spark.range(n).select(F.col("id").alias("_id"))
+    edges = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, n)], "src long, dst long"
+    )
+    labels = {
+        r["_id"]: r["label"]
+        for r in td.min_label_components(vertices, edges, max_iter=12).collect()
+    }
+    assert labels == {i: 0 for i in range(n)}
+
+
+def test_min_label_components_raises_on_budget_exhaustion(spark):
+    vertices = spark.range(64).select(F.col("id").alias("_id"))
+    edges = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, 64)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        td.min_label_components(vertices, edges, max_iter=2)
+
+
 def test_simhash_near_pairs(spark, corpus):
     """Banded blocking is EXACT: every planted near-dup within the
     radius is found (the old single-prefix block was probabilistic)."""

@@ -229,8 +229,32 @@ def minhash_lsh_dedup(
     banded = _banded(df, id_col, text_col, shingle_n, k, bands)
     edges = minhash_star_edges(banded)
     vertices = df.select(F.col(id_col).alias("_id")).distinct()
-    labels = vertices.select("_id", F.col("_id").alias("label"))
+    labels = min_label_components(vertices, edges, max_iter=max_iter)
+    return labels.select(
+        F.col("_id").alias(id_col), F.col("label").alias("cluster_id")
+    )
 
+
+def min_label_components(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Connected components by min-label propagation WITH pointer
+    jumping: per round each vertex takes the min label over (itself,
+    its neighbors' labels), then jumps ``label ← label(label)``. The
+    neighbor step alone needs ~diameter rounds (a chain component —
+    A~B via one bucket, B~C via another — has diameter proportional to
+    its length); the jump step halves the remaining pointer depth, so
+    rounds are O(log n) regardless of shape. Exhausting ``max_iter``
+    without the Observation reporting zero changes RAISES rather than
+    silently returning partial clusters.
+
+    ``vertices(_id)``, ``edges(src, dst)`` (directed star edges; the
+    reverse direction is added here). Returns ``(_id, label)`` with
+    label = component-min id. Per round: two shuffles (neighbor agg +
+    jump join) over (id, label) pairs only, per-iteration
+    localCheckpoint truncating lineage, previous checkpoints
+    unpersisted."""
+    labels = vertices.select("_id", F.col("_id").alias("label"))
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
@@ -241,7 +265,7 @@ def minhash_lsh_dedup(
     prev_ckpt: DataFrame | None = None
     try:
         for _ in range(max_iter):
-            # each vertex adopts the min label among itself + neighbors
+            # 1) each vertex adopts the min label among itself+neighbors
             neigh = (
                 und.join(labels, und.src == labels._id)
                 .groupBy("dst")
@@ -251,12 +275,31 @@ def minhash_lsh_dedup(
             stepped = labels.join(neigh, labels._id == neigh.dst, "left").select(
                 "_id",
                 new.alias("label"),
-                (new < F.col("label")).cast("long").alias("_chg"),
+                F.col("label").alias("_orig"),
+            )
+            # 2) pointer jump: label ← label(label). label ids are
+            # vertex ids, so the lookup is a self-join on the labels
+            # frame; jumping halves pointer-chain depth each round.
+            parent = stepped.select(
+                F.col("_id").alias("_pid"), F.col("label").alias("_plabel")
+            )
+            final = F.least(
+                F.col("label"), F.coalesce(F.col("_plabel"), F.col("label"))
+            )
+            jumped = stepped.join(
+                parent, stepped.label == parent._pid, "left"
+            ).select(
+                "_id",
+                final.alias("label"),
+                (final < F.col("_orig")).cast("long").alias("_chg"),
             )
             # convergence metric piggybacks on the checkpoint job — no
-            # separate count() pass per iteration
+            # separate count() pass per iteration. _chg measures the
+            # WHOLE round (neighbor + jump): stopping on a neighbor-only
+            # fixpoint could strand a vertex on a stale pointer whose
+            # target has since adopted a smaller label.
             obs = Observation()
-            labels = stepped.observe(obs, F.sum("_chg").alias("changed")).drop(
+            labels = jumped.observe(obs, F.sum("_chg").alias("changed")).drop(
                 "_chg"
             ).localCheckpoint()  # truncate iteration lineage (SURVEY §4)
             changed = obs.get["changed"] or 0
@@ -272,11 +315,10 @@ def minhash_lsh_dedup(
         und.unpersist()
     if not converged:
         raise RuntimeError(
-            f"minhash_lsh_dedup: label propagation did not converge in "
-            f"{max_iter} iterations (component diameter exceeds the "
-            f"bound) — raise max_iter"
+            f"min_label_components: did not converge in {max_iter} "
+            f"iterations — raise max_iter"
         )
-    return labels.select(F.col("_id").alias(id_col), F.col("label").alias("cluster_id"))
+    return labels
 
 
 # ------------------------------------------------------------ SimHash
