@@ -664,6 +664,40 @@ def q_w_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: as-of join — each purchase matched to the user's most recent
+    click at-or-before it (union-and-fill window plan, ONE shuffle, no
+    range explosion; operators/asof.py). Oracle: DuckDB native ASOF
+    LEFT JOIN. Timestamps as epoch seconds (tz-free, like
+    w_events_sessionize)."""
+    from wos_crawler_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+        ).alias("s"),
+        "event_type",
+        "value",
+    )
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "s"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "s")
+        .agg(
+            F.max("value").alias("value"),
+            F.max("event_id").alias("click_id"),
+        )
+    )
+    return asof_join(
+        left, right, ts_col="s", by=["user_id"],
+        value_cols=["value", "click_id"],
+    )
+
+
 def q_a_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-class: exact interpolated percentiles per event_type (the
     engine's quantile surface; approx_percentile is the 100 TB variant
@@ -762,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_top_orders": q_tpch_q3_top_orders,
         "events_hourly": q_events_hourly,
         "w_events_sessionize": q_w_events_sessionize,
+        "j7_asof_join": q_j7_asof_join,
         "a_event_percentiles": q_a_event_percentiles,
         "u_set_ops": q_u_set_ops,
         "p6_word_explode": q_p6_word_explode,
@@ -993,6 +1028,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    min(s) AS session_start_s
             FROM x GROUP BY user_id, session_id
+        """,
+        "j7_asof_join": """
+            WITH l AS (
+                SELECT event_id, user_id,
+                       datediff('second', TIMESTAMP '2024-01-01 00:00:00', ts) AS s
+                FROM events WHERE event_type = 'purchase'
+            ),
+            r AS (
+                SELECT user_id,
+                       datediff('second', TIMESTAMP '2024-01-01 00:00:00', ts) AS s,
+                       max(value) AS value, max(event_id) AS click_id
+                FROM events WHERE event_type = 'click'
+                GROUP BY 1, 2
+            )
+            SELECT l.event_id, l.user_id, l.s,
+                   r.value AS asof_value, r.click_id AS asof_click_id,
+                   r.s AS asof_ts
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.s >= r.s
         """,
         "a_event_percentiles": """
             SELECT event_type,

@@ -1,0 +1,69 @@
+"""As-of join (J7): planted-fixture semantics + tolerance + no-match
+nulls. The sf-scale equivalence vs DuckDB's native ASOF JOIN runs in
+the driver's oracle gate (entry j7_asof_join)."""
+
+from pyspark.sql import functions as F
+
+from wos_crawler_spark.operators.asof import asof_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", 10),
+            (2, "u1", 20),
+            (3, "u1", 5),   # before any right row → nulls
+            (4, "u2", 100),
+            (5, "u3", 50),  # key with no right rows at all → nulls
+        ],
+        "event_id long, user_id string, s long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", 10, 1.5),   # equal ts: inclusive match for event 1
+            ("u1", 18, 2.5),
+            ("u2", 40, 9.0),
+        ],
+        "user_id string, s long, value double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark):
+    left, right = _frames(spark)
+    out = {
+        r["event_id"]: (r["asof_value"], r["asof_ts"])
+        for r in asof_join(
+            left, right, ts_col="s", by=["user_id"], value_cols=["value"]
+        ).collect()
+    }
+    assert out[1] == (1.5, 10)   # equal ts matches (inclusive)
+    assert out[2] == (2.5, 18)   # most recent prior, not the first
+    assert out[3] == (None, None)
+    assert out[4] == (9.0, 40)
+    assert out[5] == (None, None)
+
+
+def test_asof_tolerance(spark):
+    left, right = _frames(spark)
+    out = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(
+            left, right, ts_col="s", by=["user_id"], value_cols=["value"],
+            tolerance=5,
+        ).collect()
+    }
+    assert out[1] == 1.5        # gap 0 ≤ 5
+    assert out[2] == 2.5        # gap 2 ≤ 5
+    assert out[4] is None       # gap 60 > 5 → nulled
+
+
+def test_asof_single_shuffle_plan(spark):
+    """The union-and-fill plan must not contain a join at all — one
+    exchange on the key, zero row amplification."""
+    left, right = _frames(spark)
+    plan = asof_join(
+        left, right, ts_col="s", by=["user_id"], value_cols=["value"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # one per union branch pre-sort
