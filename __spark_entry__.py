@@ -429,6 +429,22 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("q_id", "vec_id", "rank", "n_candidates")
 
 
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (the inverted-file scale path next to LSH):
+    deterministic spherical k-means cells, n_probe nearest cells per
+    query, exact cosine re-rank. Oracle: SQL ranking over the pinned
+    candidate ids."""
+    from wos_crawler_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_topk(
+        emb, queries, k=10, n_centroids=16, n_probe=4, n_iter=3
+    ).select("q_id", "vec_id", "rank", "n_candidates")
+
+
 def q_sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-blocked (rows-only)."""
     from wos_crawler_spark.operators.similarity import cosine_near_dup_pairs
@@ -809,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "sim_cosine_near_dup": q_sim_cosine_near_dup,
         "sim_cosine_pairs_exact": q_sim_cosine_pairs_exact,
         "text_lang_id": q_text_lang_id,
@@ -1272,6 +1289,29 @@ def oracle_sql() -> dict[str, str]:
                 SELECT c.q_id, c.vec_id,
                        list_cosine_similarity(ce.v, qe.v) AS cos
                 FROM {_snap("lsh_cand_sf001")} c
+                JOIN e ce ON ce.vec_id = c.vec_id
+                JOIN e qe ON qe.vec_id = c.q_id
+            )
+            SELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank,
+                   n_candidates
+            FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (
+                         PARTITION BY q_id ORDER BY cos DESC, vec_id
+                       ) AS rank,
+                       count(*) OVER (PARTITION BY q_id) AS n_candidates
+                FROM s
+            ) WHERE rank <= 10
+        """,
+        "sim_ivf_topk": f"""
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            s AS (
+                SELECT c.q_id, c.vec_id,
+                       list_cosine_similarity(ce.v, qe.v) AS cos
+                FROM {_snap("ivf_cand_sf001")} c
                 JOIN e ce ON ce.vec_id = c.vec_id
                 JOIN e qe ON qe.vec_id = c.q_id
             )

@@ -87,6 +87,38 @@ def test_lsh_starvation_is_visible(emb, queries, dim):
             assert n_cand < 10  # ...is exactly what n_candidates says
 
 
+def test_ivf_recall(emb, queries, dim):
+    """IVF with 8/16 cells probed recovers ≥0.8 of the true top-10
+    (random 64-d embeddings are ANN-hostile; recall scales with
+    n_probe — the knob a real deployment turns)."""
+    exact = sim.brute_force_topk(emb, queries, k=10).collect()
+    es = {}
+    for r in exact:
+        es.setdefault(r["q_id"], set()).add(r["vec_id"])
+    ap = sim.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=8).collect()
+    gs = {}
+    for r in ap:
+        gs.setdefault(r["q_id"], set()).add(r["vec_id"])
+        assert r["n_candidates"] >= 1
+    recall = sum(len(es[q] & gs.get(q, set())) for q in es) / sum(
+        len(s) for s in es.values()
+    )
+    assert recall >= 0.8, f"IVF recall {recall:.2f} < 0.8"
+
+
+def test_ivf_cells_partition_corpus(emb):
+    """Every vector lands in exactly one cell; assignment is
+    deterministic across runs (hash init, no RNG)."""
+    C = sim.ivf_train_centroids(emb, n_centroids=8, n_iter=2)
+    a1 = sim.ivf_assign(emb, C).select("vec_id", "_cluster").collect()
+    a2 = sim.ivf_assign(emb, C).select("vec_id", "_cluster").collect()
+    m1 = {r["vec_id"]: r["_cluster"] for r in a1}
+    m2 = {r["vec_id"]: r["_cluster"] for r in a2}
+    assert m1 == m2
+    assert len(m1) == emb.count()
+    assert all(0 <= c < 8 for c in m1.values())
+
+
 def test_batch_matmul_topk_matches_numpy(spark, emb, queries, dim):
     import numpy as np
 

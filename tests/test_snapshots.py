@@ -35,6 +35,7 @@ SNAPSHOT_NAMES = [
     "minhash_edges_sf001",
     "lsh_cand_sf001",
     "cos_near_dup_sf001",
+    "ivf_cand_sf001",
 ]
 
 

@@ -142,6 +142,12 @@ def build_frames(spark) -> dict:
         entrymod.q_sim_cosine_near_dup(spark, sf).toPandas(),
         ["id_a", "id_b"],
     )
+    frames["ivf_cand_sf001"] = (
+        sim.ivf_candidates(
+            emb, queries, n_centroids=16, n_probe=4, n_iter=3
+        ).toPandas(),
+        ["q_id", "vec_id"],
+    )
     return frames
 
 

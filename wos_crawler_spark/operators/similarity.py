@@ -17,6 +17,8 @@ threshold) for embedding-level dedup.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -197,6 +199,24 @@ def lsh_topk(
         corpus, queries, dim, n_planes, n_probes, n_tables, probe_hamming,
         id_col, vec_col, q_id_col, q_vec_col,
     )
+    return score_candidates(
+        cand_ids, corpus, queries, k, id_col, vec_col, q_id_col, q_vec_col
+    )
+
+
+def score_candidates(
+    cand_ids: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Shared ANN re-rank stage: exact cosine over (q_id, vec_id)
+    candidate pairs (semi-join-reduced corpus read, broadcast queries),
+    per-query top-k + the n_candidates starvation signal."""
     scored = (
         cand_ids.join(corpus.select(id_col, vec_col), id_col)
         .join(F.broadcast(queries.select(q_id_col, q_vec_col)), q_id_col)
@@ -274,6 +294,163 @@ def brute_force_topk_batch(
     return part_top.withColumn("rank", F.row_number().over(wr)).filter(
         F.col("rank") <= k
     )
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic IVF coarse quantizer: k-means over L2-normalized
+    vectors (spherical k-means — cosine assignment).
+
+    - init: the k corpus vectors with the smallest ``xxhash64(id)``
+      (hash-selected pseudo-random sample, no RNG state);
+    - assign: Arrow-batched numpy matmul against the broadcast
+      centroid matrix (k×dim floats — driver-scale by construction);
+    - update: per-(cluster, dim) mean via posexplode + one hash agg —
+      the only shuffle per iteration, k·dim tiny rows out.
+
+    Returns a numpy array (k, dim) of unit-norm centroids. Centroids
+    live on the driver between iterations — they ARE the broadcast
+    side; the corpus is scanned once per iteration, never collected."""
+    n_vec = corpus.count()
+    k = min(n_centroids, n_vec)
+    seed_ids = (
+        corpus.select(id_col, F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h")
+        .limit(k)
+        .select(id_col)
+    )
+    init = (
+        corpus.join(F.broadcast(seed_ids), id_col)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()  # k rows — driver-scale by definition
+    )
+    C = np.array([r[vec_col] for r in init], dtype=np.float64)
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    for _ in range(n_iter):
+        assigned = ivf_assign(corpus, C, id_col=id_col, vec_col=vec_col)
+        # per-(cluster, dim) mean: posexplode the vector once, one agg
+        sums = (
+            assigned.select(
+                "_cluster", F.posexplode(vec_col).alias("_d", "_v")
+            )
+            .groupBy("_cluster", "_d")
+            .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()  # k·dim small rows
+        )
+        newC = C.copy()
+        acc: dict[int, np.ndarray] = {}
+        for r in sums:
+            acc.setdefault(r["_cluster"], np.zeros(C.shape[1]))[r["_d"]] = (
+                r["_s"] / r["_n"]
+            )
+        for c, v in acc.items():
+            n = np.linalg.norm(v)
+            if n > 1e-12:
+                newC[c] = v / n
+        C = newC
+    return C
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach ``_cluster`` = argmax-cosine centroid per vector (Arrow
+    matmul over the broadcast k×dim matrix)."""
+    bC = corpus.sparkSession.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64)
+    )
+
+    @F.pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        C = bC.value
+        M = np.array(vecs.tolist(), dtype=np.float64)
+        mn = np.linalg.norm(M, axis=1)
+        Mn = M / np.where(mn == 0, 1.0, mn)[:, None]
+        return pd.Series(np.argmax(Mn @ C.T, axis=1).astype(np.int32))
+
+    return corpus.withColumn("_cluster", _assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF ANN top-k — the inverted-file scale path the LSH variant
+    complements: vectors are bucketed under their nearest of
+    ``n_centroids`` coarse centroids; each query scores only its
+    ``n_probe`` nearest cells (corpus fraction ≈ n_probe/n_centroids).
+
+    Same contract as :func:`lsh_topk`: exact cosine re-rank inside the
+    probed cells, ``n_candidates`` exposes starvation. Plan shape:
+    centroid training scans the corpus n_iter times (train once, reuse
+    — pass ``centroids=`` via :func:`ivf_assign` for a stored index);
+    query-time is one hash join cells⋈probes + windowed top-k."""
+    cand_ids = ivf_candidates(
+        corpus, queries, n_centroids=n_centroids, n_probe=n_probe,
+        n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        q_id_col=q_id_col, q_vec_col=q_vec_col,
+    )
+    return score_candidates(
+        cand_ids, corpus, queries, k, id_col, vec_col, q_id_col, q_vec_col
+    )
+
+
+def ivf_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Candidate (q_id, vec_id) pairs for :func:`ivf_topk`: vectors of
+    the n_probe nearest cells per query. Deterministic end to end
+    (hash-selected init, fixed iterations) — snapshot-pinnable."""
+    C = ivf_train_centroids(
+        corpus, n_centroids=n_centroids, n_iter=n_iter,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cells = ivf_assign(corpus, C, id_col=id_col, vec_col=vec_col)
+    n_probe = min(n_probe, len(C))
+    bC = corpus.sparkSession.sparkContext.broadcast(C)
+
+    @F.pandas_udf("array<int>")
+    def _probes(vecs: pd.Series) -> pd.Series:
+        Cm = bC.value
+        M = np.array(vecs.tolist(), dtype=np.float64)
+        mn = np.linalg.norm(M, axis=1)
+        Mn = M / np.where(mn == 0, 1.0, mn)[:, None]
+        S = Mn @ Cm.T
+        top = np.argsort(-S, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    q = queries.withColumn("_cells", _probes(F.col(q_vec_col))).select(
+        q_id_col, F.explode("_cells").alias("_cluster")
+    )
+    return cells.select(id_col, "_cluster").join(
+        F.broadcast(q), "_cluster"
+    ).select(q_id_col, id_col)
 
 
 def cosine_near_dup_pairs(
