@@ -58,6 +58,49 @@ def test_asof_tolerance(spark):
     assert out[4] is None       # gap 60 > 5 → nulled
 
 
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized (seeded) equivalence vs pandas.merge_asof — an
+    independent as-of implementation — over hash-derived frames with
+    duplicates-per-key, gaps, and keys missing on either side."""
+    import pandas as pd
+
+    from wos_crawler_spark.fixtures.wosgen import h
+
+    lrows = [
+        (i, f"k{h(i, 1) % 7}", int(h(i, 2) % 1000)) for i in range(300)
+    ]
+    rrows = {
+        (f"k{h(j, 3) % 9}", int(h(j, 4) % 1000)): float(j)
+        for j in range(120)
+    }
+    left = spark.createDataFrame(lrows, "event_id long, key string, s long")
+    right = spark.createDataFrame(
+        [(k, s, v) for (k, s), v in rrows.items()],
+        "key string, s long, value double",
+    )
+    got = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(
+            left, right, ts_col="s", by=["key"], value_cols=["value"]
+        ).collect()
+    }
+    lp = pd.DataFrame(lrows, columns=["event_id", "key", "s"]).sort_values("s")
+    rp = (
+        pd.DataFrame(
+            [(k, s, v) for (k, s), v in rrows.items()],
+            columns=["key", "s", "value"],
+        )
+        .sort_values("s")
+    )
+    exp = pd.merge_asof(lp, rp, on="s", by="key", direction="backward")
+    for _, row in exp.iterrows():
+        e = got[row["event_id"]]
+        if pd.isna(row["value"]):
+            assert e is None, row["event_id"]
+        else:
+            assert e == row["value"], row["event_id"]
+
+
 def test_asof_single_shuffle_plan(spark):
     """The union-and-fill plan must not contain a join at all — one
     exchange on the key, zero row amplification."""
