@@ -58,6 +58,62 @@ def test_asof_tolerance(spark):
     assert out[4] is None       # gap 60 > 5 → nulled
 
 
+def test_asof_null_value_in_matched_row_not_torn(spark):
+    """A NULL value INSIDE the matched right row must surface as NULL —
+    never be back-filled from an older row (row-tearing bug class)."""
+    left = spark.createDataFrame(
+        [(1, "u1", 30)], "event_id long, user_id string, s long"
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 5.0), ("u1", 20, None)],
+        "user_id string, s long, value double",
+    )
+    r = asof_join(
+        left, right, ts_col="s", by=["user_id"], value_cols=["value"]
+    ).first()
+    assert r["asof_ts"] == 20
+    assert r["asof_value"] is None  # matched row's own NULL, not 5.0
+
+
+def test_asof_duplicate_right_rows_deterministic(spark):
+    """Duplicate (key, ts) right rows resolve to the greatest value
+    struct — same answer on every run/partitioning."""
+    left = spark.createDataFrame(
+        [(1, "u1", 9)], "event_id long, user_id string, s long"
+    )
+    right = spark.createDataFrame(
+        [("u1", 5, 1.0), ("u1", 5, 2.0)],
+        "user_id string, s long, value double",
+    )
+    for _ in range(3):
+        r = asof_join(
+            left.repartition(4), right.repartition(3),
+            ts_col="s", by=["user_id"], value_cols=["value"],
+        ).first()
+        assert r["asof_value"] == 2.0
+
+
+def test_asof_timestamp_ts_with_tolerance(spark):
+    """tolerance works on TIMESTAMP ts columns (epoch-second compare)."""
+    left = spark.createDataFrame(
+        [(1, "u1", "2024-01-01 00:02:00"), (2, "u1", "2024-01-01 01:00:00")],
+        "event_id long, user_id string, ts_s string",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00", 7.0)],
+        "user_id string, ts_s string, value double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    out = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(
+            left, right, ts_col="ts", by=["user_id"], value_cols=["value"],
+            tolerance=300,
+        ).collect()
+    }
+    assert out[1] == 7.0      # 120 s gap ≤ 300
+    assert out[2] is None     # 3600 s gap > 300
+
+
 def test_asof_matches_pandas_merge_asof(spark):
     """Randomized (seeded) equivalence vs pandas.merge_asof — an
     independent as-of implementation — over hash-derived frames with

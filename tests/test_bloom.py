@@ -158,6 +158,73 @@ def test_crawl_banked_bloom_identical_to_monolithic(spark):
     assert logs[1] == logs[4]
 
 
+def test_merge_rejects_flavor_and_shape_mismatch():
+    import pytest
+
+    mono = BloomFilter.sized(1000, 0.01)
+    banked = BankedBloomFilter.sized(1000, 0.01, n_banks=4)
+    with pytest.raises(ValueError, match="different flavor/shape"):
+        mono.merge(banked)
+    with pytest.raises(ValueError, match="different flavor/shape"):
+        banked.merge(BankedBloomFilter.sized(1000, 0.01, n_banks=8))
+    with pytest.raises(ValueError, match="different flavor/shape"):
+        mono.merge(BloomFilter.sized(5000, 0.01))
+
+
+def test_crawl_resume_adopts_checkpointed_bloom_flavor(spark, tmp_path):
+    """Resuming a banked-Bloom checkpoint with a cfg that says banks=1
+    must keep the checkpoint's flavor (and vice versa) instead of
+    crashing in merge; an incompatible capacity is a clear error."""
+    import pytest
+
+    from wos_crawler_spark.fixtures.synth import (
+        links_table,
+        pages_table,
+        robots_table,
+        seeds_table,
+    )
+    from wos_crawler_spark.plans.crawl import CrawlConfig, run_crawl
+
+    n = 120
+    world = dict(
+        pages=pages_table(spark, n, partitions=4),
+        seeds=seeds_table(spark),
+        links=links_table(spark, n),
+        robots=robots_table(spark),
+    )
+    d = str(tmp_path / "ck")
+    run_crawl(
+        spark, **world,
+        cfg=CrawlConfig(delay_s=1.0, max_waves=1, parse=False,
+                        bloom_banks=4, ckpt_dir=d),
+    )
+    # flavor disagreement: cfg says 1 bank — checkpoint's 4 win, no crash
+    res = run_crawl(
+        spark, **world,
+        cfg=CrawlConfig(delay_s=1.0, max_waves=2, parse=False,
+                        bloom_banks=1, ckpt_dir=d),
+        resume=True,
+    )
+    assert res.waves and res.waves[0].wave == 1
+    # incompatible shape (capacity change) → clear error, not
+    # corruption. Fresh checkpoint dir so the resumed wave still has
+    # frontier work (an empty frontier would never touch the filter).
+    d2 = str(tmp_path / "ck2")
+    run_crawl(
+        spark, **world,
+        cfg=CrawlConfig(delay_s=1.0, max_waves=1, parse=False,
+                        bloom_banks=4, ckpt_dir=d2),
+    )
+    with pytest.raises(ValueError, match="incompatible"):
+        run_crawl(
+            spark, **world,
+            cfg=CrawlConfig(delay_s=1.0, max_waves=2, parse=False,
+                            bloom_banks=4, bloom_capacity=50_000,
+                            ckpt_dir=d2),
+            resume=True,
+        )
+
+
 def test_false_positive_rescued_by_exact_antijoin(spark):
     """A Bloom false positive must still survive dedup thanks to the
     exact anti-join (correctness never depends on the Bloom)."""

@@ -111,6 +111,29 @@ def test_iceberg_conditional_path(spark, tmp_path):
     assert spark.read.parquet(f"{root}/documents").count() == 5
 
 
+def test_normalized_sink_collapses_intra_batch_duplicates(spark, tmp_path):
+    """The same record parsed from two mirror URLs in ONE batch must
+    land once everywhere — children included (a fan-out here is
+    unrepairable later: the anti-join only blocks future inserts)."""
+    from wos_crawler_spark.operators.normalize import normalize_all
+
+    payload = wosgen.export_payload(0, 10)
+    pages = spark.createDataFrame(
+        [("https://a.org/rec/0", payload), ("https://b.org/rec/0", payload)],
+        "url string, text string",
+    )
+    parsed = parse_pages(pages)
+    single = normalize_all(parse_pages(pages.limit(1)))
+    expected = {name: df.count() for name, df in single.items()}
+    root = str(tmp_path / "dupstore")
+    write_normalized(normalize_all(parsed), root)
+    for name, want in expected.items():
+        got = spark.read.parquet(f"{root}/{name}").count()
+        # url differs between the two copies of `documents`; children
+        # carry no url and must match the single-parse counts exactly
+        assert got == want, (name, got, want)
+
+
 def test_normalized_sink_is_idempotent(spark, tmp_path):
     """A5/S8: re-writing the same wave changes nothing — the sink
     anti-joins on stored unique_ids before appending (the sandbox twin

@@ -27,9 +27,19 @@ _EPOCH = pd.Timestamp("2024-01-01T00:00:00")
 _LANG_CODES = ["en", "zh", "de", "es"]
 
 
-def gen_pages_pdf(ids: list[int], n_total: int) -> pd.DataFrame:
-    """Pure-pandas pages rows for the given ids (tests + oracle sim)."""
-    texts = [wosgen.export_payload(i, n_total) for i in ids]
+def gen_pages_pdf(
+    ids: list[int],
+    n_total: int,
+    payload_fn=None,
+    html_wrap: bool = True,
+) -> pd.DataFrame:
+    """Pure-pandas pages rows for the given ids (tests + oracle sim).
+    ``payload_fn(i, n_total) -> str`` swaps the export serialization
+    (plaintext default; tab/XML twins pass theirs) — url/warc_ts/lang
+    derivations live HERE only, so every variant shares the exact row
+    identity the shared snapshot oracles depend on."""
+    payload_fn = payload_fn or wosgen.export_payload
+    texts = [payload_fn(i, n_total) for i in ids]
     return pd.DataFrame(
         {
             "url": [wosgen.url_of(i) for i in ids],
@@ -37,7 +47,9 @@ def gen_pages_pdf(ids: list[int], n_total: int) -> pd.DataFrame:
             "html": [
                 b"<html><body>" + t.encode("utf-8") + b"</body></html>"
                 for t in texts
-            ],
+            ]
+            if html_wrap
+            else [None] * len(ids),
             "text": texts,
             "lang": [_LANG_CODES[i % 4] for i in ids],
         }
@@ -66,19 +78,12 @@ def _variant_pages_table(spark: SparkSession, n: int, partitions, payload_fn) ->
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].tolist()
-            if not ids:
-                continue
-            yield pd.DataFrame(
-                {
-                    "url": [wosgen.url_of(i) for i in ids],
-                    "warc_ts": [
-                        _EPOCH + pd.Timedelta(seconds=i % 86400) for i in ids
-                    ],
-                    "html": [None] * len(ids),
-                    "text": [payload_fn([i], n) for i in ids],
-                    "lang": [_LANG_CODES[i % 4] for i in ids],
-                }
-            )
+            if ids:
+                yield gen_pages_pdf(
+                    ids, n,
+                    payload_fn=lambda i, nt: payload_fn([i], nt),
+                    html_wrap=False,
+                )
 
     return rng.mapInPandas(_gen, PAGES_SCHEMA)
 

@@ -97,8 +97,18 @@ class BloomFilter:
         bit = (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1
         return bit.all(axis=1)
 
+    @property
+    def shape(self) -> tuple[int, int, int]:
+        """(n_banks, bits-per-bank, n_hashes) — 1 bank for the
+        monolithic flavor; comparable across flavors."""
+        return (1, self.m, self.n_hashes)
+
     def merge(self, other: "BloomFilter") -> "BloomFilter":
-        assert self.m == other.m and self.n_hashes == other.n_hashes
+        if not isinstance(other, BloomFilter) or self.shape != other.shape:
+            raise ValueError(
+                f"cannot merge Bloom filters of different flavor/shape: "
+                f"{self.shape} vs {getattr(other, 'shape', type(other))}"
+            )
         return BloomFilter(bits=self.bits | other.bits, n_hashes=self.n_hashes)
 
     # -- checkpoint serialization (SURVEY §7.1 step 6)
@@ -174,8 +184,16 @@ class BankedBloomFilter:
                 out[m] = self.banks[b].might_contain(keys[m])
         return out
 
+    @property
+    def shape(self) -> tuple[int, int, int]:
+        return (self.n_banks, self.banks[0].m, self.banks[0].n_hashes)
+
     def merge(self, other: "BankedBloomFilter") -> "BankedBloomFilter":
-        assert self.n_banks == other.n_banks
+        if not isinstance(other, BankedBloomFilter) or self.shape != other.shape:
+            raise ValueError(
+                f"cannot merge Bloom filters of different flavor/shape: "
+                f"{self.shape} vs {getattr(other, 'shape', type(other))}"
+            )
         return BankedBloomFilter(
             [a.merge(b) for a, b in zip(self.banks, other.banks)]
         )
@@ -193,7 +211,8 @@ class BankedBloomFilter:
 
     @classmethod
     def from_bytes(cls, raw: bytes) -> "BankedBloomFilter":
-        assert int.from_bytes(raw[:4], "little") == _BANK_MAGIC
+        if int.from_bytes(raw[:4], "little") != _BANK_MAGIC:
+            raise ValueError("not a banked Bloom serialization (bad magic)")
         n = int.from_bytes(raw[4:8], "little")
         banks, off = [], 8
         for _ in range(n):

@@ -140,19 +140,31 @@ def lsh_candidates(
     c_keys = corpus.select(id_col, F.explode(c_sigs).alias("_ts")).select(
         id_col, F.col("_ts._t").alias("_t"), F.col("_ts._sig").alias("_sig")
     )
+    # compute each table's signature ONCE per query row, THEN fan out
+    # the XOR flips over the materialized column — inlining the O(dim·
+    # n_planes) aggregate into every flip would multiply query-side
+    # compute ×len(flips) (Catalyst's CollapseProject keeps the
+    # projection boundary: the producer expression is non-cheap and
+    # multiply-referenced).
+    q_sig = queries.select(
+        q_id_col,
+        *[
+            sig_t(F.col(q_vec_col), t).alias(f"_s{t}")
+            for t in range(n_tables)
+        ],
+    )
     q_probes = F.array(
         *[
             F.struct(
                 F.lit(t).alias("_t"),
-                (
-                    sig_t(F.col(q_vec_col), t).bitwiseXOR(F.lit(flip))
-                ).cast("int").alias("_sig"),
+                F.col(f"_s{t}").bitwiseXOR(F.lit(flip)).cast("int")
+                .alias("_sig"),
             )
             for t in range(n_tables)
             for flip in flips
         ]
     )
-    q_keys = queries.select(q_id_col, F.explode(q_probes).alias("_ts")).select(
+    q_keys = q_sig.select(q_id_col, F.explode(q_probes).alias("_ts")).select(
         q_id_col, F.col("_ts._t").alias("_t"), F.col("_ts._sig").alias("_sig")
     )
     return (
@@ -216,7 +228,12 @@ def score_candidates(
 ) -> DataFrame:
     """Shared ANN re-rank stage: exact cosine over (q_id, vec_id)
     candidate pairs (semi-join-reduced corpus read, broadcast queries),
-    per-query top-k + the n_candidates starvation signal."""
+    per-query top-k + the n_candidates starvation signal.
+
+    A query with ZERO candidates emits no rows at all (there is nothing
+    to rank); detect total starvation by anti-joining the query set
+    against the output's q_ids — n_candidates covers the under-filled
+    (0 < n < k) case only."""
     scored = (
         cand_ids.join(corpus.select(id_col, vec_col), id_col)
         .join(F.broadcast(queries.select(q_id_col, q_vec_col)), q_id_col)
@@ -316,19 +333,18 @@ def ivf_train_centroids(
     Returns a numpy array (k, dim) of unit-norm centroids. Centroids
     live on the driver between iterations — they ARE the broadcast
     side; the corpus is scanned once per iteration, never collected."""
-    n_vec = corpus.count()
-    k = min(n_centroids, n_vec)
     seed_ids = (
         corpus.select(id_col, F.xxhash64(F.col(id_col)).alias("_h"))
         .orderBy("_h")
-        .limit(k)
+        .limit(n_centroids)
         .select(id_col)
     )
     init = (
         corpus.join(F.broadcast(seed_ids), id_col)
         .select(id_col, vec_col)
         .orderBy(id_col)
-        .collect()  # k rows — driver-scale by definition
+        .collect()  # ≤ n_centroids rows — driver-scale by definition;
+        # len(init) IS min(n_centroids, |corpus|): no count() scan
     )
     C = np.array([r[vec_col] for r in init], dtype=np.float64)
     C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)

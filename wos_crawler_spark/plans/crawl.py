@@ -582,25 +582,43 @@ def run_crawl(
         def _build_wave_bloom() -> AnyBloom:
             """A2: per-partition Bloom partials over this wave's delta,
             OR-folded executor-side, folded into the cross-wave filter.
-            bloom_banks > 1 shards build/merge/broadcast per bank."""
+            bloom_banks > 1 shards build/merge/broadcast per bank.
+
+            On RESUME the checkpointed filter is authoritative for the
+            flavor (its banks are already baked into its bit layout);
+            a cfg that disagrees in bank count gets the checkpoint's
+            flavor, and a cfg whose capacity/fpp produce a different
+            bit shape is a hard error — silently merging mismatched
+            filters would corrupt the seen sketch."""
+            banks = (
+                bloom.shape[0] if bloom is not None else cfg.bloom_banks
+            )
             if not res.scheduled:
                 if bloom is not None:
                     return bloom
-                if cfg.bloom_banks > 1:
+                if banks > 1:
                     return BankedBloomFilter.sized(
-                        cfg.bloom_capacity, cfg.bloom_fpp, cfg.bloom_banks
+                        cfg.bloom_capacity, cfg.bloom_fpp, banks
                     )
                 return BloomFilter.sized(cfg.bloom_capacity, cfg.bloom_fpp)
-            if cfg.bloom_banks > 1:
+            if banks > 1:
                 wave_bloom = build_banked_bloom(
                     seen_delta, "url_hash",
                     capacity=cfg.bloom_capacity, fpp=cfg.bloom_fpp,
-                    n_banks=cfg.bloom_banks,
+                    n_banks=banks,
                 )
             else:
                 wave_bloom = build_bloom(
                     seen_delta, "url_hash",
                     capacity=cfg.bloom_capacity, fpp=cfg.bloom_fpp,
+                )
+            if bloom is not None and bloom.shape != wave_bloom.shape:
+                raise ValueError(
+                    f"resumed Bloom shape {bloom.shape} (banks, bits/bank, "
+                    f"k) is incompatible with cfg bloom_capacity="
+                    f"{cfg.bloom_capacity}/fpp={cfg.bloom_fpp} → "
+                    f"{wave_bloom.shape}; resume with the original Bloom "
+                    f"config"
                 )
             return bloom.merge(wave_bloom) if bloom is not None else wave_bloom
 

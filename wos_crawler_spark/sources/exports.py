@@ -105,10 +105,13 @@ def write_normalized(tables: dict[str, DataFrame], root: str) -> None:
     production this whole function is one Iceberg ``MERGE INTO ... ON
     unique_id WHEN NOT MATCHED THEN INSERT`` per table (see
     sources/iceberg.py) — snapshot-isolated, no read-modify-write race.
-    Contract: the incoming ``parsed`` frame is one row per WoS record;
-    intra-batch duplicate documents are collapsed here for the
-    documents table (min-url representative is NOT needed — records
-    with one unique_id are byte-identical re-parses)."""
+    Intra-batch duplicates (the same unique_id parsed from two mirror
+    URLs in one wave — byte-identical re-parses) are collapsed for
+    EVERY table: documents on unique_id, child tables by full row
+    (their rows are set-semantics per document: author ranks, keyword
+    sets, distinct cited refs — a duplicate full row can only be the
+    re-parse). Without the child-side dedup the cross-batch anti-join
+    cannot repair the fan-out: it only blocks FUTURE inserts."""
     from pyspark.sql.utils import AnalysisException
 
     for name, df in tables.items():
@@ -117,6 +120,8 @@ def write_normalized(tables: dict[str, DataFrame], root: str) -> None:
         if "unique_id" in df.columns:
             if name == "documents":
                 out = out.dropDuplicates(["unique_id"])
+            else:
+                out = out.dropDuplicates()
             try:
                 existing = (
                     df.sparkSession.read.parquet(path)

@@ -88,13 +88,21 @@ def write_normalized_iceberg(
 ) -> None:
     """S8 on Iceberg: per-table MERGE INTO keyed on unique_id.
     Children merge on the same document key — a re-run of a wave whose
-    documents already landed inserts nothing anywhere."""
+    documents already landed inserts nothing anywhere. Intra-batch
+    duplicates are collapsed BEFORE the merge (MERGE ... WHEN NOT
+    MATCHED inserts every unmatched SOURCE row, so two staged copies of
+    one unique_id would both land): documents on the key, children by
+    full row — mirroring the parquet twin."""
     for name, df in tables.items():
         if key not in df.columns:
             df.writeTo(f"{namespace}.{name}").append()
             continue
+        staged = (
+            df.dropDuplicates([key]) if name == "documents"
+            else df.dropDuplicates()
+        )
         view = f"_staging_{name}"
-        df.createOrReplaceTempView(view)
+        staged.createOrReplaceTempView(view)
         df.sparkSession.sql(merge_into_sql(f"{namespace}.{name}", view, key))
 
 
