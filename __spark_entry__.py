@@ -653,6 +653,25 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing: resize metadata restamp +
+    per-video frame timestamps (sequence explode — decode stubbed, the
+    row structure is the contract). Fully SQL-recomputable oracle (the
+    synthetic media table derives from pure arithmetic on the id)."""
+    from wos_crawler_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+        synth_media,
+    )
+
+    media = resize_images(synth_media(spark, 200, kind="video"), 224, 224)
+    frames = sample_frames(media, every_ms=1000)
+    return frames.select(
+        "asset_id",
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+    )
+
+
 def q_w_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1/W-class: lag-window sessionization over the events stream's
     batch twin — new session when the per-user gap exceeds 30 min.
@@ -843,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f5_doctype_filter": q_f5_doctype_filter,
         "crawl_end_to_end": q_crawl_end_to_end,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -1221,6 +1241,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_features": f"""
             SELECT asset_id, feat_dim, f0 FROM {_snap("media_feats")}
+        """,
+        "multimodal_frames": """
+            -- synth video i has duration (i % 30 + 1) seconds → one
+            -- frame per 1000 ms starting at 0 (pure arithmetic twin)
+            SELECT t.id AS asset_id,
+                   CAST(1000 * unnest(range(0, t.id % 30 + 1)) AS BIGINT)
+                     AS frame_ts_ms
+            FROM generate_series(0, 199) t(id)
         """,
         # ---- hash-intermediate snapshots + independent SQL recompute -
         # (sf0.01-pinned; the driver's oracle compare runs only there)
