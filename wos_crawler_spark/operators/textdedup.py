@@ -236,7 +236,10 @@ def minhash_lsh_dedup(
 
 
 def min_label_components(
-    vertices: DataFrame, edges: DataFrame, max_iter: int = 50
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 50,
+    jump_from_round: int = 2,
 ) -> DataFrame:
     """Connected components by min-label propagation WITH pointer
     jumping: per round each vertex takes the min label over (itself,
@@ -247,6 +250,12 @@ def min_label_components(
     rounds are O(log n) regardless of shape. Exhausting ``max_iter``
     without the Observation reporting zero changes RAISES rather than
     silently returning partial clusters.
+
+    The jump step costs one extra labels self-join (a shuffle) per
+    round, and star-edge bucket components typically converge in ≤2
+    neighbor rounds — so jumping starts at round ``jump_from_round``
+    (0-based): the common case pays nothing extra, pathological chains
+    still finish in O(log n).
 
     ``vertices(_id)``, ``edges(src, dst)`` (directed star edges; the
     reverse direction is added here). Returns ``(_id, label)`` with
@@ -264,7 +273,7 @@ def min_label_components(
     converged = False
     prev_ckpt: DataFrame | None = None
     try:
-        for _ in range(max_iter):
+        for it in range(max_iter):
             # 1) each vertex adopts the min label among itself+neighbors
             neigh = (
                 und.join(labels, und.src == labels._id)
@@ -280,19 +289,28 @@ def min_label_components(
             # 2) pointer jump: label ← label(label). label ids are
             # vertex ids, so the lookup is a self-join on the labels
             # frame; jumping halves pointer-chain depth each round.
-            parent = stepped.select(
-                F.col("_id").alias("_pid"), F.col("label").alias("_plabel")
-            )
-            final = F.least(
-                F.col("label"), F.coalesce(F.col("_plabel"), F.col("label"))
-            )
-            jumped = stepped.join(
-                parent, stepped.label == parent._pid, "left"
-            ).select(
-                "_id",
-                final.alias("label"),
-                (final < F.col("_orig")).cast("long").alias("_chg"),
-            )
+            if it >= jump_from_round:
+                parent = stepped.select(
+                    F.col("_id").alias("_pid"), F.col("label").alias("_plabel")
+                )
+                final = F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("_plabel"), F.col("label")),
+                )
+                jumped = stepped.join(
+                    parent, stepped.label == parent._pid, "left"
+                ).select(
+                    "_id",
+                    final.alias("label"),
+                    (final < F.col("_orig")).cast("long").alias("_chg"),
+                )
+            else:
+                jumped = stepped.select(
+                    "_id",
+                    "label",
+                    (F.col("label") < F.col("_orig")).cast("long")
+                    .alias("_chg"),
+                )
             # convergence metric piggybacks on the checkpoint job — no
             # separate count() pass per iteration. _chg measures the
             # WHOLE round (neighbor + jump): stopping on a neighbor-only
