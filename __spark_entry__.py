@@ -306,6 +306,28 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-class: multi-level ROLLUP aggregation (subtotals + grand
+    total — the hierarchical report shape; one shuffle, grouping-set
+    expansion map-side)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q_a_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-class: pivot (lang columns per source) — explicit value list
+    so the plan is a single pass, no distinct-values pre-query."""
+    docs = _t(spark, sf_dir, "documents")
+    p = docs.groupBy("source").pivot("lang", ["en", "zh", "de", "es"]).count()
+    return p.select(
+        "source",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("en", "zh", "de", "es")],
+    )
+
+
 def q_u_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1/U2/U3: wave union + seen accumulation + frontier-minus-seen."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -833,6 +855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_events_sessionize": q_w_events_sessionize,
         "j7_asof_join": q_j7_asof_join,
         "a_event_percentiles": q_a_event_percentiles,
+        "a_rollup": q_a_rollup,
+        "a_pivot": q_a_pivot,
         "u_set_ops": q_u_set_ops,
         "p6_word_explode": q_p6_word_explode,
         # training-data pipeline family
@@ -1091,6 +1115,21 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.9), 4) AS p90,
                    count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "a_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "a_pivot": """
+            SELECT source,
+                   count(*) FILTER (lang = 'en') AS en,
+                   count(*) FILTER (lang = 'zh') AS zh,
+                   count(*) FILTER (lang = 'de') AS de,
+                   count(*) FILTER (lang = 'es') AS es
+            FROM documents GROUP BY source
         """,
         "u_set_ops": """
             SELECT doc_id FROM (
