@@ -493,6 +493,31 @@ def q_sim_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation: deterministic hash-keyed sampling —
+    same selected set on any cluster/partitioning/day, monotone in
+    rate (operators/sampling.py). md5-keyed so DuckDB recomputes it
+    exactly."""
+    from wos_crawler_spark.operators.sampling import deterministic_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 0.3, salt="r2").select(
+        "doc_id"
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic rates (corpus re-balancing: heavy en
+    down-sampling etc.) — inline CASE rate lookup, no join."""
+    from wos_crawler_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang",
+        rates={"en": 0.5, "zh": 0.2, "de": 0.4}, default_rate=0.05,
+    ).select("doc_id", "lang")
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID (stopword-hit argmax, pure exprs)."""
     from wos_crawler_spark.operators.textquality import lang_id
@@ -871,6 +896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_cosine_near_dup": q_sim_cosine_near_dup,
         "sim_cosine_pairs_exact": q_sim_cosine_pairs_exact,
+        "sample_deterministic": q_sample_deterministic,
+        "sample_stratified": q_sample_stratified,
         "text_lang_id": q_text_lang_id,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
@@ -1186,6 +1213,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings c
                 CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
             ) WHERE rank <= 10
+        """,
+        "sample_deterministic": """
+            SELECT doc_id FROM documents
+            WHERE ('0x' || substr(md5(doc_id || 'r2'), 1, 8))::BIGINT
+                  / 4294967296.0 < 0.3
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  / 4294967296.0
+                  < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2
+                              WHEN 'de' THEN 0.4 ELSE 0.05 END
         """,
         "text_lang_id": f"""
             SELECT doc_id,

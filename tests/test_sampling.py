@@ -1,0 +1,71 @@
+"""Deterministic sampling operators: stability across partitionings,
+rate monotonicity (subset property), disjoint/exhaustive splits,
+per-stratum rates."""
+
+from pyspark.sql import functions as F
+
+from wos_crawler_spark.operators.sampling import (
+    deterministic_sample,
+    split_train_holdout,
+    stratified_sample,
+)
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("zh"), F.lit("de"), F.lit("es")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("lang"),
+    )
+
+
+def test_sample_stable_across_partitionings(spark):
+    df = _docs(spark)
+    a = {r["doc_id"] for r in deterministic_sample(df.repartition(3), "doc_id", 0.2).collect()}
+    b = {r["doc_id"] for r in deterministic_sample(df.repartition(17), "doc_id", 0.2).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_sample_rate_monotone_subset(spark):
+    df = _docs(spark)
+    s10 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.1).collect()}
+    s30 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.3).collect()}
+    assert s10 <= s30
+    # rates land near nominal (md5 uniformity; generous tolerance)
+    assert 0.05 < len(s10) / 2000 < 0.15
+    assert 0.24 < len(s30) / 2000 < 0.36
+
+
+def test_salt_gives_independent_samples(spark):
+    df = _docs(spark)
+    a = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.3, salt="x").collect()}
+    b = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.3, salt="y").collect()}
+    assert a != b
+    overlap = len(a & b) / max(len(a), 1)
+    assert 0.1 < overlap < 0.5  # ~rate under independence (0.3)
+
+
+def test_split_disjoint_exhaustive(spark):
+    df = _docs(spark)
+    train, hold = split_train_holdout(df, "doc_id", holdout_rate=0.25)
+    t = {r["doc_id"] for r in train.collect()}
+    h = {r["doc_id"] for r in hold.collect()}
+    assert t.isdisjoint(h)
+    assert len(t) + len(h) == 2000
+    assert 0.18 < len(h) / 2000 < 0.32
+
+
+def test_stratified_rates(spark):
+    df = _docs(spark)
+    out = stratified_sample(
+        df, "doc_id", "lang", rates={"en": 0.8, "zh": 0.1}, default_rate=0.0
+    )
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(by_lang) <= {"en", "zh"}  # default 0 drops de/es entirely
+    assert by_lang["en"] / 500 > 0.65
+    assert by_lang.get("zh", 0) / 500 < 0.2
