@@ -79,6 +79,32 @@ def test_resume_equals_uninterrupted(spark, tmp_path):
             assert tot[3] == m["scheduled"]
 
 
+def test_keep_wave_caches_false_releases_memory_same_metrics(spark, tmp_path):
+    """Long-crawl mode: per-wave caches released (fetch_log/parsed not
+    retained), counters + checkpoint artifacts identical to the
+    cache-keeping run — the checkpoint store is the durable record."""
+    pages, seeds, links, robots = _world(spark)
+    common = dict(delay_s=1.0, quota=4, max_depth=2, rows_per_bucket=8,
+                  parse=False, max_waves=3)
+    d_keep = str(tmp_path / "keep")
+    d_free = str(tmp_path / "free")
+    res_keep = run_crawl(
+        spark, pages, seeds, links, robots,
+        CrawlConfig(ckpt_dir=d_keep, keep_wave_caches=True, **common),
+    )
+    res_free = run_crawl(
+        spark, pages, seeds, links, robots,
+        CrawlConfig(ckpt_dir=d_free, keep_wave_caches=False, **common),
+    )
+    assert res_free.fetch_log is None and res_free.parsed is None
+    assert res_keep.metrics == res_free.metrics
+    for w in range(3):
+        assert ckpt.read_metrics(d_keep, w) == ckpt.read_metrics(d_free, w)
+    seen_keep = {r["url_hash"] for r in ckpt.read_seen(spark, d_keep, 2).collect()}
+    seen_free = {r["url_hash"] for r in ckpt.read_seen(spark, d_free, 2).collect()}
+    assert seen_keep == seen_free
+
+
 def test_torn_checkpoint_invisible(spark, tmp_path):
     """A wave dir without _COMMITTED must be ignored by resume."""
     pages, seeds, links, robots = _world(spark)

@@ -103,6 +103,42 @@ def test_unicode_passthrough():
     assert r["authors"][0]["full_name"] == "Müller, Hänsel"
 
 
+def test_cr_reference_single_token_journal_not_eaten_by_vp_slots():
+    """Journals starting with V/P (PEDIATRICS, VACCINE, ...) must not
+    be mis-parsed as volume/page — the V/P slots need a digit."""
+    rec = (
+        "PT J\nTI t\nCR Smith J, 1997, PEDIATRICS, V99, P93, "
+        "DOI 10.1000/ped\n   Jones K, 2001, VACCINE, V50, P1\n"
+        "UT WOS:000000000000042\nER"
+    )
+    refs = parse_export_text(rec)[0]["references"]
+    assert refs[0] == {
+        "first_author": "Smith J",
+        "pub_year": 1997,
+        "journal": "PEDIATRICS",
+        "volume": "99",
+        "start_page": "93",
+        "doi": "10.1000/ped",
+    }
+    assert refs[1]["journal"] == "VACCINE"
+    assert refs[1]["volume"] == "50" and refs[1]["start_page"] == "1"
+
+
+def test_malformed_continuation_indent_not_chopped():
+    """A wrapped line indented with 2 spaces (malformed export) keeps
+    its content — the parser must not chop 3 chars off real data."""
+    rec = "PT J\nTI first part\n  second part\nUT WOS:1\nER"
+    r = parse_export_text(rec)[0]
+    assert r["title"] == "first part second part"
+
+
+def test_embedded_bom_is_data_leading_bom_is_not():
+    rec = "﻿PT J\nTI has﻿mark\nUT WOS:2\nER"
+    r = parse_export_text(rec)[0]
+    assert r["title"] == "has﻿mark"  # embedded U+FEFF survives
+    assert r["unique_id"] == "2"          # leading BOM stripped
+
+
 def test_usage_count_u2_zero_not_falsy():
     """A legitimate ``U2 0`` must yield usage_count=0, NOT fall back to
     U1 (regression: `or` treated 0 as missing)."""

@@ -56,8 +56,6 @@ CANONICAL_TAG_ORDER = (
     "PU PI PA SN EI J9 JI PD PY VL IS BP EP DI PG WC SC GA UT"
 ).split()
 
-_TAG_RE = re.compile(r"^[A-Z][A-Z0-9] ")
-
 AUTHOR_SCHEMA = T.StructType(
     [
         T.StructField("rank", T.IntegerType()),
@@ -157,7 +155,11 @@ def _segment_fields(texts: pd.Series) -> pd.DataFrame:
     for idx, t in zip(texts.index, texts.tolist()):
         if not isinstance(t, str):
             t = ""
-        ls = t.replace("﻿", "").split("\n")
+        # strip a LEADING byte-order mark only — a U+FEFF embedded in
+        # field content is data and must survive to extracted_text
+        if t.startswith("﻿"):
+            t = t.lstrip("﻿")
+        ls = t.split("\n")
         lines.extend(ls)
         file_ids.extend([idx] * len(ls))
 
@@ -176,6 +178,7 @@ def _segment_fields(texts: pd.Series) -> pd.DataFrame:
         if not s:
             continue
         nonempty[j] = True
+        tagged = False
         c0 = s[0]
         if c0 != " " and "A" <= c0 <= "Z" and len(s) >= 2:
             c1 = s[1]
@@ -185,9 +188,16 @@ def _segment_fields(texts: pd.Series) -> pd.DataFrame:
                 tg = s[:2]
                 tag_at[j] = tg
                 has_tag[j] = True
+                tagged = True
                 if tg == "ER":
                     is_er[j] = True
-        values[j] = s[3:]
+        if tagged or s.startswith("   "):
+            values[j] = s[3:]
+        else:
+            # malformed continuation (2-space/tab/flush-left wrap):
+            # keep the content intact instead of blindly chopping the
+            # first 3 characters off real data
+            values[j] = s.lstrip(" \t")
 
     arange = np.arange(n)
     fi = np.asarray(file_ids)
@@ -365,9 +375,13 @@ def _parse_reference(line: str) -> dict:
             ref["pub_year"] = int(p)
         elif p.startswith("DOI "):
             ref["doi"] = p[4:]
-        elif re.match(r"^V\w+$", p) and ref["volume"] is None:
+        # V/P slots require a DIGIT after the prefix — ^V\w+/^P\w+ would
+        # swallow single-token journals (PEDIATRICS → start_page
+        # 'EDIATRICS', VACCINE → volume 'ACCINE'), which are common in
+        # real WoS exports
+        elif re.match(r"^V\d", p) and ref["volume"] is None:
             ref["volume"] = p[1:]
-        elif re.match(r"^P\w+$", p) and ref["start_page"] is None:
+        elif re.match(r"^P\d", p) and ref["start_page"] is None:
             ref["start_page"] = p[1:]
         else:
             rest.append(p)

@@ -21,8 +21,13 @@ from pyspark.sql import functions as F
 
 
 def url_path(url_col: Column) -> Column:
-    """Path component of a canonical URL ('' → '/')."""
-    p = F.regexp_extract(url_col, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    """Path + query of a canonical URL ('' → '/'). robots.txt rule
+    prefixes may reach into the query string (`/search?q=` is a
+    standard Disallow) — matching on the bare path would silently
+    allow everything such a rule denies. Canonical URLs carry no
+    fragment, so everything after the authority is matchable. The
+    single-threaded simulator matches the same span."""
+    p = F.regexp_extract(url_col, r"^[^:/?#]+://[^/?#]*([^#]*)", 1)
     return F.when(p == "", F.lit("/")).otherwise(p)
 
 

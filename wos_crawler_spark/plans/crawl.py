@@ -90,6 +90,14 @@ class CrawlConfig:
     bloom_prefilter: bool = True
     parse: bool = True
     ckpt_dir: str | None = None
+    #: Keep each wave's fetched/parsed caches alive so the returned
+    #: CrawlResult.fetch_log / .parsed read them for free (default —
+    #: benches and tests consume them). Long checkpointed crawls set
+    #: False: every wave's cache is unpersisted once its counters and
+    #: checkpoint are committed (the checkpoint store is the durable
+    #: record), so executor storage stays O(1) in wave count instead
+    #: of accumulating every wave's page payloads.
+    keep_wave_caches: bool = True
 
 
 @dataclass
@@ -159,9 +167,15 @@ def init_frontier(seeds: DataFrame, pages: DataFrame) -> DataFrame:
     # canonicalize in the SAME projection: fuses with the scan's
     # codegen stage, one pass over the pages cache.
     canon_pages = with_url_canon(pages.select("url", "text"))
-    seed_rows = None
-    if seeds.count() <= MAX_INLINE_SEEDS:
-        seed_rows = seeds.select("query_id", "term", "priority").collect()
+    # one bounded job probes size AND fetches the rows (count() +
+    # collect() would run the seeds plan twice)
+    seed_rows = (
+        seeds.select("query_id", "term", "priority")
+        .limit(MAX_INLINE_SEEDS + 1)
+        .collect()
+    )
+    if len(seed_rows) > MAX_INLINE_SEEDS:
+        seed_rows = None
     if seed_rows is not None:
         hits_arr = F.array(
             *[
@@ -569,14 +583,15 @@ def run_crawl(
             cfg, wave_start,
         )
         out.waves.append(res)
-        fetch_logs.append(
-            res.fetched.select(
-                "url", "url_hash", "host", "priority", "discovered_wave",
-                "scheduled_ts", "salt",
-            ).withColumn("wave", F.lit(wave))
-        )
-        if res.parsed is not None:
-            parsed_frames.append(res.parsed)
+        if cfg.keep_wave_caches:
+            fetch_logs.append(
+                res.fetched.select(
+                    "url", "url_hash", "host", "priority", "discovered_wave",
+                    "scheduled_ts", "salt",
+                ).withColumn("wave", F.lit(wave))
+            )
+            if res.parsed is not None:
+                parsed_frames.append(res.parsed)
         wave_start = res.next_start_ts
 
         def _build_wave_bloom() -> AnyBloom:
@@ -719,6 +734,13 @@ def run_crawl(
         frontier_n = int(nf_n)
         if res.candidates is not None:
             res.candidates.unpersist()  # next frontier is materialized now
+        if not cfg.keep_wave_caches and res.fetched is not None:
+            # all consumers (metrics agg, checkpoint, part_metrics) have
+            # run; release the wave's payload cache so executor storage
+            # stays O(1) in wave count on long crawls
+            res.fetched.unpersist()
+            res.fetched = None
+            res.parsed = None
         if not is_final:
             res.retried = int(retried_n or 0)
             res.expanded = int(nf_n) - res.retried
