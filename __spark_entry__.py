@@ -1241,7 +1241,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_token_counts": f"""
             SELECT doc_id,
-                   len({_WORDS}) AS n_tokens_ws,
+                   CASE WHEN {_NORM} = '' THEN 0
+                        ELSE len({_WORDS}) END AS n_tokens_ws,
                    len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_tokens_bpe
             FROM documents
         """,
@@ -1257,7 +1258,8 @@ def oracle_sql() -> dict[str, str]:
             FROM (
                 SELECT doc_id,
                        length(text) AS q_n_chars,
-                       len({_WORDS}) AS q_n_words,
+                       CASE WHEN {_NORM} = '' THEN 0
+                            ELSE len({_WORDS}) END AS q_n_words,
                        length({_NORM}) AS norm_len,
                        CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
                          / greatest(length(text), 1) AS punct_ratio,
@@ -1299,7 +1301,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.unique_id AS citing_uid, d.unique_id AS cited_uid,
                    r.ref_doi AS doi
             FROM {_snap("parsed_refs")} r
-            JOIN {_snap("parsed_docs")} d ON r.ref_doi = d.doi
+            JOIN {_snap("parsed_docs")} d
+              ON lower(r.ref_doi) = lower(d.doi)
         """,
         "a5_distinct_documents": f"""
             SELECT journal, count(*) AS n_docs, max(pub_year) AS max_year

@@ -74,3 +74,37 @@ def test_spark_bib_operator(spark):
         "000123456700002",
     ]
     assert rows[0]["title"] == "A study of café data — with dashes"
+
+
+def test_brace_protected_tokens_not_corrupted():
+    """`{{DNA} sequencing with {RNA}}`: the outer pair strips, but the
+    non-matching inner first/last braces must survive."""
+    bib = (
+        "@article{ x1,\nTitle = {{DNA} sequencing with {RNA}},\n"
+        "Year = {2020},\nUnique-ID = {WOS:111}}"
+    )
+    r = parse_bib_text(bib)[0]
+    assert r["title"] == "{DNA} sequencing with {RNA}"
+
+
+def test_wrapped_author_field_has_no_newlines():
+    bib = (
+        "@article{ x2,\nAuthor = {Smith,\n   John and Jones, K.},\n"
+        "Year = {2020},\nUnique-ID = {WOS:222}}"
+    )
+    r = parse_bib_text(bib)[0]
+    names = [a["full_name"] for a in r["authors"]]
+    assert names == ["Smith, John", "Jones, K."]
+    assert all("\n" not in n for n in names)
+    assert "\n" not in r["extracted_text"].split("AU ", 1)[1].split("\n", 1)[0]
+
+
+def test_entry_head_inside_braced_value_is_content():
+    bib = (
+        "@article{ x3,\nAbstract = {mentions @misc{note, a fake head} here},\n"
+        "Year = {2020},\nUnique-ID = {WOS:333}}\n"
+        "@article{ x4,\nYear = {2021},\nUnique-ID = {WOS:444}}"
+    )
+    recs = parse_bib_text(bib)
+    assert [r["unique_id"] for r in recs] == ["333", "444"]
+    assert "@misc{note" in recs[0]["abstract"]

@@ -224,3 +224,46 @@ def test_rolling_fingerprints(spark):
     arr = df.select(tq.rolling_fingerprints(F.col("text"), 8).alias("r")).first()["r"]
     assert len(arr) == 13  # 20 - 8 + 1
     assert len(set(arr)) == 13
+
+
+def test_empty_text_zero_tokens_low_quality(spark):
+    """Empty/whitespace docs: 0 whitespace tokens (split('') yields ['']
+    — must not count a phantom word), quality near floor, and no
+    phantom rolling fingerprint."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real words here")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in tq.quality_features(df).select(
+            "doc_id", "q_n_words", "q_score"
+        ).collect()
+    }
+    assert rows[1]["q_n_words"] == 0 and rows[2]["q_n_words"] == 0
+    assert rows[1]["q_score"] <= 0.3  # fails a typical quality gate
+    assert rows[3]["q_n_words"] == 3
+    fp = df.select(
+        "doc_id", tq.rolling_fingerprints(F.col("text"), 2).alias("r")
+    ).collect()
+    by_id = {r["doc_id"]: r["r"] for r in fp}
+    assert by_id[1] == [] and by_id[2] == []
+    assert len(by_id[3]) == 2
+
+
+def test_citation_links_case_insensitive_doi(spark):
+    """An uppercase CR DOI must still link to the lowercase DI."""
+    from wos_crawler_spark.operators.normalize import citation_links
+    from wos_crawler_spark.operators.parse_plaintext import parse_pages
+
+    a = (
+        "PT J\nTI citing\nCR Smith J, 2000, J EX, V1, P1, "
+        "DOI 10.1000/ABC\nUT WOS:1\nER"
+    )
+    b = "PT J\nTI cited\nDI 10.1000/abc\nUT WOS:2\nER"
+    pages = spark.createDataFrame(
+        [("u1", a), ("u2", b)], "url string, text string"
+    )
+    links = citation_links(parse_pages(pages)).collect()
+    assert len(links) == 1
+    assert links[0]["citing_uid"] == "1" and links[0]["cited_uid"] == "2"
+    assert links[0]["doi"] == "10.1000/ABC"  # original bytes kept

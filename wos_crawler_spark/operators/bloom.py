@@ -356,17 +356,33 @@ def build_banked_bloom(
     return out
 
 
+#: Executor-side deserialization cache (see dedup._BLOOM_CACHE — same
+#: rationale: from_bytes copies the full bit array; cache per task
+#: process keyed by broadcast id).
+_PREFILTER_CACHE: dict[int, "AnyBloom"] = {}
+_CACHE_TOKEN = 0
+
+
 def bloom_prefilter(df: DataFrame, bloom: AnyBloom, hash_col: str = "url_hash", keep_maybe_seen: bool = False) -> DataFrame:
     """Executor-side prefilter: drop rows the Bloom says are seen
     (definitely-new rows pass; 'maybe seen' rows go to the exact
     anti-join when ``keep_maybe_seen`` — see frontier.dedup)."""
     spark = df.sparkSession
     b = spark.sparkContext.broadcast(bloom.to_bytes())
+    global _CACHE_TOKEN
+    _CACHE_TOKEN += 1
+    token = _CACHE_TOKEN  # closure-captured cache key (Broadcast has no
+    # stable python-side id attribute across pyspark versions)
     cols = df.columns
     schema = df.schema
 
     def _filt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bf = bloom_from_bytes(b.value)
+        bf = _PREFILTER_CACHE.get(token)
+        if bf is None:
+            if len(_PREFILTER_CACHE) > 8:
+                _PREFILTER_CACHE.clear()
+            bf = bloom_from_bytes(b.value)
+            _PREFILTER_CACHE[token] = bf
         for pdf in batches:
             if not len(pdf):
                 continue

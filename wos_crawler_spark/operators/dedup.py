@@ -64,15 +64,32 @@ def dedup_intra_wave(candidates: DataFrame, hash_col: str = "url_hash") -> DataF
     )
 
 
+#: Executor-side cache of deserialized Bloom filters keyed by
+#: broadcast id: from_bytes copies the full bit array (MBs at real
+#: capacities), and the probe UDF runs once per Arrow batch — without
+#: the cache a 12 MB filter is re-copied hundreds of times per wave.
+_BLOOM_CACHE: dict[int, object] = {}
+_CACHE_TOKEN = 0
+
+
 def mark_maybe_seen(df: DataFrame, bloom: AnyBloom, hash_col: str = "url_hash") -> DataFrame:
     """Attach boolean ``maybe_seen`` from the broadcast Bloom (either
     flavor — monolithic or bank-sharded)."""
     spark = df.sparkSession
     b = spark.sparkContext.broadcast(bloom.to_bytes())
+    global _CACHE_TOKEN
+    _CACHE_TOKEN += 1
+    token = _CACHE_TOKEN  # closure-captured cache key (Broadcast has no
+    # stable python-side id attribute across pyspark versions)
 
     @F.pandas_udf("boolean")
     def _maybe(h: pd.Series) -> pd.Series:
-        bf = bloom_from_bytes(b.value)
+        bf = _BLOOM_CACHE.get(token)
+        if bf is None:
+            if len(_BLOOM_CACHE) > 8:  # previous waves' filters
+                _BLOOM_CACHE.clear()
+            bf = bloom_from_bytes(b.value)
+            _BLOOM_CACHE[token] = bf
         return pd.Series(bf.might_contain(h.to_numpy()))
 
     return df.withColumn("maybe_seen", _maybe(F.col(hash_col)))

@@ -129,11 +129,14 @@ def normalize_all(parsed: DataFrame) -> dict[str, DataFrame]:
 
 def citation_links(parsed: DataFrame) -> DataFrame:
     """J6: self-join references_ ⋈ documents on DOI — citation edges the
-    normalized schema exists for (SURVEY.md §2.3)."""
+    normalized schema exists for (SURVEY.md §2.3). DOIs are
+    case-insensitive by spec and WoS CR lines routinely carry uppercase
+    variants of a lowercase DI — the join key is lowercased on both
+    sides (the emitted ``doi`` keeps the reference's original bytes)."""
     refs = references_table(parsed).filter(F.col("doi").isNotNull())
     docs = documents_table(parsed).select(
         F.col("unique_id").alias("cited_uid"), F.col("doi").alias("cited_doi")
     )
-    return refs.join(docs, refs.doi == docs.cited_doi, "inner").select(
-        F.col("unique_id").alias("citing_uid"), "cited_uid", "doi"
-    )
+    return refs.join(
+        docs, F.lower(refs.doi) == F.lower(docs.cited_doi), "inner"
+    ).select(F.col("unique_id").alias("citing_uid"), "cited_uid", "doi")

@@ -60,10 +60,15 @@ def latex_unescape(s: str) -> str:
 
 _ENTRY_HEAD_RE = re.compile(r"@(\w+)\s*\{\s*([^,\s{}]+)\s*,")
 _FIELD_KEY_RE = re.compile(r"\s*([\w\-]+)\s*=\s*")
+_ENTRY_END_RE = re.compile(r"\s*(\}|@|\Z)")
+_BARE_VAL_RE = re.compile(r"[^,\n]*")
+_COMMA_RE = re.compile(r"\s*,")
 
 
 def _scan_braced(s: str, pos: int) -> tuple[str, int]:
-    """Read a balanced-brace or quoted or bare value starting at pos."""
+    """Read a balanced-brace or quoted or bare value starting at pos.
+    Pos-based matching throughout — slicing the remaining payload per
+    field would be O(n²) memcpy over a 500-record export page."""
     if pos < len(s) and s[pos] == "{":
         depth = 0
         start = pos
@@ -82,24 +87,32 @@ def _scan_braced(s: str, pos: int) -> tuple[str, int]:
             return s[pos + 1 :], len(s)
         return s[pos + 1 : end], end + 1
     # bare value up to comma / newline
-    m = re.match(r"[^,\n]*", s[pos:])
-    return m.group(0).strip(), pos + m.end()
+    m = _BARE_VAL_RE.match(s, pos)
+    return m.group(0).strip(), m.end()
 
 
 def parse_bibtex_entries(text: str) -> list[dict]:
     """Tokenize a .bib payload into (entry_type, citekey, fields) dicts.
-    Field names lowercased; values brace-stripped + LaTeX de-escaped."""
+    Field names lowercased; values brace-stripped + LaTeX de-escaped.
+    Entry heads are searched only OUTSIDE the previous entry's consumed
+    span — an '@misc{x,' inside a braced abstract is field content,
+    not a record."""
     entries = []
-    for m in _ENTRY_HEAD_RE.finditer(text):
+    search_from = 0
+    while True:
+        m = _ENTRY_HEAD_RE.search(text, search_from)
+        if not m:
+            break
         etype, citekey = m.group(1).lower(), m.group(2)
         if etype in ("comment", "string", "preamble"):
+            search_from = m.end()
             continue
         pos = m.end()
         fields: dict[str, str] = {}
         while pos < len(text):
-            # end of entry?
-            stripped = text[pos:].lstrip()
-            if stripped.startswith("}") or stripped.startswith("@") or not stripped:
+            # end of entry? (next non-space is '}', '@', or EOF)
+            em = _ENTRY_END_RE.match(text, pos)
+            if em and em.group(1) in ("}", "@", ""):
                 break
             km = _FIELD_KEY_RE.match(text, pos)
             if not km:
@@ -108,14 +121,31 @@ def parse_bibtex_entries(text: str) -> list[dict]:
             val, pos = _scan_braced(text, km.end())
             val = re.sub(r"\s*\n\s*", "\n", val)  # keep \n list separators
             fields[key] = val
-            cm = re.match(r"\s*,", text[pos:])
-            pos += cm.end() if cm else 0
+            cm = _COMMA_RE.match(text, pos)
+            if cm:
+                pos = cm.end()
         entries.append({"type": etype, "citekey": citekey, "fields": fields})
+        search_from = pos
     return entries
 
 
+def _outer_pair_matches(v: str) -> bool:
+    """True iff v's first '{' closes at v's last character."""
+    depth = 0
+    for i, ch in enumerate(v):
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0:
+                return i == len(v) - 1
+    return False
+
+
 def _strip_outer_braces(v: str) -> str:
-    while v.startswith("{") and v.endswith("}"):
+    # only strip when the leading '{' actually matches the trailing '}'
+    # — '{DNA} sequencing with {RNA}' must NOT lose its protections
+    while v.startswith("{") and v.endswith("}") and _outer_pair_matches(v):
         v = v[1:-1]
     return v
 
@@ -131,14 +161,25 @@ def _bib_to_tag_fields(entry: dict) -> dict:
     then reuse the shared record assembly (same schema, same
     extracted_text byte contract)."""
     fl = entry["fields"]
+    _cleaned: dict = {}
 
     def c(key):
-        return _clean(fl.get(key))
+        # memoized: _clean runs the 17-pass latex_unescape over
+        # multi-KB values — every call site probes then uses the value
+        if key not in _cleaned:
+            _cleaned[key] = _clean(fl.get(key))
+        return _cleaned[key]
 
     tag: dict = {}
     pt = {"article": "J", "inproceedings": "C", "book": "B"}.get(entry["type"], "J")
     tag["PT"] = [pt]
-    authors = [a.strip() for a in re.split(r"\s+and\s+", _strip_outer_braces(fl.get("author", ""))) if a.strip()]
+    # wrapped author fields carry \n from the \s*\n\s* rewrite — a
+    # break inside a name must become a space, not survive into
+    # full_name / the extracted_text byte stream
+    raw_author = _strip_outer_braces(fl.get("author", "")).replace("\n", " ")
+    authors = [
+        a.strip() for a in re.split(r"\s+and\s+", raw_author) if a.strip()
+    ]
     authors = [latex_unescape(a) for a in authors]
     if authors:
         tag["AU"] = authors

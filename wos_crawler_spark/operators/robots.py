@@ -26,8 +26,10 @@ def url_path(url_col: Column) -> Column:
     standard Disallow) — matching on the bare path would silently
     allow everything such a rule denies. Canonical URLs carry no
     fragment, so everything after the authority is matchable. The
-    single-threaded simulator matches the same span."""
-    p = F.regexp_extract(url_col, r"^[^:/?#]+://[^/?#]*([^#]*)", 1)
+    single-threaded simulator matches the same span. The scheme may be
+    EMPTY (urlnorm's degenerate scheme-less canonical form) — the
+    simulator's split('://')[1] handles it, so the engine must too."""
+    p = F.regexp_extract(url_col, r"^[^:/?#]*://[^/?#]*([^#]*)", 1)
     return F.when(p == "", F.lit("/")).otherwise(p)
 
 

@@ -46,8 +46,14 @@ def lang_id(text: Column) -> Column:
 
 
 def token_count_ws(text: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(words_of(text))
+    """Whitespace token count. Empty/whitespace-only (or null) text is
+    0 tokens — ``split('', ' ')`` yields ``['']`` (size 1), which would
+    hand empty documents one phantom word and let them sneak past
+    length-based quality filters."""
+    n = norm_text(text)
+    return F.when(
+        n.isNull() | (n == ""), F.lit(0)
+    ).otherwise(F.size(words_of(text)))
 
 
 def token_count_bpe(text: Column) -> Column:
@@ -98,7 +104,11 @@ def doc_fingerprint(text: Column) -> Column:
 def rolling_fingerprints(text: Column, window: int = 8) -> Column:
     """Winnowing-style rolling fingerprints: xxhash64 of each
     ``window``-word shingle → array<long>. Min-sampled variants are a
-    downstream array_min over slices."""
+    downstream array_min over slices. Empty text → empty array (not
+    one fingerprint of '')."""
     w = words_of(text)
     idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(w) - (window - 1)))
-    return F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, window))))
+    fps = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, window)))
+    )
+    return F.when(norm_text(text) == "", F.array().cast("array<bigint>")).otherwise(fps)

@@ -50,7 +50,9 @@ def windowed_ingest_stats(
         .groupBy(F.window("warc_ts", window).alias("w"), "lang")
         .agg(
             F.count(F.lit(1)).alias("n_pages"),
-            F.sum(F.length("text")).alias("text_bytes"),
+            # octet_length = actual UTF-8 bytes (length() counts CHARS
+            # — 3x under-report on CJK corpora)
+            F.sum(F.octet_length("text")).alias("text_bytes"),
         )
         .select(
             F.col("w.start").alias("window_start"),
