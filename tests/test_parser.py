@@ -220,6 +220,19 @@ def test_xml_parse_equals_plaintext_parse():
             assert rec[key] == exp[key], (i, key)
 
 
+def test_xml_parse_malformed_degrades():
+    """Truncated/junk XML yields [] instead of raising ParseError —
+    one bad page must not abort a whole mapInPandas batch."""
+    from wos_crawler_spark.operators.parse_xml import parse_xml_text
+
+    good = wosgen.xml_export_payload([0, 1], 2)
+    assert parse_xml_text(good[: len(good) // 2]) == []  # truncated
+    assert parse_xml_text("not xml at all <<<") == []
+    assert parse_xml_text("") == []
+    # and a good payload still parses after the guard
+    assert len(parse_xml_text(good)) == 2
+
+
 # ----------------------------------------------------- Spark operator
 
 

@@ -57,6 +57,27 @@ def test_split_disjoint_exhaustive(spark):
     assert 0.18 < len(h) / 2000 < 0.32
 
 
+def test_null_keys_not_lost(spark):
+    # NULL keys must land in EXACTLY one side of a split (the
+    # exhaustiveness contract) — pre-fix they vanished from both.
+    df = spark.range(100).select(
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id").cast("string"))
+        .alias("doc_id")
+    )
+    train, hold = split_train_holdout(df, "doc_id", holdout_rate=0.25)
+    assert train.count() + hold.count() == 100
+    # all-NULL block moves together (one shared draw)
+    n_null_t = train.filter(F.col("doc_id").isNull()).count()
+    n_null_h = hold.filter(F.col("doc_id").isNull()).count()
+    assert (n_null_t, n_null_h) in {(10, 0), (0, 10)}
+    # deterministic_sample keeps-or-drops the NULL block atomically too
+    kept = deterministic_sample(df, "doc_id", 0.5).filter(
+        F.col("doc_id").isNull()
+    ).count()
+    assert kept in (0, 10)
+
+
 def test_stratified_rates(spark):
     df = _docs(spark)
     out = stratified_sample(

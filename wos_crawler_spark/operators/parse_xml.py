@@ -30,8 +30,13 @@ from wos_crawler_spark.operators.parse_plaintext import (
 
 
 def parse_xml_text(text: str, url: str | None = None) -> list[dict]:
-    """Parse one XML export payload → record dicts."""
-    root = ElementTree.fromstring(text)
+    """Parse one XML export payload → record dicts. A malformed or
+    truncated file yields [] (degrade like the plaintext/tab/bibtex
+    parsers — one bad page must not abort the whole Spark job)."""
+    try:
+        root = ElementTree.fromstring(text)
+    except ElementTree.ParseError:
+        return []
     out = []
     for rec_el in root.iter("REC"):
         fields: dict[str, list[str]] = {}

@@ -25,9 +25,21 @@ from pyspark.sql import functions as F
 _DENOM = float(1 << 32)
 
 
+#: NULL keys hash to this sentinel string instead of propagating NULL —
+#: without it a NULL key makes BOTH split filters evaluate to NULL and
+#: the row silently vanishes from train AND holdout, breaking the
+#: exhaustiveness contract. A real key would have to stringify to a
+#: NUL-prefixed literal to collide.
+_NULL_KEY = "\x00null"
+
+
 def sample_hash(key: Column, salt: str = "") -> Column:
-    """Uniform [0, 1) per key: first 8 md5 hex digits / 2^32."""
-    k = F.concat(key.cast("string"), F.lit(salt)) if salt else key.cast("string")
+    """Uniform [0, 1) per key: first 8 md5 hex digits / 2^32.
+    NULL keys are coalesced to a sentinel so every row gets a decision
+    (all NULL-key rows share one draw — they move as a block)."""
+    k = F.coalesce(key.cast("string"), F.lit(_NULL_KEY))
+    if salt:
+        k = F.concat(k, F.lit(salt))
     return F.conv(F.substring(F.md5(k), 1, 8), 16, 10).cast("double") / F.lit(
         _DENOM
     )

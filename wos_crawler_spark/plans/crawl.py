@@ -392,7 +392,7 @@ def run_wave(
     # bucketed by origin kind (seed/link/retry) per partition.
     bytes_agg = (
         F.sum(
-            F.when(F.col("text").isNotNull(), F.length("text")).otherwise(0)
+            F.when(F.col("text").isNotNull(), F.octet_length("text")).otherwise(0)
         )
         if "text" in fetched.columns
         else F.sum(F.lit(0))
