@@ -173,6 +173,57 @@ def bench_parse(spark) -> tuple[float, dict]:
     }
 
 
+def bench_signatures(spark) -> tuple[float, dict]:
+    """LSH hyperplane-signature throughput (the ANN/near-dup corpus
+    scan's dominant cost at production dim): Arrow matmul path over a
+    deterministic synthetic vector set, 8 tables × 16 planes. The
+    interpreted Catalyst-expr twin is timed on a 1/32 slice and
+    reported as a per-vector speedup ratio (extra keys only — it is
+    the twin we engineered away, not a headline workload)."""
+    from pyspark.sql import functions as F
+
+    from wos_crawler_spark.operators.similarity import (
+        attach_hyperplane_signatures,
+        hyperplane_signature,
+    )
+
+    n, dim, n_tables, n_planes = N_PAGES // 2, 64, 8, 16
+    vecs = spark.range(n, numPartitions=CPUS * 2).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)) / 500.0 - 1.0
+            ).cast("float"),
+        ).alias("embedding"),
+    ).persist()
+    vecs.count()
+    t0 = time.time()
+    attach_hyperplane_signatures(vecs, dim, n_planes, n_tables).select(
+        F.sum(F.col("_sigs")[0])
+    ).first()
+    dt = time.time() - t0
+    # expr twin on a slice — per-vector ratio, not a headline line
+    n_slice = max(n // 32, 1)
+    sl = vecs.filter(F.col("vec_id") < n_slice)
+    t0 = time.time()
+    sl.select(
+        *[
+            hyperplane_signature(F.col("embedding"), dim, n_planes, table=t)
+            .alias(f"s{t}")
+            for t in range(n_tables)
+        ]
+    ).select(F.sum("s0")).first()
+    dt_expr = time.time() - t0
+    vecs.unpersist()
+    return dt, {
+        "sig_vecs": n,
+        "sig_vecs_per_sec": round(n / dt, 1),
+        "sig_expr_slice_vecs_per_sec": round(n_slice / dt_expr, 1),
+        "sig_matmul_speedup_x": round((n / dt) / (n_slice / dt_expr), 1),
+    }
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -197,6 +248,14 @@ def main() -> None:
         if best is None or dt < best[0]:
             best = (dt, info)
     queries["parse_wos_plaintext"] = round(best[0], 3)
+    extra.update(best[1])
+
+    best = None
+    for _ in range(2):
+        dt, info = bench_signatures(spark)
+        if best is None or dt < best[0]:
+            best = (dt, info)
+    queries["lsh_signatures"] = round(best[0], 3)
     extra.update(best[1])
 
     qmap = entrymod.queries()

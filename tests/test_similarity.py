@@ -149,3 +149,62 @@ def test_cosine_near_dup_pairs(spark, emb, dim):
         emb.unionByName(dup), threshold=0.999, dim=dim, n_planes=8
     ).collect()
     assert any((r["id_a"], r["id_b"]) == (0, 9999) for r in pairs)
+
+
+def test_xxh64_int_matches_spark(spark):
+    """The numpy XXH64 twin is bit-equal to Spark's xxhash64 over
+    chained IntegerType columns — the rule the plane matrix derives
+    from."""
+    import numpy as np
+
+    pairs = [
+        (s, i)
+        for s in [0, 1, 7, 123, 2**20, 2**30]
+        for i in [0, 1, 2, 63, 999, 2**31 - 1]
+    ]
+    row = spark.range(1).select(
+        *[
+            F.xxhash64(F.lit(s), F.lit(i)).alias(f"h{k}")
+            for k, (s, i) in enumerate(pairs)
+        ]
+    ).first()
+    with np.errstate(over="ignore"):
+        for k, (s, i) in enumerate(pairs):
+            h = sim._xxh64_int(
+                np.uint64(i), sim._xxh64_int(np.uint64(s), np.uint64(42))
+            )
+            assert np.int64(h) == row[f"h{k}"], (s, i)
+
+
+def test_matmul_signatures_bit_equal_expr(emb, dim):
+    """Arrow-matmul signatures ≡ interpreted Catalyst-expr signatures,
+    per row, per table — so snapshot pins and oracle entries hold
+    regardless of which path computed them."""
+    n_planes, n_tables = 6, 3
+    expr_cols = [
+        sim.hyperplane_signature(F.col("embedding"), dim, n_planes, table=t)
+        .alias(f"e{t}")
+        for t in range(n_tables)
+    ]
+    both = sim.attach_hyperplane_signatures(
+        emb.select("vec_id", "embedding", *expr_cols),
+        dim, n_planes, n_tables,
+    ).collect()
+    assert len(both) > 0
+    for r in both:
+        for t in range(n_tables):
+            assert r["_sigs"][t] == r[f"e{t}"], (r["vec_id"], t)
+
+
+def test_lsh_candidates_matmul_equals_expr(emb, queries, dim):
+    m = sim.lsh_candidates(
+        emb, queries, dim=dim, n_planes=6, n_tables=2, probe_hamming=1,
+        use_matmul=True,
+    )
+    e = sim.lsh_candidates(
+        emb, queries, dim=dim, n_planes=6, n_tables=2, probe_hamming=1,
+        use_matmul=False,
+    )
+    ms = {(r["q_id"], r["vec_id"]) for r in m.collect()}
+    es = {(r["q_id"], r["vec_id"]) for r in e.collect()}
+    assert ms == es and len(ms) > 0

@@ -64,6 +64,97 @@ def brute_force_topk(
     )
 
 
+# --------------------------------------------------------------------
+# Vectorized hyperplane signatures (the scale path).
+#
+# The Catalyst-expr version below (`hyperplane_signature`) evaluates
+# n_planes separate F.aggregate(F.zip_with(...)) passes per vector;
+# higher-order functions run INTERPRETED (outside whole-stage codegen),
+# so the corpus scan pays ~n_tables·n_planes·dim interpreted ops per
+# row — the dominant cost at production dim (384–1536) × 10^9 vectors.
+# The matmul twin reproduces Spark's xxhash64 plane rule bit-for-bit in
+# numpy (equality pinned in tests/test_similarity.py), builds the
+# (n_tables·n_planes × dim) ±1 matrix ONCE per executor via broadcast,
+# and emits every table's signature in ONE Arrow-batched matmul — the
+# `ivf_assign` pattern. The expr version stays as the oracle/snapshot
+# twin.
+
+_XXH_P1 = np.uint64(0x9E3779B185EBCA87)
+_XXH_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XXH_P3 = np.uint64(0x165667B19E3779F9)
+_XXH_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_XXH_P5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _rotl64(x, r: int):
+    r = np.uint64(r)
+    return (x << r) | (x >> (np.uint64(64) - r))
+
+
+def _xxh64_fmix(h):
+    h = h ^ (h >> np.uint64(33))
+    h = h * _XXH_P2
+    h = h ^ (h >> np.uint64(29))
+    h = h * _XXH_P3
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def _xxh64_int(x, seed):
+    """Spark ``XXH64.hashInt`` (xxhash64 over one IntegerType column),
+    vectorized over numpy uint64 arrays. Bit-equal to
+    ``F.xxhash64(...)`` — pinned against Spark in tests."""
+    h = seed + _XXH_P5 + np.uint64(4)
+    h = h ^ ((x & np.uint64(0xFFFFFFFF)) * _XXH_P1)
+    h = _rotl64(h, 23) * _XXH_P2 + _XXH_P3
+    return _xxh64_fmix(h)
+
+
+def plane_sign_matrix(dim: int, n_planes: int, n_tables: int = 1) -> np.ndarray:
+    """(n_tables·n_planes, dim) float64 ±1 plane matrix from the SAME
+    rule as :func:`hyperplane_signature`:
+    ``sign(p, i) = +1 iff pmod(xxhash64(lit(seed_p), i), 2) == 0`` with
+    ``seed_p = table·n_planes + p``. xxhash64 chains column hashes:
+    ``h = hashInt(i, hashInt(seed_p, 42))``; pmod(h, 2) ≡ h & 1."""
+    with np.errstate(over="ignore"):
+        seeds = np.arange(n_tables * n_planes, dtype=np.uint64)
+        h1 = _xxh64_int(seeds, np.uint64(42))  # per-plane chained seed
+        i = np.arange(dim, dtype=np.uint64)
+        H = _xxh64_int(i[None, :], h1[:, None])  # (T·P, dim)
+    return np.where((H & np.uint64(1)) == 0, 1.0, -1.0)
+
+
+def attach_hyperplane_signatures(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    n_tables: int = 1,
+    vec_col: str = "embedding",
+    out_col: str = "_sigs",
+) -> DataFrame:
+    """Append ``out_col: array<int>`` of all ``n_tables`` signatures in
+    one Arrow matmul per batch (plane matrix broadcast once, built on
+    the driver — n_tables·n_planes·dim doubles, driver-scale)."""
+    signs = plane_sign_matrix(dim, n_planes, n_tables)
+    b_signs = df.sparkSession.sparkContext.broadcast(signs)
+    weights = np.tile(
+        (np.int64(1) << np.arange(n_planes, dtype=np.int64)), n_tables
+    )
+
+    @F.pandas_udf("array<int>")
+    def _sigs(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        S = b_signs.value
+        M = np.array(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        proj = M @ S.T  # (n, T·P) — all tables, one matmul
+        bits = (proj > 0).astype(np.int64) * weights
+        sigs = bits.reshape(len(M), n_tables, n_planes).sum(axis=2)
+        return pd.Series(list(sigs.astype(np.int32)))
+
+    return df.withColumn(out_col, _sigs(F.col(vec_col)))
+
+
 def hyperplane_signature(
     vec: Column, dim: int, n_planes: int = 16, table: int = 0
 ) -> Column:
@@ -108,11 +199,17 @@ def lsh_candidates(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    use_matmul: bool = True,
 ) -> DataFrame:
     """Candidate (q_id, vec_id) pairs for :func:`lsh_topk` — multi-
     table, multi-probe bucket collisions, deduped. Exposed separately
     so the candidate set can be audited / snapshot-pinned while the
-    scoring+ranking stays SQL-recomputable."""
+    scoring+ranking stays SQL-recomputable.
+
+    ``use_matmul=True`` (default) computes ALL tables' corpus- and
+    query-side signatures in one Arrow matmul per batch
+    (:func:`attach_hyperplane_signatures`); ``False`` keeps the
+    interpreted Catalyst-expr twin (bit-equal — pinned in tests)."""
     if n_probes is None:
         n_probes = n_planes
     n_probes = min(n_probes, n_planes)
@@ -129,30 +226,48 @@ def lsh_candidates(
     def sig_t(col: Column, t: int) -> Column:
         return hyperplane_signature(col, dim, n_planes, table=t)
 
-    c_sigs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("_t"), sig_t(F.col(vec_col), t).alias("_sig")
+    if use_matmul:
+        # one Arrow matmul emits all tables' signatures; posexplode
+        # recovers the (table, sig) key pair positionally
+        c_keys = (
+            attach_hyperplane_signatures(
+                corpus.select(id_col, vec_col), dim, n_planes, n_tables,
+                vec_col=vec_col,
             )
-            for t in range(n_tables)
-        ]
-    )
-    c_keys = corpus.select(id_col, F.explode(c_sigs).alias("_ts")).select(
-        id_col, F.col("_ts._t").alias("_t"), F.col("_ts._sig").alias("_sig")
-    )
-    # compute each table's signature ONCE per query row, THEN fan out
-    # the XOR flips over the materialized column — inlining the O(dim·
-    # n_planes) aggregate into every flip would multiply query-side
-    # compute ×len(flips) (Catalyst's CollapseProject keeps the
-    # projection boundary: the producer expression is non-cheap and
-    # multiply-referenced).
-    q_sig = queries.select(
-        q_id_col,
-        *[
-            sig_t(F.col(q_vec_col), t).alias(f"_s{t}")
-            for t in range(n_tables)
-        ],
-    )
+            .select(id_col, F.posexplode("_sigs").alias("_t", "_sig"))
+        )
+        q_sig = attach_hyperplane_signatures(
+            queries.select(q_id_col, q_vec_col), dim, n_planes, n_tables,
+            vec_col=q_vec_col,
+        ).select(
+            q_id_col,
+            *[F.col("_sigs")[t].alias(f"_s{t}") for t in range(n_tables)],
+        )
+    else:
+        c_sigs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("_t"), sig_t(F.col(vec_col), t).alias("_sig")
+                )
+                for t in range(n_tables)
+            ]
+        )
+        c_keys = corpus.select(id_col, F.explode(c_sigs).alias("_ts")).select(
+            id_col, F.col("_ts._t").alias("_t"), F.col("_ts._sig").alias("_sig")
+        )
+        # compute each table's signature ONCE per query row, THEN fan
+        # out the XOR flips over the materialized column — inlining the
+        # O(dim·n_planes) aggregate into every flip would multiply
+        # query-side compute ×len(flips) (Catalyst's CollapseProject
+        # keeps the projection boundary: the producer expression is
+        # non-cheap and multiply-referenced).
+        q_sig = queries.select(
+            q_id_col,
+            *[
+                sig_t(F.col(q_vec_col), t).alias(f"_s{t}")
+                for t in range(n_tables)
+            ],
+        )
     q_probes = F.array(
         *[
             F.struct(
@@ -476,13 +591,22 @@ def cosine_near_dup_pairs(
     n_planes: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_matmul: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked: only pairs
     sharing a hyperplane bucket are scored (near-identical vectors
-    collide with high probability)."""
+    collide with high probability). ``use_matmul`` picks the Arrow
+    matmul signature path (default) vs the Catalyst-expr twin."""
     if dim is None:
         raise ValueError("dim required (embedding length)")
-    s = df.withColumn("_sig", hyperplane_signature(F.col(vec_col), dim, n_planes))
+    if use_matmul:
+        s = attach_hyperplane_signatures(
+            df.select(id_col, vec_col), dim, n_planes, 1, vec_col=vec_col
+        ).select(id_col, vec_col, F.col("_sigs")[0].alias("_sig"))
+    else:
+        s = df.withColumn(
+            "_sig", hyperplane_signature(F.col(vec_col), dim, n_planes)
+        )
     a = s.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "_sig")
     b = s.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "_sig")
     return (
