@@ -451,6 +451,28 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("q_id", "vec_id", "rank", "n_candidates")
 
 
+def q_sim_index_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k through the PERSISTED-INDEX surface (build → stored
+    key-table join → candidate re-rank; operators/annindex.py). Same
+    params as sim_lsh_topk, so the oracle is the same SQL over the
+    pinned candidate set — the index path must reproduce the one-shot
+    operator exactly (also pinned in tests/test_annindex.py, including
+    the no-corpus-rescan plan assertion)."""
+    from wos_crawler_spark.operators.annindex import (
+        lsh_build_index,
+        lsh_query_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    idx = lsh_build_index(emb, dim=64, n_planes=6, n_tables=2)
+    return lsh_query_index(idx, queries, k=10, probe_hamming=1).select(
+        "q_id", "vec_id", "rank", "n_candidates"
+    )
+
+
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k (the inverted-file scale path next to LSH):
     deterministic spherical k-means cells, n_probe nearest cells per
@@ -893,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_index_lsh_topk": q_sim_index_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_cosine_near_dup": q_sim_cosine_near_dup,
         "sim_cosine_pairs_exact": q_sim_cosine_pairs_exact,
@@ -1411,6 +1434,51 @@ def oracle_sql() -> dict[str, str]:
                        count(*) OVER (PARTITION BY q_id) AS n_candidates
                 FROM s
             ) WHERE rank <= 10
+            UNION ALL
+            -- in-band starvation rows: queries with ZERO candidates
+            -- (empty at this sf — self-bucket always hits — but the
+            -- contract is part of the operator's output)
+            SELECT q.vec_id AS q_id, CAST(NULL AS BIGINT) AS vec_id,
+                   CAST(NULL AS INTEGER) AS rank,
+                   CAST(0 AS BIGINT) AS n_candidates
+            FROM embeddings q
+            WHERE q.vec_id < 3 AND q.vec_id NOT IN (
+                SELECT q_id FROM {_snap("lsh_cand_sf001")}
+            )
+        """,
+        "sim_index_lsh_topk": f"""
+            -- identical contract to sim_lsh_topk: the persisted-index
+            -- path (build → key-table join → re-rank) must reproduce
+            -- the one-shot operator's output exactly
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            s AS (
+                SELECT c.q_id, c.vec_id,
+                       list_cosine_similarity(ce.v, qe.v) AS cos
+                FROM {_snap("lsh_cand_sf001")} c
+                JOIN e ce ON ce.vec_id = c.vec_id
+                JOIN e qe ON qe.vec_id = c.q_id
+            )
+            SELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank,
+                   n_candidates
+            FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (
+                         PARTITION BY q_id ORDER BY cos DESC, vec_id
+                       ) AS rank,
+                       count(*) OVER (PARTITION BY q_id) AS n_candidates
+                FROM s
+            ) WHERE rank <= 10
+            UNION ALL
+            SELECT q.vec_id AS q_id, CAST(NULL AS BIGINT) AS vec_id,
+                   CAST(NULL AS INTEGER) AS rank,
+                   CAST(0 AS BIGINT) AS n_candidates
+            FROM embeddings q
+            WHERE q.vec_id < 3 AND q.vec_id NOT IN (
+                SELECT q_id FROM {_snap("lsh_cand_sf001")}
+            )
         """,
         "sim_ivf_topk": f"""
             WITH e AS (
@@ -1434,6 +1502,14 @@ def oracle_sql() -> dict[str, str]:
                        count(*) OVER (PARTITION BY q_id) AS n_candidates
                 FROM s
             ) WHERE rank <= 10
+            UNION ALL
+            SELECT q.vec_id AS q_id, CAST(NULL AS BIGINT) AS vec_id,
+                   CAST(NULL AS INTEGER) AS rank,
+                   CAST(0 AS BIGINT) AS n_candidates
+            FROM embeddings q
+            WHERE q.vec_id < 3 AND q.vec_id NOT IN (
+                SELECT q_id FROM {_snap("ivf_cand_sf001")}
+            )
         """,
         "sim_cosine_near_dup": f"""
             -- output pin: the blocked pair set (threshold semantics

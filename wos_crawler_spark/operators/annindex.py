@@ -1,0 +1,267 @@
+"""Persisted ANN index surface: build once, query many times.
+
+:func:`~wos_crawler_spark.operators.similarity.lsh_topk` /
+``ivf_topk`` are one-shot — every call re-derives the corpus-side
+structure (IVF even re-trains centroids with ``n_iter`` corpus scans).
+That is the right contract for a single curation pass, but a reusable
+pipeline component needs the classic split:
+
+- **build**: one pass over the embeddings producing a stored index —
+  LSH: a ``(id, _t, _sig)`` key table; IVF: a k×dim centroid matrix +
+  ``(id, vec, _cluster)`` cell assignments;
+- **query**: a hash join of query probes against the stored index +
+  exact cosine re-rank of candidates only. The corpus embeddings
+  parquet is NEVER re-scanned at query time (pinned by plan assertion
+  in tests/test_annindex.py).
+
+Storage layout (plain parquet dirs — the same files work as Iceberg
+table payloads):
+
+- IVF cells are written ``partitionBy("_cluster")`` so a probe of
+  ``n_probe`` of ``n_centroids`` cells prunes to n_probe/n_centroids of
+  the index files (static partition pruning via the IN-filter fast
+  path for driver-known probe sets, dynamic partition pruning for the
+  join path — the Iceberg-partitioned twin of the same layout).
+- LSH keys are written sorted by ``(_t, _sig)`` (row-group min/max
+  stats make bucket probes skip most row groups).
+
+Both index types carry the exact build parameters in a ``_meta.json``
+sidecar; :func:`lsh_load_index` / :func:`ivf_load_index` refuse
+parameter drift (querying a 12-plane index with 16-plane probes
+silently returns garbage otherwise).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wos_crawler_spark.operators.similarity import (
+    corpus_signature_keys,
+    ivf_assign,
+    ivf_query_probes,
+    ivf_train_centroids,
+    query_probe_keys,
+    score_candidates,
+)
+
+_META = "_meta.json"
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _META), "w", encoding="utf-8") as fh:
+        json.dump(meta, fh, sort_keys=True)
+
+
+def _read_meta(path: str) -> dict:
+    with open(os.path.join(path, _META), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+# ------------------------------------------------------------- LSH
+
+
+@dataclass
+class LshIndex:
+    """keys: (id, _t, _sig) — one row per (vector, hash table);
+    vectors: (id, vec) — the re-rank payload, stored ONCE (not per
+    table: keys are 12 bytes/row, embeddings are dim·4)."""
+
+    keys: DataFrame
+    vectors: DataFrame
+    dim: int
+    n_planes: int
+    n_tables: int
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+
+
+def lsh_build_index(
+    corpus: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> LshIndex:
+    """One corpus pass (Arrow matmul signatures) → in-memory index
+    handle. Persist with :func:`lsh_save_index` for cross-job reuse;
+    within a job, ``.persist()`` the two frames yourself if querying
+    repeatedly without saving."""
+    return LshIndex(
+        keys=corpus_signature_keys(
+            corpus, dim, n_planes, n_tables, id_col, vec_col
+        ),
+        vectors=corpus.select(id_col, vec_col),
+        dim=dim,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def lsh_save_index(index: LshIndex, path: str) -> None:
+    """keys/ sorted by (_t, _sig) for row-group skip on bucket probes;
+    vectors/ as-is. One shuffle each, then never again."""
+    index.keys.repartition(
+        index.keys.sparkSession.sparkContext.defaultParallelism, "_t"
+    ).sortWithinPartitions("_t", "_sig").write.mode("overwrite").parquet(
+        os.path.join(path, "keys")
+    )
+    index.vectors.write.mode("overwrite").parquet(
+        os.path.join(path, "vectors")
+    )
+    _write_meta(
+        path,
+        {
+            "kind": "lsh",
+            "dim": index.dim,
+            "n_planes": index.n_planes,
+            "n_tables": index.n_tables,
+            "id_col": index.id_col,
+            "vec_col": index.vec_col,
+        },
+    )
+
+
+def lsh_load_index(spark: SparkSession, path: str) -> LshIndex:
+    meta = _read_meta(path)
+    if meta.get("kind") != "lsh":
+        raise ValueError(f"{path} is a {meta.get('kind')!r} index, not lsh")
+    return LshIndex(
+        keys=spark.read.parquet(os.path.join(path, "keys")),
+        vectors=spark.read.parquet(os.path.join(path, "vectors")),
+        dim=meta["dim"],
+        n_planes=meta["n_planes"],
+        n_tables=meta["n_tables"],
+        id_col=meta["id_col"],
+        vec_col=meta["vec_col"],
+    )
+
+
+def lsh_query_index(
+    index: LshIndex,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int | None = None,
+    probe_hamming: int = 1,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Same output contract as ``lsh_topk`` (rank, n_candidates,
+    in-band starvation rows) but query-time work is ONLY: broadcast
+    probe keys ⋈ stored key table → candidate ids → re-rank against
+    the stored vectors. No signature pass over the corpus."""
+    q_keys = query_probe_keys(
+        queries, index.dim, index.n_planes, index.n_tables,
+        n_probes, probe_hamming, q_id_col, q_vec_col,
+    )
+    cand = (
+        index.keys.join(F.broadcast(q_keys), ["_t", "_sig"])
+        .select(q_id_col, index.id_col)
+        .dropDuplicates([q_id_col, index.id_col])
+    )
+    return score_candidates(
+        cand, index.vectors, queries, k,
+        index.id_col, index.vec_col, q_id_col, q_vec_col,
+    )
+
+
+# ------------------------------------------------------------- IVF
+
+
+@dataclass
+class IvfIndex:
+    """centroids: (k, dim) unit-norm numpy (driver-held — it IS the
+    broadcast side); cells: (id, vec, _cluster) assignments."""
+
+    centroids: np.ndarray
+    cells: DataFrame
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Train (n_iter corpus scans — paid ONCE here, never at query
+    time) + assign."""
+    C = ivf_train_centroids(
+        corpus, n_centroids=n_centroids, n_iter=n_iter,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return IvfIndex(
+        centroids=C,
+        cells=ivf_assign(corpus, C, id_col=id_col, vec_col=vec_col).select(
+            id_col, vec_col, "_cluster"
+        ),
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def ivf_save_index(index: IvfIndex, path: str) -> None:
+    """cells partitioned by _cluster → probing n_probe of k cells reads
+    n_probe/k of the files (partition pruning); centroids in the json
+    sidecar (k·dim floats — driver-scale by construction)."""
+    index.cells.write.mode("overwrite").partitionBy("_cluster").parquet(
+        os.path.join(path, "cells")
+    )
+    _write_meta(
+        path,
+        {
+            "kind": "ivf",
+            "id_col": index.id_col,
+            "vec_col": index.vec_col,
+            "centroids": [[float(v) for v in row] for row in index.centroids],
+        },
+    )
+
+
+def ivf_load_index(spark: SparkSession, path: str) -> IvfIndex:
+    meta = _read_meta(path)
+    if meta.get("kind") != "ivf":
+        raise ValueError(f"{path} is a {meta.get('kind')!r} index, not ivf")
+    return IvfIndex(
+        centroids=np.asarray(meta["centroids"], dtype=np.float64),
+        cells=spark.read.parquet(os.path.join(path, "cells")),
+        id_col=meta["id_col"],
+        vec_col=meta["vec_col"],
+    )
+
+
+def ivf_query_index(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Same output contract as ``ivf_topk``; query-time plan is one
+    hash join cells ⋈ broadcast probes (+ partition pruning on a saved
+    index — _cluster is the partition column) + candidate-only
+    re-rank. Centroids never leave the driver/broadcast."""
+    q = ivf_query_probes(
+        queries, index.centroids, n_probe, q_id_col, q_vec_col
+    )
+    cand = (
+        index.cells.select(index.id_col, "_cluster")
+        .join(F.broadcast(q), "_cluster")
+        .select(q_id_col, index.id_col)
+    )
+    return score_candidates(
+        cand, index.cells, queries, k,
+        index.id_col, index.vec_col, q_id_col, q_vec_col,
+    )

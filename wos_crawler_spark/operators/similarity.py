@@ -210,32 +210,94 @@ def lsh_candidates(
     query-side signatures in one Arrow matmul per batch
     (:func:`attach_hyperplane_signatures`); ``False`` keeps the
     interpreted Catalyst-expr twin (bit-equal — pinned in tests)."""
-    if n_probes is None:
-        n_probes = n_planes
-    n_probes = min(n_probes, n_planes)
-    # probe masks: all bit-flip patterns of ≤ probe_hamming bits over
-    # the first n_probes planes (probe_hamming=1 → classic multi-probe;
-    # 2 adds the C(n,2) two-bit neighbors — still broadcast-side only)
-    from itertools import combinations
+    c_keys = corpus_signature_keys(
+        corpus, dim, n_planes, n_tables, id_col, vec_col, use_matmul
+    )
+    q_keys = query_probe_keys(
+        queries, dim, n_planes, n_tables, n_probes, probe_hamming,
+        q_id_col, q_vec_col, use_matmul,
+    )
+    return (
+        c_keys.join(F.broadcast(q_keys), ["_t", "_sig"])
+        .select(q_id_col, id_col)
+        .dropDuplicates([q_id_col, id_col])  # probes/tables re-find
+    )
 
-    flips = [0]
-    for h in range(1, probe_hamming + 1):
-        for bits in combinations(range(n_probes), h):
-            flips.append(sum(1 << b for b in bits))
 
-    def sig_t(col: Column, t: int) -> Column:
-        return hyperplane_signature(col, dim, n_planes, table=t)
-
+def corpus_signature_keys(
+    corpus: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_matmul: bool = True,
+) -> DataFrame:
+    """Corpus-side LSH key table ``(id, _t, _sig)`` — one row per
+    (vector, hash table). This IS the persisted index payload of
+    :mod:`wos_crawler_spark.operators.annindex`."""
     if use_matmul:
         # one Arrow matmul emits all tables' signatures; posexplode
         # recovers the (table, sig) key pair positionally
-        c_keys = (
+        return (
             attach_hyperplane_signatures(
                 corpus.select(id_col, vec_col), dim, n_planes, n_tables,
                 vec_col=vec_col,
             )
             .select(id_col, F.posexplode("_sigs").alias("_t", "_sig"))
         )
+    c_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("_t"),
+                hyperplane_signature(F.col(vec_col), dim, n_planes, table=t)
+                .alias("_sig"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return corpus.select(id_col, F.explode(c_sigs).alias("_ts")).select(
+        id_col, F.col("_ts._t").alias("_t"), F.col("_ts._sig").alias("_sig")
+    )
+
+
+def probe_flips(n_planes: int, n_probes: int | None, probe_hamming: int) -> list[int]:
+    """XOR masks for multi-probe: all bit-flip patterns of
+    ≤ ``probe_hamming`` bits over the first ``n_probes`` planes
+    (probe_hamming=1 → classic multi-probe; 2 adds the C(n,2) two-bit
+    neighbors — still broadcast-side only)."""
+    from itertools import combinations
+
+    if n_probes is None:
+        n_probes = n_planes
+    n_probes = min(n_probes, n_planes)
+    flips = [0]
+    for h in range(1, probe_hamming + 1):
+        for bits in combinations(range(n_probes), h):
+            flips.append(sum(1 << b for b in bits))
+    return flips
+
+
+def query_probe_keys(
+    queries: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    n_probes: int | None = None,
+    probe_hamming: int = 1,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    use_matmul: bool = True,
+) -> DataFrame:
+    """Query-side probe key table ``(q_id, _t, _sig)``: each query's own
+    bucket plus its flip neighbors, per hash table. Each table's
+    signature is computed ONCE per query row, THEN the XOR flips fan
+    out over the materialized column — inlining the signature into
+    every flip would multiply query-side compute ×len(flips)
+    (Catalyst's CollapseProject keeps the projection boundary: the
+    producer expression is non-cheap and multiply-referenced)."""
+    flips = probe_flips(n_planes, n_probes, probe_hamming)
+    if use_matmul:
         q_sig = attach_hyperplane_signatures(
             queries.select(q_id_col, q_vec_col), dim, n_planes, n_tables,
             vec_col=q_vec_col,
@@ -244,27 +306,11 @@ def lsh_candidates(
             *[F.col("_sigs")[t].alias(f"_s{t}") for t in range(n_tables)],
         )
     else:
-        c_sigs = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("_t"), sig_t(F.col(vec_col), t).alias("_sig")
-                )
-                for t in range(n_tables)
-            ]
-        )
-        c_keys = corpus.select(id_col, F.explode(c_sigs).alias("_ts")).select(
-            id_col, F.col("_ts._t").alias("_t"), F.col("_ts._sig").alias("_sig")
-        )
-        # compute each table's signature ONCE per query row, THEN fan
-        # out the XOR flips over the materialized column — inlining the
-        # O(dim·n_planes) aggregate into every flip would multiply
-        # query-side compute ×len(flips) (Catalyst's CollapseProject
-        # keeps the projection boundary: the producer expression is
-        # non-cheap and multiply-referenced).
         q_sig = queries.select(
             q_id_col,
             *[
-                sig_t(F.col(q_vec_col), t).alias(f"_s{t}")
+                hyperplane_signature(F.col(q_vec_col), dim, n_planes, table=t)
+                .alias(f"_s{t}")
                 for t in range(n_tables)
             ],
         )
@@ -279,13 +325,8 @@ def lsh_candidates(
             for flip in flips
         ]
     )
-    q_keys = q_sig.select(q_id_col, F.explode(q_probes).alias("_ts")).select(
+    return q_sig.select(q_id_col, F.explode(q_probes).alias("_ts")).select(
         q_id_col, F.col("_ts._t").alias("_t"), F.col("_ts._sig").alias("_sig")
-    )
-    return (
-        c_keys.join(F.broadcast(q_keys), ["_t", "_sig"])
-        .select(q_id_col, id_col)
-        .dropDuplicates([q_id_col, id_col])  # probes/tables re-find
     )
 
 
@@ -340,15 +381,19 @@ def score_candidates(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    emit_starved: bool = True,
 ) -> DataFrame:
     """Shared ANN re-rank stage: exact cosine over (q_id, vec_id)
     candidate pairs (semi-join-reduced corpus read, broadcast queries),
     per-query top-k + the n_candidates starvation signal.
 
-    A query with ZERO candidates emits no rows at all (there is nothing
-    to rank); detect total starvation by anti-joining the query set
-    against the output's q_ids — n_candidates covers the under-filled
-    (0 < n < k) case only."""
+    Starvation is IN-BAND: a query with ZERO candidates emits one
+    explicit ``(q_id, vec_id=NULL, cos=NULL, n_candidates=0,
+    rank=NULL)`` row (anti-join of the query set against the candidate
+    q_ids — a broadcast-sized side), so callers never have to re-derive
+    total starvation themselves; ``n_candidates`` covers the
+    under-filled (0 < n < k) case. ``emit_starved=False`` restores the
+    candidates-only output."""
     scored = (
         cand_ids.join(corpus.select(id_col, vec_col), id_col)
         .join(F.broadcast(queries.select(q_id_col, q_vec_col)), q_id_col)
@@ -360,11 +405,29 @@ def score_candidates(
     )
     w = Window.partitionBy(q_id_col)
     wr = w.orderBy(F.col("cos").desc(), F.col(id_col))
-    return (
+    ranked = (
         scored.withColumn("n_candidates", F.count(F.lit(1)).over(w))
         .withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
     )
+    if not emit_starved:
+        return ranked
+    starved = (
+        queries.select(q_id_col)
+        .join(
+            cand_ids.select(q_id_col).dropDuplicates([q_id_col]),
+            q_id_col,
+            "left_anti",
+        )
+        .select(
+            F.col(q_id_col),
+            F.lit(None).cast(ranked.schema[id_col].dataType).alias(id_col),
+            F.lit(None).cast("double").alias("cos"),
+            F.lit(0).cast("long").alias("n_candidates"),
+            F.lit(None).cast("int").alias("rank"),
+        )
+    )
+    return ranked.unionByName(starved)
 
 
 def brute_force_topk_batch(
@@ -375,6 +438,7 @@ def brute_force_topk_batch(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k for LARGE query batches (10^2–10^5 queries):
     one Arrow pass over the corpus with a numpy matmul per batch
@@ -389,7 +453,18 @@ def brute_force_topk_batch(
     import numpy as np
     import pandas as pd
 
-    q_pdf = queries.select(q_id_col, q_vec_col).toPandas()  # driver-scale
+    # driver-scale BY CONTRACT — the collect is bounded BEFORE transfer
+    # (limit pushes to the scan), so a caller passing 10^7 queries gets
+    # a loud error, not an OOM'd driver
+    q_pdf = (
+        queries.select(q_id_col, q_vec_col).limit(max_queries + 1).toPandas()
+    )
+    if len(q_pdf) > max_queries:
+        raise ValueError(
+            f"brute_force_topk_batch is a driver-broadcast path capped at "
+            f"max_queries={max_queries}; for larger query sets use the "
+            f"bucketed scale paths (lsh_topk / ivf_topk) instead"
+        )
     q_ids = q_pdf[q_id_col].to_numpy(dtype=np.int64)
     Q = np.array(q_pdf[q_vec_col].tolist(), dtype=np.float64)
     qn = np.linalg.norm(Q, axis=1)
@@ -563,8 +638,25 @@ def ivf_candidates(
         id_col=id_col, vec_col=vec_col,
     )
     cells = ivf_assign(corpus, C, id_col=id_col, vec_col=vec_col)
+    q = ivf_query_probes(queries, C, n_probe, q_id_col, q_vec_col)
+    return cells.select(id_col, "_cluster").join(
+        F.broadcast(q), "_cluster"
+    ).select(q_id_col, id_col)
+
+
+def ivf_query_probes(
+    queries: DataFrame,
+    centroids,
+    n_probe: int,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """``(q_id, _cluster)`` probe pairs: each query's ``n_probe``
+    nearest coarse cells (Arrow matmul against the broadcast k×dim
+    centroid matrix)."""
+    C = np.asarray(centroids, dtype=np.float64)
     n_probe = min(n_probe, len(C))
-    bC = corpus.sparkSession.sparkContext.broadcast(C)
+    bC = queries.sparkSession.sparkContext.broadcast(C)
 
     @F.pandas_udf("array<int>")
     def _probes(vecs: pd.Series) -> pd.Series:
@@ -576,12 +668,9 @@ def ivf_candidates(
         top = np.argsort(-S, axis=1)[:, :n_probe].astype(np.int32)
         return pd.Series(list(top))
 
-    q = queries.withColumn("_cells", _probes(F.col(q_vec_col))).select(
+    return queries.withColumn("_cells", _probes(F.col(q_vec_col))).select(
         q_id_col, F.explode("_cells").alias("_cluster")
     )
-    return cells.select(id_col, "_cluster").join(
-        F.broadcast(q), "_cluster"
-    ).select(q_id_col, id_col)
 
 
 def cosine_near_dup_pairs(
