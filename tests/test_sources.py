@@ -159,3 +159,53 @@ def test_normalized_sink_is_idempotent(spark, tmp_path):
     assert docs.count() == 18
     assert docs.select("unique_id").distinct().count() == 18
     parsed.unpersist()
+
+
+def test_keys_sidecar_written_and_used(spark, tmp_path):
+    """The S8 anti-join side reads the compact _keys sidecar, not the
+    full store (O(keys) per wave instead of O(store))."""
+    from wos_crawler_spark.operators.normalize import normalize_all
+    from wos_crawler_spark.sources.exports import _existing_keys
+
+    pages = spark.createDataFrame(gen_pages_pdf(list(range(8)), 8))
+    tables = normalize_all(parse_pages(pages))
+    root = str(tmp_path / "sidecar_store")
+    write_normalized(tables, root)
+    # sidecar exists, carries exactly the stored key set...
+    keys = spark.read.parquet(f"{root}/documents/_keys")
+    assert {r["unique_id"] for r in keys.collect()} == {
+        r["unique_id"]
+        for r in spark.read.parquet(f"{root}/documents")
+        .select("unique_id").collect()
+    }
+    # ...is INVISIBLE to readers of the main table (underscore dir)...
+    assert spark.read.parquet(f"{root}/documents").count() == 8
+    # ...and is what the next wave's anti-join actually reads
+    existing = _existing_keys(spark, f"{root}/documents")
+    assert all("/_keys/" in f for f in existing.inputFiles())
+    assert existing.count() == 8
+
+
+def test_keys_sidecar_repairs_legacy_store(spark, tmp_path):
+    """A store written before the sidecar existed gets repaired on
+    first touch: keys derived once from the store, idempotence keeps
+    holding."""
+    from wos_crawler_spark.operators.normalize import normalize_all
+    from wos_crawler_spark.sources.exports import _existing_keys
+
+    pages = spark.createDataFrame(gen_pages_pdf(list(range(10)), 10))
+    tables = normalize_all(parse_pages(pages))
+    root = str(tmp_path / "legacy_store")
+    # simulate the pre-sidecar sink: raw appends, no _keys
+    for name, df in tables.items():
+        df.write.mode("append").parquet(f"{root}/{name}")
+    # overlapping second wave through the new sink
+    pages2 = spark.createDataFrame(gen_pages_pdf(list(range(5, 15)), 15))
+    write_normalized(normalize_all(parse_pages(pages2)), root)
+    docs = spark.read.parquet(f"{root}/documents")
+    assert docs.count() == 15
+    assert docs.select("unique_id").distinct().count() == 15
+    # sidecar now exists and carries the full repaired key set
+    existing = _existing_keys(spark, f"{root}/documents")
+    assert existing.count() == 15
+    assert all("/_keys/" in f for f in existing.inputFiles())

@@ -111,9 +111,17 @@ def write_normalized(tables: dict[str, DataFrame], root: str) -> None:
     (their rows are set-semantics per document: author ranks, keyword
     sets, distinct cited refs — a duplicate full row can only be the
     re-parse). Without the child-side dedup the cross-batch anti-join
-    cannot repair the fan-out: it only blocks FUTURE inserts."""
-    from pyspark.sql.utils import AnalysisException
+    cannot repair the fan-out: it only blocks FUTURE inserts.
 
+    The existing-keys side is a compact ``{table}/_keys`` parquet
+    SIDECAR (leading underscore → invisible to readers of the main
+    table, like ``_SUCCESS``): each wave appends only its NEW keys, so
+    the anti-join side is O(distinct docs) key rows read once — NOT a
+    full re-scan + distinct of every table's store per wave
+    (O(waves·store) over a crawl). A store written before the sidecar
+    existed is repaired in place on first touch (one full key scan,
+    then never again). The sidecar is an optimization of the SAME
+    contract — losing it costs one repair scan, never correctness."""
     for name, df in tables.items():
         path = f"{root}/{name}"
         out = df
@@ -122,16 +130,39 @@ def write_normalized(tables: dict[str, DataFrame], root: str) -> None:
                 out = out.dropDuplicates(["unique_id"])
             else:
                 out = out.dropDuplicates()
-            try:
-                existing = (
-                    df.sparkSession.read.parquet(path)
-                    .select("unique_id")
-                    .distinct()
-                )
+            existing = _existing_keys(df.sparkSession, path)
+            if existing is not None:
                 out = out.join(existing, "unique_id", "left_anti")
-            except AnalysisException:
-                pass  # first write — nothing stored yet
-        out.write.mode("append").parquet(path)
+            # the batch feeds TWO writes (data + new sidecar keys) —
+            # persist so the parse/dedup/anti-join runs once, not twice
+            out = out.persist()
+            out.write.mode("append").parquet(path)
+            out.select("unique_id").distinct().write.mode("append").parquet(
+                f"{path}/_keys"
+            )
+            out.unpersist()
+        else:
+            out.write.mode("append").parquet(path)
+
+
+def _existing_keys(spark: SparkSession, path: str) -> DataFrame | None:
+    """Stored-key set for the S8 sink's anti-join: the ``_keys``
+    sidecar when present; a legacy (pre-sidecar) store is repaired by
+    deriving the keys once and writing them down. ``None`` = nothing
+    stored yet. Keys in the sidecar are unique across batches by
+    construction (each batch appends post-anti-join keys only)."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{path}/_keys")
+    except AnalysisException:
+        pass
+    try:
+        keys = spark.read.parquet(path).select("unique_id").distinct()
+    except AnalysisException:
+        return None  # first write — nothing stored yet
+    keys.write.mode("overwrite").parquet(f"{path}/_keys")
+    return spark.read.parquet(f"{path}/_keys")
 
 
 def read_pages(
