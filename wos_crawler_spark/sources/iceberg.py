@@ -63,6 +63,26 @@ def create_seen_table_sql(table: str = "seen") -> str:
 PARTITIONED BY (bucket(256, url_hash))"""
 
 
+def create_table_from_schema_sql(
+    table: str,
+    schema,
+    partition_by: str | None = None,
+) -> str:
+    """Iceberg DDL for an arbitrary ``StructType`` — the normalized
+    store's per-entity tables (documents, authors, ...) derive their
+    DDL from the live parse schema so the two can never drift.
+    ``partition_by``: Iceberg transform list, e.g. ``"bucket(64,
+    unique_id)"`` (the normalized tables' default — co-locates the
+    MERGE join on the key it merges on)."""
+    cols = ",\n".join(
+        f"  {f.name} {f.dataType.simpleString()}" for f in schema.fields
+    )
+    ddl = f"CREATE TABLE IF NOT EXISTS {table} (\n{cols}\n) USING iceberg"
+    if partition_by:
+        ddl += f"\nPARTITIONED BY ({partition_by})"
+    return ddl
+
+
 def merge_into_sql(target: str, staging_view: str, key: str = "unique_id") -> str:
     """Idempotent insert-if-absent upsert — the Iceberg twin of the
     parquet sink's left_anti + append (A5 skip-existing semantics)."""
