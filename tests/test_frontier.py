@@ -160,3 +160,16 @@ def test_wave_metrics(engine_run):
     assert m[0]["scheduled"] > 0 and m[0]["hits"] == m[0]["scheduled"]
     # expansion happened into wave 1
     assert len(m) > 1 and m[1]["scheduled"] > 0
+
+
+def test_disk_only_join_caches_identical_output(spark, world, engine_run):
+    """join_cache_storage=DISK_ONLY is a pure storage-layer knob: the
+    crawl's fetch order must be byte-identical to the default cache."""
+    cfg = CrawlConfig(
+        delay_s=DELAY, parse=False, join_cache_storage="DISK_ONLY", **CFG
+    )
+    alt = run_crawl(
+        spark, world["pages"], world["seeds"], world["links"],
+        world["robots"], cfg,
+    )
+    assert _engine_fetch_order(alt) == _engine_fetch_order(engine_run)

@@ -177,9 +177,16 @@ def run_crawl(spark) -> dict:
     # fetch/expansion joins read pre-bucketed data from storage. The
     # sandbox stand-in (repartition+sort+cache) therefore runs before
     # the timer, like the input parquet itself.
-    pages_fetch = prepare_fetch_side(pages, cores, with_text=False)
+    # DISK_ONLY (via WCS_JOIN_CACHE_STORAGE) keeps both join-side
+    # caches out of the single JVM heap — spark.local.dir is tmpfs
+    # here, so "disk" is RAM without storage-memory pressure; fixes
+    # the 24M-rung links-cache heap spill (BENCH/LADDER.md).
+    lvl = os.environ.get("WCS_JOIN_CACHE_STORAGE") or None
+    pages_fetch = prepare_fetch_side(
+        pages, cores, with_text=False, storage_level=lvl
+    )
     pages_fetch.count()
-    links_kv = prepare_links_side(links, cores)
+    links_kv = prepare_links_side(links, cores, storage_level=lvl)
     links_kv.count()
     _warm_python_workers(spark, cores)
     t0 = time.time()

@@ -108,10 +108,15 @@ def lsh_build_index(
 
 
 def lsh_save_index(index: LshIndex, path: str) -> None:
-    """keys/ sorted by (_t, _sig) for row-group skip on bucket probes;
-    vectors/ as-is. One shuffle each, then never again."""
-    index.keys.repartition(
-        index.keys.sparkSession.sparkContext.defaultParallelism, "_t"
+    """keys/ range-partitioned + sorted by (_t, _sig): files carry
+    disjoint signature ranges, so a bucket probe skips whole files via
+    row-group min/max stats. Range (not hash-on-_t: only n_tables
+    distinct values — that would serialize the write into n_tables
+    partitions) keeps the write fully parallel. One shuffle each,
+    then never again."""
+    index.keys.repartitionByRange(
+        index.keys.sparkSession.sparkContext.defaultParallelism,
+        "_t", "_sig",
     ).sortWithinPartitions("_t", "_sig").write.mode("overwrite").parquet(
         os.path.join(path, "keys")
     )
