@@ -75,3 +75,88 @@ def test_host_gap_monitor_stateful(spark, tmp_path):
     assert latest["a.com"] == (3, 0)
     # b.com: 4 fetches, gaps 0.2 (v), 0.2 (v), 4.6 (ok) -> 2 violations
     assert latest["b.com"] == (4, 2)
+
+
+def test_streaming_politeness_assigns_slots(spark, tmp_path):
+    """Streaming F4 twin: the token bucket ASSIGNS one slot per
+    delay_s per host, carrying next_free across micro-batches."""
+    from wos_crawler_spark.streaming.ingest import streaming_politeness
+
+    src = str(tmp_path / "frontier_stream")
+    schema = "host string, url string, arrival_ts double"
+    b1 = [("a.com", "u1", 0.0), ("a.com", "u2", 0.0), ("b.com", "u3", 5.0)]
+    b2 = [("a.com", "u4", 0.0), ("b.com", "u5", 5.0)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        streaming_politeness(stream, delay_s=2.0), "sched", mode="append"
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["url"]: r["scheduled_ts"]
+            for r in spark.sql("select * from sched").collect()
+        }
+    finally:
+        q.stop()
+    # batch 1: a.com u1@0.0, u2@2.0; b.com u3@5.0
+    # batch 2 (state carried): a.com u4@4.0; b.com u5@7.0
+    assert got == {"u1": 0.0, "u2": 2.0, "u3": 5.0, "u4": 4.0, "u5": 7.0}
+
+
+def test_streaming_frontier_dedup(spark, tmp_path):
+    """Streaming F1 twin: re-discoveries within the watermark window
+    are dropped; each url_hash survives exactly once."""
+    from wos_crawler_spark.streaming.ingest import streaming_frontier_dedup
+
+    src = str(tmp_path / "dedup_stream")
+    schema = "url_hash long, url string, discovered_ts timestamp"
+    rows1 = [
+        (1, "u1", "2026-01-01 00:00:00"),
+        (2, "u2", "2026-01-01 00:00:01"),
+        (1, "u1", "2026-01-01 00:00:02"),  # intra-batch dup
+    ]
+    rows2 = [
+        (2, "u2", "2026-01-01 00:00:10"),  # cross-batch dup
+        (3, "u3", "2026-01-01 00:00:11"),
+    ]
+    df1 = spark.createDataFrame(
+        [(h, u, __import__("datetime").datetime.fromisoformat(t))
+         for h, u, t in rows1],
+        schema,
+    )
+    df2 = spark.createDataFrame(
+        [(h, u, __import__("datetime").datetime.fromisoformat(t))
+         for h, u, t in rows2],
+        schema,
+    )
+    df1.coalesce(1).write.mode("overwrite").parquet(src)
+    df2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        streaming_frontier_dedup(stream), "deduped", mode="append"
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            r["url_hash"]
+            for r in spark.sql("select * from deduped").collect()
+        )
+    finally:
+        q.stop()
+    assert got == [1, 2, 3]

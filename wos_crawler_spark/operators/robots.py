@@ -59,6 +59,117 @@ def robots_rules_by_host(robots: DataFrame) -> DataFrame:
     )
 
 
+def parse_robots_body(
+    body: str, user_agent: str = "*"
+) -> list[tuple[str, bool, int]]:
+    """Parse ONE raw robots.txt body → [(rule_prefix, allow, rule_len)]
+    for the given crawler product token (RFC 9309 semantics):
+
+    - groups = consecutive ``User-agent:`` lines + their Allow/Disallow
+      rules; a ``User-agent`` after at least one rule starts a NEW group;
+    - group selection: the MOST SPECIFIC matching agent wins — exact
+      token match (case-insensitive) beats ``*``; every group at the
+      winning specificity contributes its rules (RFC: groups with the
+      same chosen agent merge);
+    - ``Disallow:`` with an empty value is "allow everything" — no rule;
+    - comments (``#``) and unknown directives (Crawl-delay, Sitemap,
+      ...) are ignored; CRLF/whitespace tolerant.
+
+    Longest-prefix-match evaluation is :func:`robots_verdict`'s job —
+    this emits the rule rows the broadcast dim table is built from."""
+    ua = user_agent.lower()
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[str, bool]] = []
+    in_agents = False
+    for raw in body.split("\n"):
+        line = raw.split("#", 1)[0].strip().rstrip("\r")
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_agents:  # rule block ended → new group begins
+                if agents:
+                    groups.append((agents, rules))
+                agents, rules = [], []
+                in_agents = True
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_agents = False
+            if val == "":
+                if key == "disallow":
+                    continue  # empty Disallow = no restriction
+                continue  # empty Allow is meaningless too
+            rules.append((val, key == "allow"))
+        else:
+            in_agents = False  # Crawl-delay etc. terminate the agent run
+    if agents:
+        groups.append((agents, rules))
+
+    # specificity: exact product-token match > '*'; longest token wins
+    def spec(agent: str) -> int:
+        if agent == ua:
+            return 2
+        if agent == "*":
+            return 1
+        return 0
+
+    best = 0
+    for agents, _ in groups:
+        for a in agents:
+            best = max(best, spec(a))
+    if best == 0:
+        return []
+    out = []
+    for agents, g_rules in groups:
+        if max((spec(a) for a in agents), default=0) == best:
+            out.extend(
+                (prefix, allow, len(prefix)) for prefix, allow in g_rules
+            )
+    return out
+
+
+def parse_robots_pages(
+    robots_pages: DataFrame,
+    user_agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """``(host, body)`` rows of raw robots.txt payloads → the
+    ``(host, rule_prefix, allow, rule_len)`` rules table
+    :func:`robots_filter` consumes. One Arrow-batched ``mapInPandas``
+    (robots corpora are per-host tiny; this is a dim-table build)."""
+    import pandas as pd
+
+    def _parse(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hosts, prefixes, allows, lens = [], [], [], []
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                if not isinstance(body, str):
+                    continue
+                for prefix, allow, rl in parse_robots_body(body, user_agent):
+                    hosts.append(host)
+                    prefixes.append(prefix)
+                    allows.append(allow)
+                    lens.append(rl)
+            yield pd.DataFrame(
+                {
+                    "host": hosts,
+                    "rule_prefix": prefixes,
+                    "allow": allows,
+                    "rule_len": lens,
+                }
+            )
+
+    return robots_pages.select(host_col, body_col).mapInPandas(
+        _parse, "host string, rule_prefix string, allow boolean, rule_len int"
+    )
+
+
 def robots_filter(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
     """Drop frontier rows whose longest-prefix robots rule disallows.
 

@@ -129,6 +129,82 @@ def host_gap_monitor(
     )
 
 
+def streaming_frontier_dedup(
+    frontier_stream: DataFrame,
+    event_col: str = "discovered_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of F1 (URL-seen dedup): Spark's native stateful
+    stream deduplication on ``url_hash``, state bounded by the
+    watermark (``dropDuplicatesWithinWatermark`` — a URL re-discovered
+    later than the watermark re-emits; the durable long-horizon seen
+    set stays the batch Bloom/anti-join pair, this bounds the
+    *in-flight* window where re-discovery storms actually happen).
+    Rows must carry an event-time column for the watermark."""
+    return frontier_stream.withWatermark(
+        event_col, watermark
+    ).dropDuplicatesWithinWatermark(["url_hash"])
+
+
+#: Output of :func:`streaming_politeness`: the input row's identity
+#: plus its assigned fetch slot.
+_SCHED_SCHEMA = "host string, url string, scheduled_ts double"
+_SCHED_STATE_SCHEMA = "next_free double"
+
+
+def streaming_politeness(
+    frontier_stream: DataFrame, delay_s: float
+) -> DataFrame:
+    """Streaming twin of F4 (politeness SCHEDULING, not just
+    monitoring): a keyed ``applyInPandasWithState`` token bucket that
+    ASSIGNS ``scheduled_ts`` to each candidate — one slot every
+    ``delay_s`` per host — carrying the host's next-free slot across
+    micro-batches. Within a micro-batch, candidates order by
+    (url_hash-free) url for determinism, matching the batch
+    scheduler's within-bucket ordering contract at single-host grain.
+
+    State is one double per host (O(hosts), same as the batch
+    scheduler's salt-bucket counters); production expires idle hosts
+    with ProcessingTimeTimeout."""
+
+    def _assign(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (host,) = key
+        next_free = state.get[0] if state.exists else 0.0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values("url", kind="mergesort")
+        ts = []
+        for want in rows["arrival_ts"]:
+            slot = max(float(want), next_free)
+            ts.append(slot)
+            next_free = slot + delay_s
+        state.update((next_free,))
+        yield pd.DataFrame(
+            {
+                "host": host,
+                "url": rows["url"].to_numpy(),
+                "scheduled_ts": ts,
+            }
+        )
+
+    return (
+        frontier_stream.select("host", "url", "arrival_ts")
+        .groupBy("host")
+        .applyInPandasWithState(
+            _assign,
+            outputStructType=_SCHED_SCHEMA,
+            stateStructType=_SCHED_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(
     agg: DataFrame, query_name: str, mode: str = "update"
 ) -> "object":
