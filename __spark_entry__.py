@@ -193,6 +193,34 @@ def q_f4_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sched.select("doc_id", "host", "scheduled_ts")
 
 
+def q_f4_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3→F4: per-host robots.txt Crawl-delay driving the token bucket
+    (wos_crawler_spark.operators.robots.parse_robots_delays →
+    politeness.schedule_wave(host_delays=...)). The raw-body parse runs
+    here too (mapInPandas); the oracle re-derives the same delays from
+    the host id — the bodies are synthesized so host h1 declares
+    Crawl-delay 2, h3 declares 0.5, everyone else none (default 1.0).
+    All delays are exactly binary-representable, so scheduled_ts is
+    exact on both engines."""
+    from wos_crawler_spark.operators.politeness import schedule_wave
+    from wos_crawler_spark.operators.robots import parse_robots_delays
+
+    bodies = spark.createDataFrame(
+        [
+            ("h0", "User-agent: *\nDisallow: /none\n"),
+            ("h1", "User-agent: *\nCrawl-delay: 2\nDisallow: /none\n"),
+            ("h2", "User-agent: *\nCrawl-delay: oops\n"),
+            ("h3", "User-agent: wcsbot\nCrawl-delay: 0.5\nUser-agent: *\nCrawl-delay: 99\n"),
+            ("h4", "Sitemap: https://h4/s.xml\n"),
+        ],
+        "host string, body string",
+    )
+    delays = parse_robots_delays(bodies, user_agent="wcsbot")
+    f = _synthetic_frontier(spark, sf_dir)
+    sched = schedule_wave(f, delay_s=1.0, wave_start=0.0, host_delays=delays)
+    return sched.select("doc_id", "host", "scheduled_ts")
+
+
 def q_w1_priority_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: per-host priority top-k (two-phase skew-free quota)."""
     from wos_crawler_spark.operators.politeness import schedule_wave
@@ -890,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_frontier_dedup": q_f1_frontier_dedup,
         "f3_robots_lpm": q_f3_robots_lpm,
         "f4_politeness_schedule": q_f4_politeness_schedule,
+        "f4_crawl_delay": q_f4_crawl_delay,
         "w1_priority_quota": q_w1_priority_quota,
         "w2_pagination_batches": q_w2_pagination_batches,
         "a1_docs_per_lang": q_a1_docs_per_lang,
@@ -1034,6 +1063,21 @@ def oracle_sql() -> dict[str, str]:
         "f4_politeness_schedule": """
             SELECT doc_id, host,
                    CAST(rn - 1 AS DOUBLE) * 1.0 AS scheduled_ts
+            FROM (
+                SELECT doc_id, 'h' || (doc_id % 5) AS host,
+                       row_number() OVER (
+                         PARTITION BY doc_id % 5
+                         ORDER BY (doc_id % 3) DESC, doc_id ASC
+                       ) AS rn
+                FROM documents
+            )
+        """,
+        "f4_crawl_delay": """
+            SELECT doc_id, host,
+                   CAST(rn - 1 AS DOUBLE)
+                     * (CASE host WHEN 'h1' THEN 2.0
+                                  WHEN 'h3' THEN 0.5
+                                  ELSE 1.0 END) AS scheduled_ts
             FROM (
                 SELECT doc_id, 'h' || (doc_id % 5) AS host,
                        row_number() OVER (

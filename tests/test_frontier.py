@@ -173,3 +173,44 @@ def test_disk_only_join_caches_identical_output(spark, world, engine_run):
         world["robots"], cfg,
     )
     assert _engine_fetch_order(alt) == _engine_fetch_order(engine_run)
+
+
+def test_crawl_delay_parity_with_simulator(spark, world):
+    """Per-host robots Crawl-delay (F3→F4): full-crawl fetch-order AND
+    seen-set equality vs the simulator given the same per-host delay
+    map; plus the per-host gap invariant at each host's own rate."""
+    hosts = sorted({h for (_, _, h) in world["url_meta"].values()})
+    delay_map = {hosts[0]: 2.0, hosts[-1]: 0.5}
+    delays_df = spark.createDataFrame(
+        list(delay_map.items()), "host string, crawl_delay double"
+    )
+    cfg = CrawlConfig(delay_s=DELAY, parse=False, **CFG)
+    eng = run_crawl(
+        spark, world["pages"], world["seeds"], world["links"],
+        world["robots"], cfg, host_delays=delays_df,
+    )
+    sim = simulate_crawl(
+        pages_urls=set(world["page_texts"]),
+        page_texts=world["page_texts"],
+        seeds=world["seed_list"],
+        links=world["links_map"],
+        robots=world["robots_map"],
+        url_meta=world["url_meta"],
+        delay_s=DELAY,
+        host_delays=delay_map,
+        **CFG,
+    )
+    assert _engine_fetch_order(eng) == sim.fetch_order
+    assert {r["url_hash"] for r in eng.seen.collect()} == sim.seen
+    rows = eng.fetch_log.select("wave", "host", "scheduled_ts").collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r["wave"], r["host"]), []).append(r["scheduled_ts"])
+    checked_slow = 0
+    for (_, host), ts in by.items():
+        ts.sort()
+        want = delay_map.get(host, DELAY)
+        for a, b in zip(ts, ts[1:]):
+            assert b - a >= want - 1e-9
+            checked_slow += want != DELAY
+    assert checked_slow > 0

@@ -1,8 +1,11 @@
 """Raw robots.txt parsing (F3 front-end): RFC 9309 group semantics,
-agent specificity, empty-Disallow, comments/CRLF, and the Spark
-mapInPandas wrapper feeding robots_filter end-to-end."""
+agent specificity, empty-Disallow, comments/CRLF, Crawl-delay, and the
+Spark mapInPandas wrapper feeding robots_filter end-to-end."""
 
-from wos_crawler_spark.operators.robots import parse_robots_body
+from wos_crawler_spark.operators.robots import (
+    parse_robots_body,
+    parse_robots_body_full,
+)
 
 BODY = (
     "# global defaults\r\n"
@@ -59,6 +62,73 @@ def test_agent_line_after_rules_starts_new_group():
     )
     assert parse_robots_body(body, "a") == [("/one", False, 4)]
     assert parse_robots_body(body, "b") == [("/two", False, 4)]
+
+
+def test_crawl_delay_is_group_scoped():
+    # delay lives in the * group only: randombot inherits it, wcsbot's
+    # winning (exact-token) groups carry none
+    assert parse_robots_body_full(BODY, "randombot")[1] == 10.0
+    assert parse_robots_body_full(BODY, "wcsbot")[1] is None
+
+
+def test_crawl_delay_max_merges_across_winning_groups():
+    body = (
+        "User-agent: bot\nCrawl-delay: 2.5\nDisallow: /a\n"
+        "User-agent: bot\nCrawl-delay: 7\n"
+    )
+    rules, delay = parse_robots_body_full(body, "bot")
+    assert delay == 7.0
+    assert rules == [("/a", False, 2)]
+
+
+def test_crawl_delay_invalid_values_ignored():
+    assert parse_robots_body_full(
+        "User-agent: *\nCrawl-delay: soon\n", "x"
+    )[1] is None
+    assert parse_robots_body_full(
+        "User-agent: *\nCrawl-delay: -3\n", "x"
+    )[1] is None
+    # a later valid one in the same group still counts
+    assert parse_robots_body_full(
+        "User-agent: *\nCrawl-delay: nope\nCrawl-delay: 4\n", "x"
+    )[1] == 4.0
+
+
+def test_spark_host_delays_drive_the_token_bucket(spark):
+    """parse_robots_delays → schedule_wave(host_delays=...): listed
+    hosts run at their Crawl-delay, others at the default; the per-host
+    inter-fetch gap invariant holds at each host's own rate."""
+    from wos_crawler_spark.operators.politeness import schedule_wave
+    from wos_crawler_spark.operators.robots import parse_robots_delays
+
+    bodies = spark.createDataFrame(
+        [
+            ("slow.org", "User-agent: *\nCrawl-delay: 5\nDisallow: /x\n"),
+            ("fast.org", "User-agent: *\nDisallow: /y\n"),  # no delay row
+            ("bad.org", "User-agent: *\nCrawl-delay: zzz\n"),
+        ],
+        "host string, body string",
+    )
+    delays = parse_robots_delays(bodies)
+    assert {tuple(r) for r in delays.collect()} == {("slow.org", 5.0)}
+
+    frontier = spark.createDataFrame(
+        [
+            (h, i * 10 + k, 0, 0)
+            for k, h in enumerate(["slow.org", "fast.org", "bad.org"])
+            for i in range(4)
+        ],
+        "host string, url_hash long, priority int, discovered_wave int",
+    )
+    sched = schedule_wave(
+        frontier, delay_s=1.0, wave_start=0.0, host_delays=delays
+    ).select("host", "scheduled_ts")
+    by_host = {}
+    for r in sched.collect():
+        by_host.setdefault(r["host"], []).append(r["scheduled_ts"])
+    assert sorted(by_host["slow.org"]) == [0.0, 5.0, 10.0, 15.0]
+    assert sorted(by_host["fast.org"]) == [0.0, 1.0, 2.0, 3.0]
+    assert sorted(by_host["bad.org"]) == [0.0, 1.0, 2.0, 3.0]
 
 
 def test_spark_wrapper_feeds_robots_filter(spark):

@@ -71,12 +71,22 @@ def schedule_wave(
     quota: int | None = None,
     rows_per_bucket: int = 10_000,
     dedup_intra: bool = False,
+    host_delays: DataFrame | None = None,
 ) -> DataFrame:
     """Assign politeness ``scheduled_ts`` to this wave's frontier,
     after the optional per-host priority quota (W1).
 
     Input needs (host, url_hash, priority, discovered_wave); output
     adds (salt, n_buckets, scheduled_ts).
+
+    ``host_delays`` — optional ``(host, crawl_delay)`` dim (e.g. from
+    robots.txt ``Crawl-delay`` via
+    :func:`~wos_crawler_spark.operators.robots.parse_robots_delays`);
+    a listed host's token bucket runs at ITS delay, everyone else at
+    ``delay_s``. Broadcast-joined — a per-host dim is O(hosts), never a
+    frontier-scale shuffle. The bucket math is unchanged: delay is
+    constant per host, so the ≥delay inter-fetch gap proof in the
+    module docstring still holds verbatim.
 
     ``dedup_intra=True`` folds intra-wave url_hash dedup INTO this
     operator's (host, salt) shuffle: because equal hashes imply equal
@@ -91,6 +101,10 @@ def schedule_wave(
     contract needs to mirror that (plans/simulator.py does)."""
     counts = salt_counts(frontier, rows_per_bucket)
     f = frontier.join(F.broadcast(counts.select("host", "n_buckets")), "host", "left")
+    if host_delays is not None:
+        f = f.join(
+            F.broadcast(host_delays.select("host", "crawl_delay")), "host", "left"
+        )
     f = f.withColumn("salt", F.pmod(F.col("url_hash"), F.col("n_buckets")).cast("int"))
 
     w_bucket = Window.partitionBy("host", "salt").orderBy(*order_cols())
@@ -131,12 +145,19 @@ def schedule_wave(
         )
 
     # token bucket per (host, salt): position p → (salt + p·S)·delay
+    delay = (
+        F.coalesce(F.col("crawl_delay"), F.lit(float(delay_s)))
+        if host_delays is not None
+        else F.lit(float(delay_s))
+    )
     f = f.withColumn("_p", F.row_number().over(w_bucket) - 1)
     f = f.withColumn(
         "scheduled_ts",
         F.lit(float(wave_start))
-        + (F.col("salt") + F.col("_p") * F.col("n_buckets")) * F.lit(float(delay_s)),
+        + (F.col("salt") + F.col("_p") * F.col("n_buckets")) * delay,
     ).drop("_p")
+    if host_delays is not None:
+        f = f.drop("crawl_delay")
 
     # executors process each bucket in schedule order (no global sort).
     # The window above already hash-partitioned the data on (host, salt)

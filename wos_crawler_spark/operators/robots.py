@@ -59,11 +59,13 @@ def robots_rules_by_host(robots: DataFrame) -> DataFrame:
     )
 
 
-def parse_robots_body(
+def parse_robots_body_full(
     body: str, user_agent: str = "*"
-) -> list[tuple[str, bool, int]]:
-    """Parse ONE raw robots.txt body → [(rule_prefix, allow, rule_len)]
-    for the given crawler product token (RFC 9309 semantics):
+) -> tuple[list[tuple[str, bool, int]], float | None]:
+    """Parse ONE raw robots.txt body for the given crawler product
+    token → ``([(rule_prefix, allow, rule_len)], crawl_delay_seconds)``
+    (RFC 9309 semantics; Crawl-delay is the de-facto extension honored
+    by Bing/Yandex-class crawlers):
 
     - groups = consecutive ``User-agent:`` lines + their Allow/Disallow
       rules; a ``User-agent`` after at least one rule starts a NEW group;
@@ -72,15 +74,19 @@ def parse_robots_body(
       winning specificity contributes its rules (RFC: groups with the
       same chosen agent merge);
     - ``Disallow:`` with an empty value is "allow everything" — no rule;
-    - comments (``#``) and unknown directives (Crawl-delay, Sitemap,
-      ...) are ignored; CRLF/whitespace tolerant.
+    - ``Crawl-delay:`` is group-scoped like Allow/Disallow; when several
+      winning groups carry one, the MAX (most conservative) applies;
+      non-numeric or negative values are ignored;
+    - comments (``#``) and unknown directives (Sitemap, ...) are
+      ignored; CRLF/whitespace tolerant.
 
     Longest-prefix-match evaluation is :func:`robots_verdict`'s job —
     this emits the rule rows the broadcast dim table is built from."""
     ua = user_agent.lower()
-    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    groups: list[tuple[list[str], list[tuple[str, bool]], float | None]] = []
     agents: list[str] = []
     rules: list[tuple[str, bool]] = []
+    delay: float | None = None
     in_agents = False
     for raw in body.split("\n"):
         line = raw.split("#", 1)[0].strip().rstrip("\r")
@@ -92,8 +98,8 @@ def parse_robots_body(
         if key == "user-agent":
             if not in_agents:  # rule block ended → new group begins
                 if agents:
-                    groups.append((agents, rules))
-                agents, rules = [], []
+                    groups.append((agents, rules, delay))
+                agents, rules, delay = [], [], None
                 in_agents = True
             agents.append(val.lower())
         elif key in ("allow", "disallow"):
@@ -103,10 +109,18 @@ def parse_robots_body(
                     continue  # empty Disallow = no restriction
                 continue  # empty Allow is meaningless too
             rules.append((val, key == "allow"))
+        elif key == "crawl-delay":
+            in_agents = False
+            try:
+                d = float(val)
+            except ValueError:
+                continue
+            if d >= 0:
+                delay = d if delay is None else max(delay, d)
         else:
-            in_agents = False  # Crawl-delay etc. terminate the agent run
+            in_agents = False  # Sitemap etc. terminate the agent run
     if agents:
-        groups.append((agents, rules))
+        groups.append((agents, rules, delay))
 
     # specificity: exact product-token match > '*'; longest token wins
     def spec(agent: str) -> int:
@@ -117,18 +131,30 @@ def parse_robots_body(
         return 0
 
     best = 0
-    for agents, _ in groups:
+    for agents, _, _ in groups:
         for a in agents:
             best = max(best, spec(a))
     if best == 0:
-        return []
+        return [], None
     out = []
-    for agents, g_rules in groups:
+    out_delay: float | None = None
+    for agents, g_rules, g_delay in groups:
         if max((spec(a) for a in agents), default=0) == best:
             out.extend(
                 (prefix, allow, len(prefix)) for prefix, allow in g_rules
             )
-    return out
+            if g_delay is not None:
+                out_delay = (
+                    g_delay if out_delay is None else max(out_delay, g_delay)
+                )
+    return out, out_delay
+
+
+def parse_robots_body(
+    body: str, user_agent: str = "*"
+) -> list[tuple[str, bool, int]]:
+    """Rules-only view of :func:`parse_robots_body_full`."""
+    return parse_robots_body_full(body, user_agent)[0]
 
 
 def parse_robots_pages(
@@ -167,6 +193,39 @@ def parse_robots_pages(
 
     return robots_pages.select(host_col, body_col).mapInPandas(
         _parse, "host string, rule_prefix string, allow boolean, rule_len int"
+    )
+
+
+def parse_robots_delays(
+    robots_pages: DataFrame,
+    user_agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """``(host, body)`` rows of raw robots.txt payloads → the
+    ``(host, crawl_delay)`` per-host delay dim
+    :func:`~wos_crawler_spark.operators.politeness.schedule_wave`
+    consumes via ``host_delays``. Hosts whose winning group carries no
+    (valid) Crawl-delay emit NO row — the scheduler's default applies.
+    Same Arrow-batched dim-table build as :func:`parse_robots_pages`."""
+    import pandas as pd
+
+    def _parse(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hosts, delays = [], []
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                if not isinstance(body, str):
+                    continue
+                _, d = parse_robots_body_full(body, user_agent)
+                if d is not None:
+                    hosts.append(host)
+                    delays.append(d)
+            yield pd.DataFrame({"host": hosts, "crawl_delay": delays})
+
+    return robots_pages.select(host_col, body_col).mapInPandas(
+        _parse, "host string, crawl_delay double"
     )
 
 

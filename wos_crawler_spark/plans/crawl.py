@@ -336,6 +336,8 @@ def run_wave(
     bloom: AnyBloom | None,
     cfg: CrawlConfig,
     wave_start: float,
+    host_delays: DataFrame | None = None,
+    inter_wave_gap_s: float | None = None,
 ) -> tuple[WaveResult, DataFrame, DataFrame]:
     """One wave. ``pages``/``links`` should be pre-partitioned via
     ``prepare_fetch_side``/``prepare_links_side`` (run_crawl does).
@@ -371,6 +373,7 @@ def run_wave(
         quota=cfg.quota,
         rows_per_bucket=cfg.rows_per_bucket,
         dedup_intra=True,
+        host_delays=host_delays,
     )
 
     # J3: "fetch" — resolve url → page payload (left join keeps misses).
@@ -437,7 +440,11 @@ def run_wave(
         bytes_agg.alias("payload_bytes"),
     )
     misses_n = scheduled_n - hits_n
-    next_start = (max_ts_row + cfg.delay_s) if max_ts_row is not None else wave_start
+    # cross-wave gap: with per-host Crawl-delays the host owning max_ts
+    # may be slower than the default — run_crawl passes the dim's max so
+    # the inter-wave spacing stays conservative for every host.
+    gap = cfg.delay_s if inter_wave_gap_s is None else inter_wave_gap_s
+    next_start = (max_ts_row + gap) if max_ts_row is not None else wave_start
     _t("fetch-agg job", t0)
     t0 = time.time()
 
@@ -539,6 +546,7 @@ def run_crawl(
     resume: bool = False,
     pages_fetch: DataFrame | None = None,
     links_prepped: DataFrame | None = None,
+    host_delays: DataFrame | None = None,
 ) -> CrawlResult:
     """Full crawl: wave loop until frontier empty / max_waves.
     With cfg.ckpt_dir set, each wave commits atomically and
@@ -552,6 +560,13 @@ def run_crawl(
     given, run_crawl neither builds nor unpersists them."""
     cfg = cfg or CrawlConfig()
     out = CrawlResult()
+
+    # per-host Crawl-delay dim (robots.parse_robots_delays): tiny —
+    # one driver-side max fixes the conservative cross-wave gap.
+    inter_wave_gap: float | None = None
+    if host_delays is not None:
+        max_delay = host_delays.agg(F.max("crawl_delay")).first()[0]
+        inter_wave_gap = max(cfg.delay_s, float(max_delay or 0.0))
 
     start_wave = 0
     frontier = None
@@ -615,6 +630,7 @@ def run_crawl(
         res, next_frontier, seen_delta = run_wave(
             spark, wave, frontier, pages_kv, links_kv, robots, seen, bloom,
             cfg, wave_start,
+            host_delays=host_delays, inter_wave_gap_s=inter_wave_gap,
         )
         out.waves.append(res)
         if cfg.keep_wave_caches:

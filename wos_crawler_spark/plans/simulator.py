@@ -69,6 +69,7 @@ def simulate_crawl(
     max_depth: int = 3,
     max_retries: int = 2,
     rows_per_bucket: int = 10_000,
+    host_delays: dict[str, float] | None = None,
 ) -> SimResult:
     res = SimResult()
 
@@ -155,6 +156,7 @@ def simulate_crawl(
         this_wave: list[SimFetch] = []
         for host, hrows in by_host.items():
             S = n_buckets[host]
+            d = (host_delays or {}).get(host, delay_s)
             take = hrows if quota is None else hrows[:quota]
             buckets: dict[int, list] = {}
             for r in take:
@@ -162,7 +164,7 @@ def simulate_crawl(
             for salt, brows in buckets.items():
                 brows.sort(key=order_key)
                 for p, r in enumerate(brows):
-                    ts = wave_start + (salt + p * S) * delay_s
+                    ts = wave_start + (salt + p * S) * d
                     max_ts = ts if max_ts is None else max(max_ts, ts)
                     hit = r["url"] in pages_urls
                     this_wave.append(
@@ -172,7 +174,10 @@ def simulate_crawl(
                     r["_hit"] = hit
         res.fetches.extend(this_wave)
         if max_ts is not None:
-            wave_start = max_ts + delay_s
+            # engine twin: conservative gap = max over all effective
+            # delays (run_crawl's inter_wave_gap)
+            gap = max([delay_s, *(host_delays or {}).values()])
+            wave_start = max_ts + gap
 
         # next frontier: expansions + retries + quota overflow
         nxt = []
