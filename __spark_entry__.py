@@ -138,6 +138,35 @@ def q_f1_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frontier.join(seen, "url_hash", "left_anti").select("doc_id")
 
 
+def q_f1_frontier_dedup_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 via the cuckoo seen-sketch flavor (north_rule: "Bloom/cuckoo
+    URL-seen filter"): distributed sharded build over the seen side,
+    executor-side prefilter probe, exact anti-join rescue — output is
+    exactly candidates ∖ seen, so the oracle is f1's."""
+    from wos_crawler_spark.functions.urlnorm import with_url_canon
+    from wos_crawler_spark.operators.cuckoo import build_sharded_cuckoo
+    from wos_crawler_spark.operators.dedup import dedup_frontier
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    frontier = with_url_canon(docs.withColumn("url", _messy_url_expr()))
+    seen_raw = docs.filter(F.col("doc_id") % 4 == 0).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://HOST"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com"),
+            F.lit("/Docs/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?a=1&b=2"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("?b=2&a=1"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    seen = with_url_canon(seen_raw).select("url_hash")
+    ck = build_sharded_cuckoo(seen, "url_hash", capacity=100_000, n_shards=2)
+    return dedup_frontier(frontier, seen, ck, intra=False).select("doc_id")
+
+
 def q_f3_robots_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3/J2: robots.txt longest-prefix-match as a broadcast join +
     higher-order array exprs (wos_crawler_spark.operators.robots)."""
@@ -916,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl-engine operator family (SURVEY.md §2)
         "f2_url_canonicalize": q_f2_url_canonicalize,
         "f1_frontier_dedup": q_f1_frontier_dedup,
+        "f1_frontier_dedup_cuckoo": q_f1_frontier_dedup_cuckoo,
         "f3_robots_lpm": q_f3_robots_lpm,
         "f4_politeness_schedule": q_f4_politeness_schedule,
         "f4_crawl_delay": q_f4_crawl_delay,
@@ -1024,6 +1054,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "f1_frontier_dedup": """
+            SELECT doc_id FROM documents WHERE doc_id % 4 <> 0
+        """,
+        "f1_frontier_dedup_cuckoo": """
             SELECT doc_id FROM documents WHERE doc_id % 4 <> 0
         """,
         "f3_robots_lpm": """

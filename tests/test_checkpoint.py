@@ -114,3 +114,46 @@ def test_torn_checkpoint_invisible(spark, tmp_path):
     assert ckpt.latest_wave(d) == 1
     os.remove(os.path.join(d, "wave=1", "_COMMITTED"))
     assert ckpt.latest_wave(d) == 0
+
+
+def test_resume_adopts_cuckoo_flavor(spark, tmp_path):
+    """A checkpointed cuckoo seen-sketch is authoritative on resume:
+    even a cfg that says 'bloom' continues with the cuckoo filter, and
+    the resumed crawl's seen set equals the uninterrupted run's."""
+    pages, seeds, links, robots = _world(spark)
+    common = dict(
+        delay_s=1.0, quota=4, max_depth=2, rows_per_bucket=8, parse=False,
+        bloom_banks=2,
+    )
+
+    full_dir = str(tmp_path / "full")
+    run_crawl(
+        spark, pages, seeds, links, robots,
+        CrawlConfig(max_waves=3, ckpt_dir=full_dir, seen_filter="cuckoo",
+                    **common),
+    )
+    part_dir = str(tmp_path / "part")
+    run_crawl(
+        spark, pages, seeds, links, robots,
+        CrawlConfig(max_waves=2, ckpt_dir=part_dir, seen_filter="cuckoo",
+                    **common),
+    )
+    # resume with a cfg that (wrongly) says bloom — checkpoint wins
+    run_crawl(
+        spark, pages, seeds, links, robots,
+        CrawlConfig(max_waves=3, ckpt_dir=part_dir, seen_filter="bloom",
+                    **common),
+        resume=True,
+    )
+    from wos_crawler_spark.operators.bloom import bloom_from_bytes
+    from wos_crawler_spark.operators.cuckoo import ShardedCuckooFilter
+
+    blob = ckpt.read_bloom_bytes(part_dir, 2)
+    assert isinstance(bloom_from_bytes(blob), ShardedCuckooFilter)
+    seen_full = {
+        r["url_hash"] for r in ckpt.read_seen(spark, full_dir, 2).collect()
+    }
+    seen_part = {
+        r["url_hash"] for r in ckpt.read_seen(spark, part_dir, 2).collect()
+    }
+    assert seen_full == seen_part

@@ -214,3 +214,18 @@ def test_crawl_delay_parity_with_simulator(spark, world):
             assert b - a >= want - 1e-9
             checked_slow += want != DELAY
     assert checked_slow > 0
+
+
+def test_cuckoo_seen_filter_identical_output(spark, world, engine_run):
+    """seen_filter='cuckoo' swaps the URL-seen sketch flavor only —
+    the prefilter is rescued by the exact anti-join either way, so the
+    crawl's fetch order must be byte-identical to the Bloom run."""
+    cfg = CrawlConfig(
+        delay_s=DELAY, parse=False, seen_filter="cuckoo", bloom_banks=2,
+        **CFG,
+    )
+    alt = run_crawl(
+        spark, world["pages"], world["seeds"], world["links"],
+        world["robots"], cfg,
+    )
+    assert _engine_fetch_order(alt) == _engine_fetch_order(engine_run)

@@ -227,11 +227,21 @@ class BankedBloomFilter:
 AnyBloom = BloomFilter | BankedBloomFilter
 
 
-def bloom_from_bytes(raw: bytes) -> AnyBloom:
-    """Deserialize either flavor (banked blobs carry a magic header;
-    a plain filter's first word is its n_hashes ≤ 64)."""
-    if len(raw) >= 4 and int.from_bytes(raw[:4], "little") == _BANK_MAGIC:
-        return BankedBloomFilter.from_bytes(raw)
+def bloom_from_bytes(raw: bytes) -> "AnyBloom":
+    """Deserialize any seen-filter flavor by magic header (banked
+    Bloom, cuckoo, sharded cuckoo; a plain Bloom's first word is its
+    n_hashes ≤ 64, which cannot collide with the magics)."""
+    if len(raw) >= 4:
+        magic = int.from_bytes(raw[:4], "little")
+        if magic == _BANK_MAGIC:
+            return BankedBloomFilter.from_bytes(raw)
+        # lazy import: cuckoo imports _splitmix64_np from this module
+        from wos_crawler_spark.operators import cuckoo as _ck
+
+        if magic == _ck.CUCKOO_MAGIC:
+            return _ck.CuckooFilter.from_bytes(raw)
+        if magic == _ck.SHARD_MAGIC:
+            return _ck.ShardedCuckooFilter.from_bytes(raw)
     return BloomFilter.from_bytes(raw)
 
 

@@ -77,6 +77,11 @@ class CrawlConfig:
     #: and broadcast size drop to m/B; build/merge stay per-bank).
     #: 1 = monolithic filter, identical bits to the banked B=1 case.
     bloom_banks: int = 1
+    #: URL-seen sketch flavor: "bloom" (OR-mergeable bit array) or
+    #: "cuckoo" (operators/cuckoo.py — supports DELETE for recrawl
+    #: eviction; merge folds by fingerprint re-insert). The north rule
+    #: names both. bloom_banks doubles as the cuckoo shard count.
+    seen_filter: str = "bloom"
     #: Use the Bloom as a pre-shuffle filter inside dedup (F1). The
     #: filter itself is ALWAYS built, merged and checkpointed per wave
     #: (it is the engine's persistent URL-seen sketch); this knob only
@@ -655,6 +660,33 @@ def run_crawl(
             flavor, and a cfg whose capacity/fpp produce a different
             bit shape is a hard error — silently merging mismatched
             filters would corrupt the seen sketch."""
+            if cfg.seen_filter == "cuckoo" or (
+                bloom is not None and bloom.shape[0] == "cuckoo"
+            ):
+                from wos_crawler_spark.operators.cuckoo import (
+                    ShardedCuckooFilter,
+                    build_sharded_cuckoo,
+                )
+
+                shards = (
+                    bloom.shape[1] if bloom is not None else cfg.bloom_banks
+                )
+                if not res.scheduled:
+                    return bloom if bloom is not None else (
+                        ShardedCuckooFilter.sized(cfg.bloom_capacity, shards)
+                    )
+                wave_ck = build_sharded_cuckoo(
+                    seen_delta, "url_hash",
+                    capacity=cfg.bloom_capacity, n_shards=shards,
+                )
+                if bloom is not None and bloom.shape != wave_ck.shape:
+                    raise ValueError(
+                        f"resumed cuckoo shape {bloom.shape} incompatible "
+                        f"with cfg bloom_capacity={cfg.bloom_capacity}/"
+                        f"bloom_banks={cfg.bloom_banks} → {wave_ck.shape}; "
+                        f"resume with the original filter config"
+                    )
+                return bloom.merge(wave_ck) if bloom is not None else wave_ck
             banks = (
                 bloom.shape[0] if bloom is not None else cfg.bloom_banks
             )
