@@ -167,6 +167,44 @@ def q_f1_frontier_dedup_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_frontier(frontier, seen, ck, intra=False).select("doc_id")
 
 
+def q_recrawl_readmit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl eviction (plans/recrawl.py; the cuckoo flavor's DELETE):
+    every 8th doc's URL expires out of the seen set — the sketch drops
+    it via the distributed sharded delete, the exact seen side via
+    anti-join — so frontier dedup re-admits exactly those for
+    re-fetching alongside the never-seen URLs."""
+    from wos_crawler_spark.functions.urlnorm import with_url_canon
+    from wos_crawler_spark.operators.cuckoo import (
+        build_sharded_cuckoo,
+        evict_sharded_cuckoo,
+    )
+    from wos_crawler_spark.operators.dedup import dedup_frontier
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    frontier = with_url_canon(docs.withColumn("url", _messy_url_expr()))
+    seen_raw = docs.filter(F.col("doc_id") % 4 == 0).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://HOST"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com"),
+            F.lit("/Docs/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?a=1&b=2"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("?b=2&a=1"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    seen_all = with_url_canon(seen_raw).select("doc_id", "url_hash")
+    ck = build_sharded_cuckoo(
+        seen_all, "url_hash", capacity=100_000, n_shards=2
+    )
+    expired = seen_all.filter(F.col("doc_id") % 8 == 0).select("url_hash")
+    ck2 = evict_sharded_cuckoo(ck, expired)
+    seen = seen_all.join(expired, "url_hash", "left_anti").select("url_hash")
+    return dedup_frontier(frontier, seen, ck2, intra=False).select("doc_id")
+
+
 def q_f3_robots_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3/J2: robots.txt longest-prefix-match as a broadcast join +
     higher-order array exprs (wos_crawler_spark.operators.robots)."""
@@ -946,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_url_canonicalize": q_f2_url_canonicalize,
         "f1_frontier_dedup": q_f1_frontier_dedup,
         "f1_frontier_dedup_cuckoo": q_f1_frontier_dedup_cuckoo,
+        "recrawl_readmit": q_recrawl_readmit,
         "f3_robots_lpm": q_f3_robots_lpm,
         "f4_politeness_schedule": q_f4_politeness_schedule,
         "f4_crawl_delay": q_f4_crawl_delay,
@@ -1058,6 +1097,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "f1_frontier_dedup_cuckoo": """
             SELECT doc_id FROM documents WHERE doc_id % 4 <> 0
+        """,
+        "recrawl_readmit": """
+            SELECT doc_id FROM documents
+            WHERE doc_id % 4 <> 0 OR doc_id % 8 = 0
         """,
         "f3_robots_lpm": """
             WITH rules AS (

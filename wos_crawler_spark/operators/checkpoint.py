@@ -98,14 +98,66 @@ def read_frontier(spark: SparkSession, ckpt_dir: str, wave: int) -> DataFrame:
     return spark.read.parquet(os.path.join(wave_dir(ckpt_dir, wave), "frontier"))
 
 
+def commit_eviction(
+    ckpt_dir: str,
+    wave: int,
+    frontier: DataFrame,
+    evicted: DataFrame,
+    bloom_bytes: bytes,
+    metrics: dict,
+) -> None:
+    """Commit a recrawl-eviction wave (plans/recrawl.py): the frontier
+    carries the re-admitted URLs, ``seen_evict/`` records the expired
+    url_hashes (the production twin is an Iceberg MERGE DELETE on the
+    seen table), ``seen_delta/`` is empty (nothing was fetched), and
+    ``bloom.bin`` holds the post-eviction filter. Marker written LAST,
+    same atomicity as a fetch wave."""
+    d = wave_dir(ckpt_dir, wave)
+    frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
+    evicted.write.mode("overwrite").parquet(os.path.join(d, "seen_evict"))
+    evicted.limit(0).write.mode("overwrite").parquet(
+        os.path.join(d, "seen_delta")
+    )
+    with open(os.path.join(d, "bloom.bin"), "wb") as f:
+        f.write(bloom_bytes)
+    write_metrics(ckpt_dir, wave, metrics)
+
+
 def read_seen(spark: SparkSession, ckpt_dir: str, upto_wave: int) -> DataFrame:
     """Union of seen deltas for waves 0..upto_wave (in production: one
-    Iceberg table appended per wave, partitioned by wave)."""
+    Iceberg table appended per wave, partitioned by wave).
+
+    With eviction waves present (``seen_evict/``), membership is
+    CDC-merged: a key is seen iff its latest delta wave is LATER than
+    its latest evict wave — so an evicted-then-refetched URL is seen
+    again, and an evicted-never-refetched URL is not. The merge is one
+    groupBy over 8-byte keys, paid only on resume paths and only when
+    an eviction exists; the no-eviction path stays the cheap union."""
+    from pyspark.sql import functions as F
+
     paths = [
         os.path.join(wave_dir(ckpt_dir, w), "seen_delta")
         for w in range(upto_wave + 1)
     ]
-    return spark.read.parquet(*paths)
+    deltas = spark.read.parquet(*paths)
+    evict_paths = [
+        p
+        for w in range(upto_wave + 1)
+        if os.path.isdir(p := os.path.join(wave_dir(ckpt_dir, w), "seen_evict"))
+    ]
+    if not evict_paths:
+        return deltas
+    dw = deltas.groupBy("url_hash").agg(F.max("wave").alias("_dw"))
+    ew = (
+        spark.read.parquet(*evict_paths)
+        .groupBy("url_hash")
+        .agg(F.max("wave").alias("_ew"))
+    )
+    return (
+        dw.join(ew, "url_hash", "left")
+        .filter(F.col("_ew").isNull() | (F.col("_dw") > F.col("_ew")))
+        .select("url_hash", F.col("_dw").alias("wave"))
+    )
 
 
 def read_partition_metrics(

@@ -339,6 +339,56 @@ class ShardedCuckooFilter:
         return cls(shards)
 
 
+def evict_sharded_cuckoo(
+    ck: ShardedCuckooFilter, expired: DataFrame, hash_col: str = "url_hash"
+) -> ShardedCuckooFilter:
+    """Distributed recrawl eviction — the cuckoo differentiator the
+    Bloom flavor structurally lacks (a Bloom eviction is a full
+    rebuild; see plans/recrawl.py). Mirrors :func:`build_sharded_cuckoo`:
+    expired keys route to their shard by the TOP hash bits (one
+    exchange of 8-byte hashes), ONE task per touched shard deletes its
+    SORTED key slice from that shard's table (deterministic result
+    regardless of input partitioning) and emits the new fixed-size
+    blob; untouched shards pass through unchanged. Shard blobs travel
+    via broadcast (same object the probe path already ships).
+
+    Contract (standard cuckoo-filter rule): every expired key must
+    actually be in the filter — deleting a never-inserted key can
+    evict a colliding fingerprint and create a false negative for a
+    LIVE url. plans/recrawl.evict_for_recrawl enforces this by
+    semi-joining expired against the checkpointed seen set first."""
+    from pyspark.sql import functions as F
+
+    spark = expired.sparkSession
+    blobs = spark.sparkContext.broadcast([s.to_bytes() for s in ck.shards])
+    ns = ck.n_shards
+
+    def _evict(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        f = CuckooFilter.from_bytes(blobs.value[key[0]])
+        f.delete(np.unique(pdf[hash_col].to_numpy()))  # unique() sorts
+        return pd.DataFrame({"shard": [key[0]], "blob": [f.to_bytes()]})
+
+    shard_col = (
+        F.shiftrightunsigned(
+            F.col(hash_col).cast("long"), 64 - (ns.bit_length() - 1)
+        ).cast("int")
+        if ns > 1
+        else F.lit(0)
+    )
+    touched = (
+        expired.select(F.col(hash_col), shard_col.alias("_shard"))
+        .groupBy("_shard")
+        .applyInPandas(_evict, "shard int, blob binary")
+        .toPandas()
+    )
+    out = ShardedCuckooFilter(
+        [CuckooFilter.from_bytes(b) for b in blobs.value]
+    )
+    for _, row in touched.iterrows():
+        out.shards[int(row["shard"])] = CuckooFilter.from_bytes(row["blob"])
+    return out
+
+
 def build_sharded_cuckoo(
     df: DataFrame, hash_col: str, capacity: int, n_shards: int = 4
 ) -> ShardedCuckooFilter:
