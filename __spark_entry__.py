@@ -635,6 +635,39 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation pipeline — the LLM-corpus
+    composition the individual operators exist for, as ONE lazy plan
+    (single pass over documents, one agg shuffle for the dedup, the
+    split is a map-side filter):
+    lang-ID gate → quality gate (C4-style integer thresholds) →
+    exact dedup (min-id survivor per normalized digest) →
+    deterministic train/holdout split."""
+    from wos_crawler_spark.operators.sampling import split_train_holdout
+    from wos_crawler_spark.operators.textdedup import exact_dedup_keep
+    from wos_crawler_spark.operators.textquality import (
+        lang_id,
+        quality_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.withColumn("lang_pred", lang_id(F.col("text"))).filter(
+        F.col("lang_pred").isin("en", "de")
+    )
+    d = quality_features(d).filter(
+        (F.col("q_n_words") >= 5) & (F.col("q_n_chars") >= 30)
+    )
+    kept = exact_dedup_keep(d, id_col="doc_id", text_col="text")
+    train, hold = split_train_holdout(
+        kept, "doc_id", holdout_rate=0.2, salt="cur"
+    )
+    return (
+        train.withColumn("split", F.lit("train"))
+        .unionByName(hold.withColumn("split", F.lit("holdout")))
+        .select("doc_id", "lang_pred", "split")
+    )
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID (stopword-hit argmax, pure exprs)."""
     from wos_crawler_spark.operators.textquality import lang_id
@@ -1019,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_pairs_exact": q_sim_cosine_pairs_exact,
         "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,
+        "pipeline_curation": q_pipeline_curation,
         "text_lang_id": q_text_lang_id,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
@@ -1368,6 +1402,41 @@ def oracle_sql() -> dict[str, str]:
                   / 4294967296.0
                   < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2
                               WHEN 'de' THEN 0.4 ELSE 0.05 END
+        """,
+        "pipeline_curation": f"""
+            WITH base AS (
+                SELECT doc_id, text, {_WORDS} AS w,
+                       CASE WHEN {_NORM} = '' THEN 0
+                            ELSE len({_WORDS}) END AS q_n_words,
+                       length(text) AS q_n_chars
+                FROM documents
+            ),
+            lang AS (
+                SELECT doc_id, text, q_n_words, q_n_chars,
+                       CASE WHEN g = 0 THEN 'und'
+                            WHEN s_de = g THEN 'de'
+                            WHEN s_en = g THEN 'en'
+                            WHEN s_es = g THEN 'es'
+                            ELSE 'fr' END AS lang_pred
+                FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr) AS g
+                      FROM (SELECT *, {_LANG_SCORES} FROM base))
+            ),
+            gated AS (
+                SELECT * FROM lang
+                WHERE lang_pred IN ('en', 'de')
+                  AND q_n_words >= 5 AND q_n_chars >= 30
+            ),
+            kept AS (
+                SELECT doc_id, lang_pred FROM gated
+                WHERE doc_id IN (
+                    SELECT min(doc_id) FROM gated GROUP BY md5({_NORM})
+                )
+            )
+            SELECT doc_id, lang_pred,
+                   CASE WHEN ('0x' || substr(md5(doc_id || 'cur'), 1, 8))::BIGINT
+                             / 4294967296.0 < 0.2
+                        THEN 'holdout' ELSE 'train' END AS split
+            FROM kept
         """,
         "text_lang_id": f"""
             SELECT doc_id,
