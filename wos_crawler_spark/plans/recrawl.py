@@ -89,10 +89,22 @@ def evict_for_recrawl(
     filt = bloom_from_bytes(ckpt.read_bloom_bytes(ckpt_dir, last))
     wave = last + 1
 
+    from pyspark.sql.window import Window
+
     exp = (
         with_url_canon(expired.select("url"))
         .select("url", "url_canon", "url_hash", "host")
-        .dropDuplicates(["url_hash"])
+        # deterministic survivor per hash (dropDuplicates would pick
+        # whichever partition answers first — the readmitted frontier
+        # row's url spelling must not depend on partitioning)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("url_hash").orderBy("url")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
         .join(seen.select("url_hash"), "url_hash", "left_semi")
         .localCheckpoint()  # one materialization: counted, evicted,
         # re-admitted and written below
