@@ -48,6 +48,7 @@ ENTRY_QUERIES = [
     "sim_bruteforce_topk",
     "text_quality",
     "f2_url_canonicalize",
+    "pipeline_curation",
 ]
 
 

@@ -8,6 +8,7 @@ import pytest
 
 from wos_crawler_spark.operators.bloom import bloom_from_bytes
 from wos_crawler_spark.operators.cuckoo import (
+    SLOTS,
     CuckooFilter,
     CuckooFullError,
     ShardedCuckooFilter,
@@ -84,6 +85,23 @@ def test_merge_folds_disjoint_sets():
     assert merged.might_contain(a).all() and merged.might_contain(b).all()
     # originals untouched
     assert not fa.might_contain(b).all()
+
+
+def test_merge_dense_exercises_kick_tail():
+    """Merging two half-full filters lands at ~0.76 load: the two bulk
+    placement passes cannot place everything, so merge's kick loop must
+    run — and membership stays exact for both sides."""
+    fa = CuckooFilter.sized(50_000)
+    fb = CuckooFilter.sized(50_000)
+    half = int(fa.n_buckets * SLOTS * 0.41)
+    a, b = KEYS[:half], KEYS[half:]
+    fa.add(a)
+    fb.add(b)
+    merged = fa.merge(fb)
+    assert merged.might_contain(a).all()
+    assert merged.might_contain(b).all()
+    # deterministic: same fold twice → same bytes
+    assert fa.merge(fb).to_bytes() == merged.to_bytes()
 
 
 def test_merge_shape_mismatch_raises():

@@ -207,6 +207,12 @@ class CuckooFilter:
 
     # -- merge (per-wave delta fold) -----------------------------------
     def merge(self, other: "CuckooFilter") -> "CuckooFilter":
+        """Fold ``other``'s occupied slots in. A slot's stored bucket b
+        and fingerprint fully determine its candidate pair
+        {b, b ^ delta(fp)}, so re-insertion never needs original keys.
+        Vectorized like ``add`` (two bulk-placement passes, python
+        kicks only for the overflow tail) — the driver-side per-wave
+        fold is O(delta) numpy work, not a per-key python loop."""
         if not isinstance(other, CuckooFilter) or self.shape != other.shape:
             raise ValueError(
                 f"cannot merge cuckoo filters of different shape: "
@@ -216,12 +222,21 @@ class CuckooFilter:
         b_idx, s_idx = np.nonzero(other.table)
         fps = other.table[b_idx, s_idx]
         order = np.lexsort((fps, b_idx))  # deterministic fold order
-        for b, f in zip(b_idx[order].tolist(), fps[order].tolist()):
-            if not out._insert_one(int(b), int(f)):
-                raise CuckooFullError(
-                    "merge exceeded capacity — size the filter for the "
-                    "combined key budget"
-                )
+        b = b_idx[order].astype(np.int64)
+        f = fps[order]
+        placed = out._bulk_place(b, f)
+        if not placed.all():
+            r = ~placed
+            alt = b[r] ^ _alt_delta(f[r], out.n_buckets)
+            placed2 = out._bulk_place(alt, f[r])
+            for bb, ff in zip(
+                b[r][~placed2].tolist(), f[r][~placed2].tolist()
+            ):
+                if not out._insert_one(int(bb), int(ff)):
+                    raise CuckooFullError(
+                        "merge exceeded capacity — size the filter for "
+                        "the combined key budget"
+                    )
         return out
 
     # -- checkpoint serialization --------------------------------------
