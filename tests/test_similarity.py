@@ -151,6 +151,28 @@ def test_cosine_near_dup_pairs(spark, emb, dim):
     assert any((r["id_a"], r["id_b"]) == (0, 9999) for r in pairs)
 
 
+def test_cosine_arrow_equals_expr(emb, queries, dim):
+    """The Arrow re-rank scorer ≡ the interpreted expr twin: same
+    float32-product/float64-accumulate arithmetic, so values agree to
+    summation-order noise (≤1e-12) and ranking is IDENTICAL."""
+    cand = (
+        emb.select("vec_id")
+        .crossJoin(queries.select("q_id"))
+        .filter((F.col("vec_id") % 3 == 0) | (F.col("vec_id") < 50))
+    )
+    a = sim.score_candidates(cand, emb, queries, k=10, use_arrow=True)
+    b = sim.score_candidates(cand, emb, queries, k=10, use_arrow=False)
+    ra = {(r["q_id"], r["rank"]): (r["vec_id"], r["cos"])
+          for r in a.collect() if r["rank"] is not None}
+    rb = {(r["q_id"], r["rank"]): (r["vec_id"], r["cos"])
+          for r in b.collect() if r["rank"] is not None}
+    assert set(ra) == set(rb) and len(ra) > 0
+    for key, (vid, cos_a) in ra.items():
+        vid_b, cos_b = rb[key]
+        assert vid == vid_b  # identical ranking
+        assert abs(cos_a - cos_b) < 1e-12
+
+
 def test_xxh64_int_matches_spark(spark):
     """The numpy XXH64 twin is bit-equal to Spark's xxhash64 over
     chained IntegerType columns — the rule the plane matrix derives

@@ -39,6 +39,35 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """Arrow-vectorized cosine twin of :func:`cosine` for hot re-rank
+    paths: Catalyst higher-order functions (``aggregate``/``zip_with``)
+    run INTERPRETED — at production dim (384–1536) × millions of
+    candidate pairs the expr scorer dominates the re-rank stage. One
+    numpy pass per Arrow batch instead.
+
+    Mirrors the expr's arithmetic: products and squares are computed in
+    float32 (Spark's ``x * y`` over ``array<float>`` elements rounds
+    each product to float), accumulated in float64 (``acc`` is a double
+    literal). Remaining difference is summation ORDER only (numpy
+    pairwise vs fold) — sub-ULP-scale; ranking ties are broken by id in
+    every caller, and expr≡arrow is pinned to 1e-12 + rank-identical in
+    tests."""
+
+    @F.pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if not len(va):
+            return pd.Series(np.zeros(0, dtype=np.float64))
+        ma = np.stack(va.to_numpy()).astype(np.float32)
+        mb = np.stack(vb.to_numpy()).astype(np.float32)
+        num = (ma * mb).astype(np.float32).sum(axis=1, dtype=np.float64)
+        na = np.sqrt((ma * ma).astype(np.float32).sum(axis=1, dtype=np.float64))
+        nb = np.sqrt((mb * mb).astype(np.float32).sum(axis=1, dtype=np.float64))
+        return pd.Series(num / (na * nb))
+
+    return _cos(a, b)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -382,10 +411,16 @@ def score_candidates(
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
     emit_starved: bool = True,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Shared ANN re-rank stage: exact cosine over (q_id, vec_id)
     candidate pairs (semi-join-reduced corpus read, broadcast queries),
     per-query top-k + the n_candidates starvation signal.
+
+    ``use_arrow=True`` (default) scores with :func:`cosine_arrow` (one
+    numpy pass per Arrow batch); ``False`` keeps the interpreted
+    Catalyst-expr twin (equal to 1e-12 / rank-identical — pinned in
+    tests/test_similarity.py).
 
     Starvation is IN-BAND: a query with ZERO candidates emits one
     explicit ``(q_id, vec_id=NULL, cos=NULL, n_candidates=0,
@@ -394,13 +429,14 @@ def score_candidates(
     total starvation themselves; ``n_candidates`` covers the
     under-filled (0 < n < k) case. ``emit_starved=False`` restores the
     candidates-only output."""
+    scorer = cosine_arrow if use_arrow else cosine
     scored = (
         cand_ids.join(corpus.select(id_col, vec_col), id_col)
         .join(F.broadcast(queries.select(q_id_col, q_vec_col)), q_id_col)
         .select(
             F.col(q_id_col),
             F.col(id_col),
-            cosine(F.col(vec_col), F.col(q_vec_col)).alias("cos"),
+            scorer(F.col(vec_col), F.col(q_vec_col)).alias("cos"),
         )
     )
     w = Window.partitionBy(q_id_col)
@@ -681,11 +717,20 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_matmul: bool = True,
+    use_arrow_scorer: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked: only pairs
     sharing a hyperplane bucket are scored (near-identical vectors
     collide with high probability). ``use_matmul`` picks the Arrow
-    matmul signature path (default) vs the Catalyst-expr twin."""
+    matmul signature path (default) vs the Catalyst-expr twin.
+
+    ``use_arrow_scorer=True`` scores bucket pairs with
+    :func:`cosine_arrow` instead of the interpreted expr — the scale
+    choice for production dims (same sub-ULP caveat as
+    ``score_candidates``). Default False: this op's THRESHOLD makes
+    output membership sensitive to last-ULP noise, and its oracle pins
+    expr-scored outputs (see the float-threshold note in
+    FIXTURES.md)."""
     if dim is None:
         raise ValueError("dim required (embedding length)")
     if use_matmul:
@@ -698,10 +743,11 @@ def cosine_near_dup_pairs(
         )
     a = s.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "_sig")
     b = s.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "_sig")
+    scorer = cosine_arrow if use_arrow_scorer else cosine
     return (
         a.join(b, "_sig")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        .withColumn("cos", scorer(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
         .dropDuplicates(["id_a", "id_b"])
