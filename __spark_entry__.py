@@ -594,6 +594,18 @@ def q_sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_cosine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS: connected components of the
+    LSH-blocked cosine pair graph (keep-one-per-family curation for
+    the embedding modality). Components via min-label propagation —
+    the oracle recomputes transitive closure with a recursive CTE over
+    the pinned pair snapshot."""
+    from wos_crawler_spark.operators.similarity import cosine_near_dup_clusters
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_clusters(emb, threshold=0.3, dim=64, n_planes=3)
+
+
 def q_sim_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs embedding-cosine ≥ threshold (the oracle-checked
     baseline the LSH-blocked variant approximates)."""
@@ -1049,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_index_lsh_topk": q_sim_index_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_cosine_near_dup": q_sim_cosine_near_dup,
+        "sim_cosine_clusters": q_sim_cosine_clusters,
         "sim_cosine_pairs_exact": q_sim_cosine_pairs_exact,
         "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,
@@ -1706,6 +1719,31 @@ def oracle_sql() -> dict[str, str]:
             -- duplicating the float threshold across engines would
             -- race IEEE rounding at the boundary)
             SELECT id_a, id_b FROM {_snap("cos_near_dup_sf001")}
+        """,
+        "sim_cosine_clusters": f"""
+            -- connected components over the pinned near-dup pair
+            -- graph via a recursive CTE — independently verifies the
+            -- min-label propagation's transitive closure for the
+            -- embedding modality (same oracle shape as
+            -- dedup_minhash_clusters)
+            WITH RECURSIVE und AS (
+                SELECT id_a AS src, id_b AS dst
+                FROM {_snap("cos_near_dup_sf001")}
+                UNION
+                SELECT id_b AS src, id_a AS dst
+                FROM {_snap("cos_near_dup_sf001")}
+            ),
+            reach(a, b) AS (
+                SELECT src, dst FROM und
+                UNION
+                SELECT r.a, u.dst FROM reach r JOIN und u ON r.b = u.src
+            )
+            SELECT e.vec_id,
+                   least(e.vec_id, coalesce(min(r.b), e.vec_id))
+                     AS cluster_id
+            FROM embeddings e
+            LEFT JOIN reach r ON r.a = e.vec_id
+            GROUP BY e.vec_id
         """,
     }
 

@@ -151,6 +151,42 @@ def test_cosine_near_dup_pairs(spark, emb, dim):
     assert any((r["id_a"], r["id_b"]) == (0, 9999) for r in pairs)
 
 
+def test_cosine_near_dup_clusters_match_union_find(spark, emb, dim):
+    """Clusters ≡ connected components of the pair graph: recompute
+    components with a plain python union-find over the collected pair
+    edges and compare label sets exactly."""
+    pairs = sim.cosine_near_dup_pairs(
+        emb, threshold=0.3, dim=dim, n_planes=3
+    ).collect()
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in sim.cosine_near_dup_clusters(
+            emb, threshold=0.3, dim=dim, n_planes=3
+        ).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r["id_a"]), find(r["id_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    roots: dict[int, list[int]] = {}
+    for i in ids:
+        roots.setdefault(find(i), []).append(i)
+    want = {i: min(members) for members in roots.values() for i in members}
+    assert got == want
+    assert any(v != k for k, v in got.items())  # non-vacuous: >=1 merge
+
+
 def test_cosine_arrow_equals_expr(emb, queries, dim):
     """The Arrow re-rank scorer ≡ the interpreted expr twin: same
     float32-product/float64-accumulate arithmetic, so values agree to

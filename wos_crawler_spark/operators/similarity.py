@@ -752,3 +752,41 @@ def cosine_near_dup_pairs(
         .select("id_a", "id_b", "cos")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def cosine_near_dup_clusters(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dim: int | None = None,
+    n_planes: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_matmul: bool = True,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Embedding near-duplicate CLUSTERS: connected components of the
+    :func:`cosine_near_dup_pairs` graph — ``(id, cluster_id)`` with
+    cluster_id = min id of the component. The corpus-curation
+    "keep one per embedding-near-dup family" contract (mirror of
+    textdedup.minhash_lsh_dedup for the embedding modality).
+
+    Component resolution reuses textdedup.min_label_components
+    (min-label propagation with pointer jumping, O(log n) rounds,
+    Observation-piggybacked convergence, RAISES on non-convergence).
+    Scale shape: edge enumeration is LSH-bucket-blocked (quadratic
+    only within a hyperplane bucket — bounded by plane count);
+    propagation shuffles (id, label) pairs only, never vectors."""
+    from wos_crawler_spark.operators.textdedup import min_label_components
+
+    pairs = cosine_near_dup_pairs(
+        df, threshold=threshold, dim=dim, n_planes=n_planes,
+        id_col=id_col, vec_col=vec_col, use_matmul=use_matmul,
+    )
+    vertices = df.select(F.col(id_col).alias("_id")).distinct()
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    labels = min_label_components(vertices, edges, max_iter=max_iter)
+    return labels.select(
+        F.col("_id").alias(id_col), F.col("label").alias("cluster_id")
+    )
