@@ -568,6 +568,27 @@ def q_sim_index_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_index_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k through the PERSISTED-INDEX surface (train+assign
+    paid once at build; query time = probe → cells hash join →
+    re-rank, zero corpus scans). Same params as sim_ivf_topk, so the
+    oracle is the same SQL over the pinned candidate set — the index
+    path must reproduce the one-shot operator exactly."""
+    from wos_crawler_spark.operators.annindex import (
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    idx = ivf_build_index(emb, n_centroids=16, n_iter=3)
+    return ivf_query_index(idx, queries, k=10, n_probe=4).select(
+        "q_id", "vec_id", "rank", "n_candidates"
+    )
+
+
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k (the inverted-file scale path next to LSH):
     deterministic spherical k-means cells, n_probe nearest cells per
@@ -1059,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_index_lsh_topk": q_sim_index_lsh_topk,
+        "sim_index_ivf_topk": q_sim_index_ivf_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_cosine_near_dup": q_sim_cosine_near_dup,
         "sim_cosine_clusters": q_sim_cosine_clusters,
@@ -1132,7 +1154,7 @@ def _snap(name: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "f2_url_canonicalize": f"""
             SELECT doc_id,
                    {_CANON_SQL} AS url_canon,
@@ -1746,6 +1768,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY e.vec_id
         """,
     }
+    # persisted-index IVF path: same params as the one-shot operator,
+    # so the same SQL over the same pinned candidate set applies —
+    # the index must reproduce sim_ivf_topk exactly.
+    sql["sim_index_ivf_topk"] = sql["sim_ivf_topk"]
+    return sql
 
 
 if __name__ == "__main__":
