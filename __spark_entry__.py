@@ -737,6 +737,24 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021) over documents: per-rule
+    booleans + conjunctive keep, all integer-exact comparisons so the
+    DuckDB oracle recomputes identical booleans. Word-count bounds
+    relaxed to the synthetic corpus's 10-99-word range."""
+    from wos_crawler_spark.operators.textquality import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    cols = [
+        "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+        "r_stopwords", "gopher_keep",
+    ]
+    return gopher_rules(
+        docs, min_words=30, max_words=80, min_required_stop=1
+    ).select("doc_id", *(F.col(c).cast("int").alias(c) for c in cols))
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (md5 of normalized text)."""
     from wos_crawler_spark.operators.textquality import doc_fingerprint
@@ -1091,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
+        "text_gopher_quality": q_text_gopher_quality,
         "text_fingerprint": q_text_fingerprint,
         # rows-only engine surfaces (non-SQL-expressible)
         "parse_wos_plaintext": q_parse_wos_plaintext,
@@ -1517,6 +1536,60 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprint": f"""
             SELECT doc_id, md5({_NORM}) AS fp FROM documents
+        """,
+        "text_gopher_quality": f"""
+            -- Gopher rules recomputed from scratch: every threshold is
+            -- an integer cross-multiplication, so the booleans are
+            -- bit-identical across engines (no float boundaries)
+            WITH g AS (
+                SELECT doc_id,
+                       CASE WHEN {_NORM} = '' THEN 0
+                            ELSE len({_WORDS}) END AS n_words,
+                       length({_NORM}) -
+                         (CASE WHEN {_NORM} = '' THEN 0
+                               ELSE len({_WORDS}) END - 1) AS sum_len,
+                       greatest(len(string_split(text, chr(10))), 1)
+                         AS n_lines,
+                       len(list_filter(string_split(text, chr(10)),
+                           x -> starts_with(trim(x), '-')
+                             OR starts_with(trim(x), '*')
+                             OR starts_with(trim(x), '•'))) AS n_bullet,
+                       len(list_filter(string_split(text, chr(10)),
+                           x -> ends_with(rtrim(x), '...')
+                             OR ends_with(rtrim(x), '…'))) AS n_ell,
+                       len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
+                         AS n_sym,
+                       len(list_filter({_WORDS},
+                           x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+                       len(list_intersect({_WORDS},
+                           ['the','be','to','of','and','that','have',
+                            'with'])) AS n_stop
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(n_words >= 30 AND n_words <= 80 AS INTEGER)
+                     AS r_word_count,
+                   CAST(sum_len >= 3 * n_words
+                        AND sum_len <= 10 * n_words AS INTEGER)
+                     AS r_mean_word_len,
+                   CAST(n_sym * 10 < n_words AS INTEGER)
+                     AS r_symbol_ratio,
+                   CAST(n_bullet * 10 < n_lines * 9 AS INTEGER)
+                     AS r_bullet_lines,
+                   CAST(n_ell * 10 < n_lines * 3 AS INTEGER)
+                     AS r_ellipsis_lines,
+                   CAST(n_alpha * 5 > n_words * 4 AS INTEGER)
+                     AS r_alpha_words,
+                   CAST(n_stop >= 1 AS INTEGER) AS r_stopwords,
+                   CAST(n_words >= 30 AND n_words <= 80
+                        AND sum_len >= 3 * n_words
+                        AND sum_len <= 10 * n_words
+                        AND n_sym * 10 < n_words
+                        AND n_bullet * 10 < n_lines * 9
+                        AND n_ell * 10 < n_lines * 3
+                        AND n_alpha * 5 > n_words * 4
+                        AND n_stop >= 1 AS INTEGER) AS gopher_keep
+            FROM g
         """,
         # ---- snapshot-backed oracles (parse family / crawl / media) --
         "parse_wos_plaintext": f"""

@@ -211,6 +211,38 @@ def test_quality_features(corpus):
         assert r["q_punct_ratio"] == 0.0
 
 
+def test_gopher_rules_crafted(spark):
+    """Each Gopher rule trips on a doc crafted to violate exactly it
+    (the fixture corpus has no newlines, so the line-based rules are
+    exercised here)."""
+    good = "the cat sat with the dog and that was that have to be " * 5
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "\n".join(["- bullet item here ok fine"] * 9 + ["plain"])),
+            (3, "short text"),
+            (4, "trailing one... \nand two...\nplain line\nlast line"),
+            (5, " ".join(["word #"] * 30)),
+        ],
+        "doc_id long, text string",
+    )
+    g = {
+        r["doc_id"]: r
+        for r in tq.gopher_rules(docs).collect()
+    }
+    assert g[1]["gopher_keep"] and all(
+        g[1][c] for c in g[1].asDict() if c.startswith("r_")
+    )
+    # 9/10 bullet lines: 9*10 < 10*9 is false
+    assert not g[2]["r_bullet_lines"] and not g[2]["gopher_keep"]
+    assert not g[3]["r_word_count"] and not g[3]["r_stopwords"]
+    # 2/4 ellipsis-ended lines >= 30%
+    assert not g[4]["r_ellipsis_lines"]
+    assert g[1]["r_ellipsis_lines"] and g[1]["r_bullet_lines"]
+    # 30 '#' over 60 words: symbol-to-word ratio 0.5 >= 0.1
+    assert not g[5]["r_symbol_ratio"] and g[1]["r_symbol_ratio"]
+
+
 def test_fingerprint_invariance(spark):
     df = spark.createDataFrame(
         [(1, "Some  Text\there"), (2, "some text here")], "id long, text string"

@@ -94,6 +94,92 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Gopher repetition-free quality rules require a handful of English
+#: function words to appear (Rae et al. 2021 §A1.1 uses
+#: the/be/to/of/and/that/have/with — public heuristic).
+GOPHER_REQUIRED_STOPWORDS = [
+    "the", "be", "to", "of", "and", "that", "have", "with",
+]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_required_stop: int = 2,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, §A1.1) as pure
+    Catalyst exprs: per-rule boolean columns plus the conjunctive
+    ``gopher_keep``. Every ratio threshold is evaluated as an INTEGER
+    cross-multiplication (``10*n_sym < n_words`` instead of
+    ``n_sym/n_words < 0.1``) so the DuckDB oracle can recompute the
+    exact same booleans with zero IEEE-boundary risk — the same
+    discipline as pipeline_curation's quality gate.
+
+    Rules (names = emitted columns):
+      r_word_count     word count within [min_words, max_words]
+      r_mean_word_len  mean word length within [min, max] (integral
+                       bounds, exact via sum-of-lengths bounds)
+      r_symbol_ratio   '#'/ellipsis symbol-to-word ratio < 0.1
+      r_bullet_lines   < 90% of lines start with a bullet
+      r_ellipsis_lines < 30% of lines end with an ellipsis
+      r_alpha_words    > 80% of words contain a letter
+      r_stopwords      >= min_required_stop distinct required stopwords
+    """
+    t = F.col(text_col)
+    w = words_of(t)
+    n_words = token_count_ws(t)
+    # norm_text joins words with single spaces, so the word-length sum
+    # is its length minus the (n_words-1) separators.
+    sum_word_len = F.length(norm_text(t)) - (n_words - F.lit(1))
+    lines = F.split(t, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).startswith("-")
+            | F.trim(l).startswith("*")
+            | F.trim(l).startswith("•"),
+        )
+    )
+    n_ellipsis_end = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...")
+            | F.rtrim(l).endswith("…"),
+        )
+    )
+    n_symbols = F.regexp_count(t, F.lit(r"#|\.\.\.|…"))
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    n_stop = F.size(
+        F.array_intersect(
+            w, F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS])
+        )
+    )
+    rules = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (
+            sum_word_len >= n_words * min_mean_word_len
+        ) & (sum_word_len <= n_words * max_mean_word_len),
+        "r_symbol_ratio": n_symbols * 10 < n_words,
+        "r_bullet_lines": n_bullet * 10 < n_lines * 9,
+        "r_ellipsis_lines": n_ellipsis_end * 10 < n_lines * 3,
+        "r_alpha_words": n_alpha * 5 > n_words * 4,
+        "r_stopwords": n_stop >= min_required_stop,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        "*",
+        *(c.alias(name) for name, c in rules.items()),
+        keep.alias("gopher_keep"),
+    )
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 hex of normalized text
     (the rolling-hash family's degenerate whole-doc case; windowed
