@@ -243,6 +243,19 @@ def test_gopher_rules_crafted(spark):
     assert not g[5]["r_symbol_ratio"] and g[1]["r_symbol_ratio"]
 
 
+def test_gopher_rules_null_text_is_deterministic(spark):
+    """NULL text ≡ empty: every rule a real boolean (split(NULL) would
+    otherwise make size() = -1 and line rules nondeterministic), keep
+    false."""
+    df = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
+    for r in tq.gopher_rules(df).collect():
+        d = r.asDict()
+        assert d["gopher_keep"] is False
+        assert all(
+            v in (True, False) for k, v in d.items() if k.startswith("r_")
+        )
+
+
 def test_fingerprint_invariance(spark):
     df = spark.createDataFrame(
         [(1, "Some  Text\there"), (2, "some text here")], "id long, text string"

@@ -128,8 +128,12 @@ def gopher_rules(
       r_ellipsis_lines < 30% of lines end with an ellipsis
       r_alpha_words    > 80% of words contain a letter
       r_stopwords      >= min_required_stop distinct required stopwords
+
+    NULL text is treated as empty (all rules false, keep false) —
+    without the coalesce, ``split(NULL)`` yields NULL arrays whose
+    ``size`` is -1 and the line-rule booleans go nondeterministic.
     """
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     w = words_of(t)
     n_words = token_count_ws(t)
     # norm_text joins words with single spaces, so the word-length sum
