@@ -465,6 +465,35 @@ def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_keep(docs, id_col="doc_id", text_col="text").select("doc_id")
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global paragraph dedup (C4/Dolma-style keep-first).
+    The synthetic documents carry no newlines, so the fixture builds
+    paragraph structure deterministically: each doc is paired with its
+    doc_id successor as ``text\\n\\ntext_next``, which plants every
+    interior text as a duplicate paragraph across two combo docs. The
+    single-partition lead window is fixture construction at sf scale,
+    not the operator under test."""
+    from pyspark.sql.window import Window
+
+    from wos_crawler_spark.operators.textdedup import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = Window.orderBy("doc_id")
+    combo = (
+        docs.select(
+            "doc_id",
+            F.lead("text", 1).over(w).alias("_nxt"),
+            "text",
+        )
+        .filter(F.col("_nxt").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws("\n\n", "text", "_nxt").alias("text"),
+        )
+    )
+    return paragraph_dedup(combo)
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-shingle Jaccard near-dup pairs, blocked by source."""
     from wos_crawler_spark.operators.textdedup import ngram_jaccard_pairs
@@ -753,6 +782,35 @@ def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(
         docs, min_words=30, max_words=80, min_required_stop=1
     ).select("doc_id", *(F.col(c).cast("int").alias(c) for c in cols))
+
+
+def q_text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021 §A1.2) over documents:
+    raw integer counts (duplicate line/paragraph occurrences and their
+    character mass, top-2/3/4-gram character mass, duplicated
+    5..10-gram character mass) + per-rule booleans + conjunctive
+    rep_keep. Every threshold is an integer cross-multiplication; the
+    DuckDB oracle recomputes the n-gram statistics from scratch with a
+    lead-window n-gram construction."""
+    from wos_crawler_spark.operators.textquality import (
+        gopher_repetition_rules,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = gopher_repetition_rules(docs)
+    rule_cols = [c for c in out.columns if c.startswith("r_")] + ["rep_keep"]
+    count_cols = [
+        "total_chars", "norm_chars", "n_lines", "dup_lines",
+        "dup_line_chars", "n_paras", "dup_paras", "dup_para_chars",
+        "top2gram_chars", "top3gram_chars", "top4gram_chars",
+        "dup5gram_chars", "dup6gram_chars", "dup7gram_chars",
+        "dup8gram_chars", "dup9gram_chars", "dup10gram_chars",
+    ]
+    return out.select(
+        "doc_id",
+        *count_cols,
+        *(F.col(c).cast("int").alias(c) for c in rule_cols),
+    )
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1091,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline family
         "dedup_exact": q_dedup_exact,
         "dedup_exact_keep": q_dedup_exact_keep,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
@@ -1110,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_gopher_quality": q_text_gopher_quality,
+        "text_gopher_repetition": q_text_gopher_repetition,
         "text_fingerprint": q_text_fingerprint,
         # rows-only engine surfaces (non-SQL-expressible)
         "parse_wos_plaintext": q_parse_wos_plaintext,
@@ -1409,6 +1469,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id
             FROM documents GROUP BY md5({_NORM})
         """,
+        "dedup_paragraphs": """
+            -- corpus-global keep-first paragraph dedup over the same
+            -- deterministic combo fixture the Spark entry builds
+            -- (doc || '\\n\\n' || next doc by doc_id order)
+            WITH combo AS (
+                SELECT doc_id,
+                       text || chr(10) || chr(10)
+                            || lead(text) OVER (ORDER BY doc_id) AS text
+                FROM documents
+                QUALIFY lead(text) OVER (ORDER BY doc_id) IS NOT NULL
+            ), p AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10) || chr(10)))
+                         AS para,
+                       generate_subscripts(
+                           string_split(text, chr(10) || chr(10)), 1)
+                         AS pos
+                FROM combo
+            ), r AS (
+                SELECT doc_id, pos, para, row_number() OVER (
+                           PARTITION BY md5(para)
+                           ORDER BY doc_id, pos
+                       ) AS rn
+                FROM p
+            ), k AS (
+                SELECT doc_id,
+                       string_agg(para, chr(10) || chr(10)
+                                  ORDER BY pos) AS dedup_text,
+                       CAST(count(*) AS BIGINT) AS n_paras_kept
+                FROM r WHERE rn = 1 GROUP BY doc_id
+            )
+            SELECT c.doc_id,
+                   CAST(len(string_split(c.text, chr(10) || chr(10)))
+                        AS BIGINT) AS n_paras_in,
+                   CAST(coalesce(k.n_paras_kept, 0) AS BIGINT)
+                     AS n_paras_kept,
+                   coalesce(k.dedup_text, '') AS dedup_text
+            FROM combo c LEFT JOIN k USING (doc_id)
+        """,
         "dedup_ngram_jaccard": f"""
             WITH sh AS (
                 SELECT doc_id, source,
@@ -1564,7 +1663,11 @@ def oracle_sql() -> dict[str, str]:
                        len(list_intersect({_WORDS},
                            ['the','be','to','of','and','that','have',
                             'with'])) AS n_stop
-                FROM documents
+                -- gopher_rules coalesces NULL text to '' up front;
+                -- mirror that here so the booleans stay bit-identical
+                -- on corpora that carry NULL documents
+                FROM (SELECT doc_id, coalesce(text, '') AS text
+                      FROM documents)
             )
             SELECT doc_id,
                    CAST(n_words >= 30 AND n_words <= 80 AS INTEGER)
@@ -1590,6 +1693,211 @@ def oracle_sql() -> dict[str, str]:
                         AND n_alpha * 5 > n_words * 4
                         AND n_stop >= 1 AS INTEGER) AS gopher_keep
             FROM g
+        """,
+        "text_gopher_repetition": f"""
+            -- Gopher §A1.2 repetition stats recomputed from scratch:
+            -- line/para duplicate mass via list algebra, n-gram mass
+            -- via a lead-window n-gram construction + GROUP BY. All
+            -- thresholds are the same integer cross-multiplications
+            -- the Spark operator evaluates.
+            WITH d AS (
+                SELECT doc_id, coalesce(text, '') AS text FROM documents
+            ), base AS (
+                SELECT doc_id, text, {_NORM} AS norm,
+                       CAST(length(text) AS BIGINT) AS total_chars,
+                       CAST(length({_NORM}) AS BIGINT) AS norm_chars
+                FROM d
+            ), segs AS (
+                SELECT doc_id,
+                       string_split(text, chr(10)) AS lns,
+                       string_split(text, chr(10) || chr(10)) AS prs
+                FROM d
+            ), seg_stats AS (
+                SELECT doc_id,
+                       CAST(len(lns) AS BIGINT) AS n_lines,
+                       CAST(len(lns) - len(list_distinct(lns)) AS BIGINT)
+                         AS dup_lines,
+                       CAST(coalesce(list_sum(list_transform(lns,
+                                x -> length(x))), 0)
+                          - coalesce(list_sum(list_transform(
+                                list_distinct(lns), x -> length(x))), 0)
+                            AS BIGINT) AS dup_line_chars,
+                       CAST(len(prs) AS BIGINT) AS n_paras,
+                       CAST(len(prs) - len(list_distinct(prs)) AS BIGINT)
+                         AS dup_paras,
+                       CAST(coalesce(list_sum(list_transform(prs,
+                                x -> length(x))), 0)
+                          - coalesce(list_sum(list_transform(
+                                list_distinct(prs), x -> length(x))), 0)
+                            AS BIGINT) AS dup_para_chars
+                FROM segs
+            ), toks AS (
+                SELECT doc_id,
+                       unnest(string_split(norm, ' ')) AS w,
+                       generate_subscripts(
+                           string_split(norm, ' '), 1) AS pos
+                FROM base
+            ), grams AS (
+                SELECT doc_id,
+                       w || ' ' || lead(w, 1) OVER win AS g2,
+                       w || ' ' || lead(w, 1) OVER win
+                         || ' ' || lead(w, 2) OVER win AS g3,
+                       w || ' ' || lead(w, 1) OVER win
+                         || ' ' || lead(w, 2) OVER win
+                         || ' ' || lead(w, 3) OVER win AS g4,
+                       w || ' ' || lead(w, 1) OVER win
+                         || ' ' || lead(w, 2) OVER win
+                         || ' ' || lead(w, 3) OVER win
+                         || ' ' || lead(w, 4) OVER win AS g5,
+                       w || ' ' || lead(w, 1) OVER win
+                         || ' ' || lead(w, 2) OVER win
+                         || ' ' || lead(w, 3) OVER win
+                         || ' ' || lead(w, 4) OVER win
+                         || ' ' || lead(w, 5) OVER win AS g6,
+                       w || ' ' || lead(w, 1) OVER win
+                         || ' ' || lead(w, 2) OVER win
+                         || ' ' || lead(w, 3) OVER win
+                         || ' ' || lead(w, 4) OVER win
+                         || ' ' || lead(w, 5) OVER win
+                         || ' ' || lead(w, 6) OVER win AS g7,
+                       w || ' ' || lead(w, 1) OVER win
+                         || ' ' || lead(w, 2) OVER win
+                         || ' ' || lead(w, 3) OVER win
+                         || ' ' || lead(w, 4) OVER win
+                         || ' ' || lead(w, 5) OVER win
+                         || ' ' || lead(w, 6) OVER win
+                         || ' ' || lead(w, 7) OVER win AS g8,
+                       w || ' ' || lead(w, 1) OVER win
+                         || ' ' || lead(w, 2) OVER win
+                         || ' ' || lead(w, 3) OVER win
+                         || ' ' || lead(w, 4) OVER win
+                         || ' ' || lead(w, 5) OVER win
+                         || ' ' || lead(w, 6) OVER win
+                         || ' ' || lead(w, 7) OVER win
+                         || ' ' || lead(w, 8) OVER win AS g9,
+                       w || ' ' || lead(w, 1) OVER win
+                         || ' ' || lead(w, 2) OVER win
+                         || ' ' || lead(w, 3) OVER win
+                         || ' ' || lead(w, 4) OVER win
+                         || ' ' || lead(w, 5) OVER win
+                         || ' ' || lead(w, 6) OVER win
+                         || ' ' || lead(w, 7) OVER win
+                         || ' ' || lead(w, 8) OVER win
+                         || ' ' || lead(w, 9) OVER win AS g10
+                FROM toks
+                WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            top2 AS (SELECT doc_id, cnt * length(g2) AS chars FROM (
+                SELECT doc_id, g2, count(*) AS cnt, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY count(*) DESC, g2 ASC
+                ) AS rn FROM grams WHERE g2 IS NOT NULL
+                GROUP BY doc_id, g2) WHERE rn = 1 AND cnt >= 2),
+            top3 AS (SELECT doc_id, cnt * length(g3) AS chars FROM (
+                SELECT doc_id, g3, count(*) AS cnt, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY count(*) DESC, g3 ASC
+                ) AS rn FROM grams WHERE g3 IS NOT NULL
+                GROUP BY doc_id, g3) WHERE rn = 1 AND cnt >= 2),
+            top4 AS (SELECT doc_id, cnt * length(g4) AS chars FROM (
+                SELECT doc_id, g4, count(*) AS cnt, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY count(*) DESC, g4 ASC
+                ) AS rn FROM grams WHERE g4 IS NOT NULL
+                GROUP BY doc_id, g4) WHERE rn = 1 AND cnt >= 2),
+            dup5 AS (SELECT doc_id, sum(cnt * length(g5)) AS chars FROM (
+                SELECT doc_id, g5, count(*) AS cnt FROM grams
+                WHERE g5 IS NOT NULL GROUP BY doc_id, g5)
+                WHERE cnt >= 2 GROUP BY doc_id),
+            dup6 AS (SELECT doc_id, sum(cnt * length(g6)) AS chars FROM (
+                SELECT doc_id, g6, count(*) AS cnt FROM grams
+                WHERE g6 IS NOT NULL GROUP BY doc_id, g6)
+                WHERE cnt >= 2 GROUP BY doc_id),
+            dup7 AS (SELECT doc_id, sum(cnt * length(g7)) AS chars FROM (
+                SELECT doc_id, g7, count(*) AS cnt FROM grams
+                WHERE g7 IS NOT NULL GROUP BY doc_id, g7)
+                WHERE cnt >= 2 GROUP BY doc_id),
+            dup8 AS (SELECT doc_id, sum(cnt * length(g8)) AS chars FROM (
+                SELECT doc_id, g8, count(*) AS cnt FROM grams
+                WHERE g8 IS NOT NULL GROUP BY doc_id, g8)
+                WHERE cnt >= 2 GROUP BY doc_id),
+            dup9 AS (SELECT doc_id, sum(cnt * length(g9)) AS chars FROM (
+                SELECT doc_id, g9, count(*) AS cnt FROM grams
+                WHERE g9 IS NOT NULL GROUP BY doc_id, g9)
+                WHERE cnt >= 2 GROUP BY doc_id),
+            dup10 AS (SELECT doc_id, sum(cnt * length(g10)) AS chars FROM (
+                SELECT doc_id, g10, count(*) AS cnt FROM grams
+                WHERE g10 IS NOT NULL GROUP BY doc_id, g10)
+                WHERE cnt >= 2 GROUP BY doc_id),
+            counts AS (
+                SELECT b.doc_id, b.total_chars, b.norm_chars,
+                       s.n_lines, s.dup_lines, s.dup_line_chars,
+                       s.n_paras, s.dup_paras, s.dup_para_chars,
+                       CAST(coalesce(t2.chars, 0) AS BIGINT) AS top2gram_chars,
+                       CAST(coalesce(t3.chars, 0) AS BIGINT) AS top3gram_chars,
+                       CAST(coalesce(t4.chars, 0) AS BIGINT) AS top4gram_chars,
+                       CAST(coalesce(d5.chars, 0) AS BIGINT) AS dup5gram_chars,
+                       CAST(coalesce(d6.chars, 0) AS BIGINT) AS dup6gram_chars,
+                       CAST(coalesce(d7.chars, 0) AS BIGINT) AS dup7gram_chars,
+                       CAST(coalesce(d8.chars, 0) AS BIGINT) AS dup8gram_chars,
+                       CAST(coalesce(d9.chars, 0) AS BIGINT) AS dup9gram_chars,
+                       CAST(coalesce(d10.chars, 0) AS BIGINT)
+                         AS dup10gram_chars
+                FROM base b
+                JOIN seg_stats s USING (doc_id)
+                LEFT JOIN top2 t2 USING (doc_id)
+                LEFT JOIN top3 t3 USING (doc_id)
+                LEFT JOIN top4 t4 USING (doc_id)
+                LEFT JOIN dup5 d5 USING (doc_id)
+                LEFT JOIN dup6 d6 USING (doc_id)
+                LEFT JOIN dup7 d7 USING (doc_id)
+                LEFT JOIN dup8 d8 USING (doc_id)
+                LEFT JOIN dup9 d9 USING (doc_id)
+                LEFT JOIN dup10 d10 USING (doc_id)
+            )
+            SELECT doc_id, total_chars, norm_chars, n_lines, dup_lines,
+                   dup_line_chars, n_paras, dup_paras, dup_para_chars,
+                   top2gram_chars, top3gram_chars, top4gram_chars,
+                   dup5gram_chars, dup6gram_chars, dup7gram_chars,
+                   dup8gram_chars, dup9gram_chars, dup10gram_chars,
+                   CAST(dup_lines * 10 <= n_lines * 3 AS INTEGER)
+                     AS r_dup_line_frac,
+                   CAST(dup_paras * 10 <= n_paras * 3 AS INTEGER)
+                     AS r_dup_para_frac,
+                   CAST(dup_line_chars * 5 <= total_chars AS INTEGER)
+                     AS r_dup_line_chars,
+                   CAST(dup_para_chars * 5 <= total_chars AS INTEGER)
+                     AS r_dup_para_chars,
+                   CAST(top2gram_chars * 5 <= norm_chars * 1 AS INTEGER)
+                     AS r_top2gram_chars,
+                   CAST(top3gram_chars * 50 <= norm_chars * 9 AS INTEGER)
+                     AS r_top3gram_chars,
+                   CAST(top4gram_chars * 25 <= norm_chars * 4 AS INTEGER)
+                     AS r_top4gram_chars,
+                   CAST(dup5gram_chars * 20 <= norm_chars * 3 AS INTEGER)
+                     AS r_dup5gram_chars,
+                   CAST(dup6gram_chars * 50 <= norm_chars * 7 AS INTEGER)
+                     AS r_dup6gram_chars,
+                   CAST(dup7gram_chars * 100 <= norm_chars * 13 AS INTEGER)
+                     AS r_dup7gram_chars,
+                   CAST(dup8gram_chars * 25 <= norm_chars * 3 AS INTEGER)
+                     AS r_dup8gram_chars,
+                   CAST(dup9gram_chars * 100 <= norm_chars * 11 AS INTEGER)
+                     AS r_dup9gram_chars,
+                   CAST(dup10gram_chars * 10 <= norm_chars * 1 AS INTEGER)
+                     AS r_dup10gram_chars,
+                   CAST(dup_lines * 10 <= n_lines * 3
+                        AND dup_paras * 10 <= n_paras * 3
+                        AND dup_line_chars * 5 <= total_chars
+                        AND dup_para_chars * 5 <= total_chars
+                        AND top2gram_chars * 5 <= norm_chars * 1
+                        AND top3gram_chars * 50 <= norm_chars * 9
+                        AND top4gram_chars * 25 <= norm_chars * 4
+                        AND dup5gram_chars * 20 <= norm_chars * 3
+                        AND dup6gram_chars * 50 <= norm_chars * 7
+                        AND dup7gram_chars * 100 <= norm_chars * 13
+                        AND dup8gram_chars * 25 <= norm_chars * 3
+                        AND dup9gram_chars * 100 <= norm_chars * 11
+                        AND dup10gram_chars * 10 <= norm_chars * 1
+                        AS INTEGER) AS rep_keep
+            FROM counts
         """,
         # ---- snapshot-backed oracles (parse family / crawl / media) --
         "parse_wos_plaintext": f"""

@@ -256,6 +256,205 @@ def test_gopher_rules_null_text_is_deterministic(spark):
         )
 
 
+def test_paragraph_dedup_global(spark):
+    """Corpus-global keep-first: later occurrences of a paragraph drop
+    wherever they appear; docs reassemble in original order; a fully
+    duplicated doc survives with empty text."""
+    docs = spark.createDataFrame(
+        [
+            (1, "A\n\nB\n\nC"),
+            (2, "B\n\nD"),        # B seen in doc 1
+            (3, "C\n\nC\n\nE"),   # C seen in doc 1; 2nd C intra-doc dup
+            (4, "A\n\nB"),        # everything seen earlier
+            (5, None),            # NULL -> one empty paragraph ''
+            (6, ""),              # '' paragraph now a duplicate of 5's
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in td.paragraph_dedup(docs).collect()
+    }
+    assert out[1]["dedup_text"] == "A\n\nB\n\nC"
+    assert (out[1]["n_paras_in"], out[1]["n_paras_kept"]) == (3, 3)
+    assert out[2]["dedup_text"] == "D" and out[2]["n_paras_kept"] == 1
+    assert out[3]["dedup_text"] == "E"
+    assert (out[4]["n_paras_in"], out[4]["n_paras_kept"]) == (2, 0)
+    assert out[4]["dedup_text"] == ""
+    assert out[5]["n_paras_kept"] == 1 and out[5]["dedup_text"] == ""
+    assert out[6]["n_paras_kept"] == 0
+
+
+def test_paragraph_dedup_partitioning_invariant(spark):
+    """Keeper choice is (id, pos)-ordered, not partition-ordered."""
+    rows = [(i, f"P{i % 7}\n\nQ{i % 5}") for i in range(40)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string")
+    df2 = df1.repartition(13)
+    a = sorted(td.paragraph_dedup(df1).collect())
+    b = sorted(td.paragraph_dedup(df2).collect())
+    assert a == b
+    # exactly 7 P-paragraphs + 5 Q-paragraphs survive corpus-wide
+    assert sum(r["n_paras_kept"] for r in a) == 12
+
+
+def _repetition_twin(text: str | None) -> dict:
+    """Pure-python twin of tq.gopher_repetition_rules for one doc —
+    independent recomputation of every emitted column."""
+    import re
+    from collections import Counter
+
+    t = text or ""
+    total_chars = len(t)
+    norm = re.sub(r"\s+", " ", t.lower()).strip()
+    norm_chars = len(norm)
+    words = norm.split(" ")
+
+    def seg(pattern: str) -> tuple[int, int, int]:
+        segs = re.split(pattern, t)
+        seen: set[str] = set()
+        dup = dup_chars = 0
+        for s in segs:
+            if s in seen:
+                dup += 1
+                dup_chars += len(s)
+            else:
+                seen.add(s)
+        return len(segs), dup, dup_chars
+
+    def ngrams(n: int) -> list[str]:
+        if len(words) < n:
+            return []
+        return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+    out: dict = {"total_chars": total_chars, "norm_chars": norm_chars}
+    (out["n_lines"], out["dup_lines"], out["dup_line_chars"]) = seg(r"\n")
+    (out["n_paras"], out["dup_paras"], out["dup_para_chars"]) = seg(r"\n\n")
+    for n in tq.GOPHER_TOP_NGRAM_THRESHOLDS:
+        c = Counter(ngrams(n))
+        chars = 0
+        if c:
+            top = max(c.values())
+            best = min(g for g, k in c.items() if k == top)
+            if top >= 2:
+                chars = top * len(best)
+        out[f"top{n}gram_chars"] = chars
+    for n in tq.GOPHER_DUP_NGRAM_THRESHOLDS:
+        c = Counter(ngrams(n))
+        out[f"dup{n}gram_chars"] = sum(
+            k * len(g) for g, k in c.items() if k >= 2
+        )
+    out["r_dup_line_frac"] = out["dup_lines"] * 10 <= out["n_lines"] * 3
+    out["r_dup_para_frac"] = out["dup_paras"] * 10 <= out["n_paras"] * 3
+    out["r_dup_line_chars"] = out["dup_line_chars"] * 5 <= total_chars
+    out["r_dup_para_chars"] = out["dup_para_chars"] * 5 <= total_chars
+    for n, (num, den) in tq.GOPHER_TOP_NGRAM_THRESHOLDS.items():
+        out[f"r_top{n}gram_chars"] = (
+            out[f"top{n}gram_chars"] * den <= norm_chars * num
+        )
+    for n, (num, den) in tq.GOPHER_DUP_NGRAM_THRESHOLDS.items():
+        out[f"r_dup{n}gram_chars"] = (
+            out[f"dup{n}gram_chars"] * den <= norm_chars * num
+        )
+    out["rep_keep"] = all(v for k, v in out.items() if k.startswith("r_"))
+    return out
+
+
+def test_gopher_repetition_crafted(spark):
+    """Hand-computed counts for each rule family."""
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, 'a b c' twice more after its first -> dup 2,
+            # dup chars 10
+            (1, "a b c\nx y z\na b c\na b c"),
+            # paragraphs: 'p one' repeated -> 1 dup para, 5 dup chars
+            (2, "p one\n\np two\n\np one"),
+            # top 2-gram 'the cat' x2 -> 14 chars
+            (3, "the cat the cat sat"),
+            # 5-gram 'a b c d e' twice (disjoint) -> 2*9=18 dup chars
+            (4, "a b c d e z a b c d e"),
+            (5, "all words distinct here now truly"),
+        ],
+        "doc_id long, text string",
+    )
+    g = {
+        r["doc_id"]: r.asDict()
+        for r in tq.gopher_repetition_rules(docs).collect()
+    }
+    assert (g[1]["n_lines"], g[1]["dup_lines"], g[1]["dup_line_chars"]) == (4, 2, 10)
+    # 2/4 dup lines > 0.30 and 10/23 chars > 0.20 -> both trip
+    assert not g[1]["r_dup_line_frac"] and not g[1]["r_dup_line_chars"]
+    assert (g[2]["n_paras"], g[2]["dup_paras"], g[2]["dup_para_chars"]) == (3, 1, 5)
+    assert not g[2]["r_dup_para_frac"]  # 1/3 > 0.30
+    assert g[3]["top2gram_chars"] == 14  # 'the cat' x2
+    assert not g[3]["r_top2gram_chars"]  # 14/19 > 0.20
+    assert g[4]["dup5gram_chars"] == 18
+    assert not g[4]["r_dup5gram_chars"]  # 18/21 > 0.15
+    assert g[5]["rep_keep"] and all(
+        v for k, v in g[5].items() if k.startswith("r_")
+    )
+
+
+def test_gopher_repetition_matches_python_twin(spark):
+    """Property check: 60 seeded randomized docs (small vocab to force
+    repetition, newlines and blank lines included) — every emitted
+    column equals the independent python recomputation."""
+    import random
+
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "x", "yy", "#", "the"]
+    docs = []
+    for i in range(60):
+        n_lines = rng.randint(0, 6)
+        lines = []
+        for _ in range(n_lines + 1):
+            k = rng.randint(0, 12)
+            lines.append(" ".join(rng.choice(vocab) for _ in range(k)))
+        sep = rng.choice(["\n", "\n\n", "\n"])
+        docs.append((i, sep.join(lines)))
+    docs.append((900, None))
+    docs.append((901, ""))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in tq.gopher_repetition_rules(df).collect()
+    }
+    texts = dict(docs)
+    for doc_id, row in rows.items():
+        twin = _repetition_twin(texts[doc_id])
+        for col, expected in twin.items():
+            assert row[col] == expected, (
+                f"doc {doc_id} col {col}: spark={row[col]} twin={expected} "
+                f"text={texts[doc_id]!r}"
+            )
+
+
+def test_gopher_repetition_expr_equals_arrow(spark):
+    """The Catalyst-expr twin (use_arrow=False, the shape the DuckDB
+    oracle mirrors) and the Arrow mapInPandas scale path emit
+    bit-identical rows — schema order included."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["a", "bb", "the", "zz", "#"]
+    docs = [
+        (1, "a b c\nx y z\na b c\na b c"),
+        (2, "p one\n\np two\n\np one"),
+        (3, "the cat the cat sat"),
+        (4, None),
+        (5, ""),
+    ]
+    for i in range(6, 26):
+        lines = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 8)))
+            for _ in range(rng.randint(1, 4))
+        ]
+        docs.append((i, rng.choice(["\n", "\n\n"]).join(lines)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    arrow = sorted(tq.gopher_repetition_rules(df, use_arrow=True).collect())
+    expr = sorted(tq.gopher_repetition_rules(df, use_arrow=False).collect())
+    assert [r.asDict() for r in arrow] == [r.asDict() for r in expr]
+
+
 def test_fingerprint_invariance(spark):
     df = spark.createDataFrame(
         [(1, "Some  Text\there"), (2, "some text here")], "id long, text string"

@@ -37,13 +37,28 @@ def words_of(c: Column) -> Column:
     return F.split(norm_text(c), " ")
 
 
-def word_shingles(c: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (deduplicated)."""
-    w = words_of(c)
+def shingles_from_words(w: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (deduplicated) from a word-array column.
+
+    ``w`` should be an ALREADY-MATERIALIZED attribute reference: it is
+    captured inside the ``transform`` lambda, and Catalyst's
+    subexpression elimination does not reach into higher-order-function
+    lambda bodies — a computed ``w`` (e.g. ``words_of(text)`` inline)
+    is re-evaluated once per output shingle, turning shingling into
+    O(words × normalize(text)) per row. Operators here project the
+    word array first and call this on the column."""
     idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(w) - (n - 1)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
     )
+
+
+def word_shingles(c: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (deduplicated).
+    Convenience wrapper over :func:`shingles_from_words`; see its
+    materialization caveat — prefer the two-projection form in
+    anything hot."""
+    return shingles_from_words(words_of(c), n)
 
 
 # -------------------------------------------------------- exact dedup
@@ -69,6 +84,70 @@ def exact_dedup_keep(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         F.col("keep_id").alias(id_col)
     )
     return df.join(keep, id_col, "left_semi")
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_pattern: str = r"\n\n",
+    join_sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-GLOBAL exact paragraph dedup (the C4/Dolma-style
+    paragraph pass): every occurrence of a paragraph after its first —
+    ordered by ``(id, position)`` across the WHOLE corpus — is dropped,
+    and documents are reassembled from their surviving paragraphs in
+    original order. Emits ``(id, n_paras_in, n_paras_kept,
+    dedup_text)``; a document whose every paragraph was seen earlier
+    survives with ``dedup_text = ''`` (callers gate on
+    ``n_paras_kept``).
+
+    Determinism contract: the keeper of a duplicated paragraph is the
+    globally smallest ``(id, pos)`` occurrence; paragraphs compare as
+    EXACT strings (md5 digests — no normalization: paragraph dedup is
+    byte-level by convention, unlike :func:`exact_dedup`'s normalized
+    whole-doc digest); empty paragraphs (consecutive separators)
+    participate like any other value. ``split_pattern`` is a Java
+    regex, ``join_sep`` the literal rejoin separator.
+
+    Scale shape: two key shuffles — (1) a window over ``p_digest``
+    ranking occurrences (paragraph text rides this exchange; the
+    digest-only twin — rank digests, semi-join winners back — trades
+    one payload shuffle for two extra digest shuffles and wins only
+    when paragraphs are huge), then (2) reassembly grouped by ``id``.
+    Both keys are high-cardinality and AQE-skew-splittable; no
+    broadcast, no driver state.
+    """
+    from pyspark.sql.window import Window
+
+    arr = F.split(F.coalesce(F.col(text_col), F.lit("")), split_pattern)
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(arr).alias("pos", "para"),
+    ).withColumn("p_digest", F.md5(F.col("para")))
+    kept = paras.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("p_digest").orderBy(id_col, "pos")
+        ),
+    ).filter(F.col("_rn") == 1)
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda x: x["para"],
+            ),
+            join_sep,
+        ).alias("dedup_text"),
+        F.count(F.lit(1)).cast("long").alias("n_paras_kept"),
+    )
+    base = df.select(F.col(id_col), F.size(arr).cast("long").alias("n_paras_in"))
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        "n_paras_in",
+        F.coalesce("n_paras_kept", F.lit(0).cast("long")).alias("n_paras_kept"),
+        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+    )
 
 
 # -------------------------------------------------------- MinHash LSH
@@ -130,10 +209,14 @@ def minhash_lsh_pairs(
     NOTE: pair enumeration is quadratic in band-bucket size; use this
     when pairs are the product (audits, verification). For dedup at
     scale use :func:`minhash_lsh_dedup`, which stays linear."""
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            words_of(F.col(text_col)).alias("_w"),
+        )
+        .select("_id", shingles_from_words(F.col("_w"), shingle_n).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+    )
 
     # banding carries ONLY (id, band_id, band_hash) — ~k·|docs| small
     # rows. The shingle arrays (the heavy column) never enter this
@@ -172,10 +255,14 @@ def _banded(df: DataFrame, id_col: str, text_col: str, shingle_n: int,
             k: int, bands: int) -> DataFrame:
     """(_id, band_id, band_hash) rows — the shared LSH front-end."""
     rows = k // bands
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            words_of(F.col(text_col)).alias("_w"),
+        )
+        .select("_id", shingles_from_words(F.col("_w"), shingle_n).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+    )
     hashed = base.select("_id", shingle_hashes(F.col("_sh")).alias("_h"))
     sig = hashed.select("_id", minhash_signature(F.col("_h"), k).alias("_sig"))
     return sig.select(
@@ -485,7 +572,11 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("_id"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
-        word_shingles(F.col(text_col), n).alias("_sh"),
+        words_of(F.col(text_col)).alias("_w"),
+    ).select(
+        "_id",
+        *( ["_blk"] if block_col else [] ),
+        shingles_from_words(F.col("_w"), n).alias("_sh"),
     )
     join_keys = ["_blk"] if block_col else []
     a = sh.select(*(["_blk"] if block_col else []),

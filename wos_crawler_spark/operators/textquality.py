@@ -184,6 +184,349 @@ def gopher_rules(
     )
 
 
+#: Gopher repetition-rule thresholds (Rae et al. 2021 §A1.2, Table A1)
+#: as (numerator multiplier, denominator multiplier) pairs encoding
+#: "fraction <= num/den" via integer cross-multiplication — e.g. the
+#: dup-line rule "remove if > 0.30" keeps iff dup_lines*10 <= n_lines*3.
+GOPHER_TOP_NGRAM_THRESHOLDS = {2: (1, 5), 3: (9, 50), 4: (4, 25)}
+GOPHER_DUP_NGRAM_THRESHOLDS = {
+    5: (3, 20), 6: (7, 50), 7: (13, 100), 8: (3, 25), 9: (11, 100),
+    10: (1, 10),
+}
+
+
+def _ngrams(w: Column, n: int) -> Column:
+    """Word n-gram occurrence array (NOT deduplicated — repetition
+    counting needs every occurrence; textdedup.word_shingles is the
+    deduplicated twin). Fewer than n words → empty array; the
+    ``when`` guard matters because ``sequence(1, size-n+1)`` would
+    DESCEND for short docs and fabricate windows."""
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _sum_lengths(arr: Column) -> Column:
+    return F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+
+
+def _top_run_chars(sorted_arr: Column) -> Column:
+    """Characters covered by ALL occurrences of the most frequent
+    element of a SORTED array: count * length. A count of 1 is not
+    repetition → 0. Ties on count resolve to the lexicographically
+    smallest element (runs are scanned in sort order and only a
+    STRICTLY longer run displaces the best) — the deterministic
+    cross-engine tie-break the DuckDB oracle mirrors with
+    ``ORDER BY cnt DESC, gram ASC``."""
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit("").alias("best"),
+        F.lit(0).cast("long").alias("bestrun"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        better = run > acc["bestrun"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, x).otherwise(acc["best"]).alias("best"),
+            F.when(better, run).otherwise(acc["bestrun"]).alias("bestrun"),
+        )
+
+    fin = F.aggregate(sorted_arr, acc0, step)
+    return F.when(
+        fin["bestrun"] >= 2, fin["bestrun"] * F.length(fin["best"])
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def _dup_occurrence_chars(sorted_arr: Column) -> Column:
+    """Characters covered by every occurrence of elements appearing
+    >= 2 times in a SORTED array (Σ_{count(g)>=2} count(g)·len(g)):
+    an occurrence is duplicated iff it equals a sort-neighbor. The
+    ``when`` guards keep ``element_at`` in-bounds (CaseWhen branches
+    evaluate lazily, so the out-of-range probe never runs)."""
+    sz = F.size(sorted_arr)
+
+    def dup_len(i: Column) -> Column:
+        cur = F.element_at(sorted_arr, i)
+        eq_prev = F.when(
+            i > 1, cur == F.element_at(sorted_arr, i - 1)
+        ).otherwise(F.lit(False))
+        eq_next = F.when(
+            i < sz, cur == F.element_at(sorted_arr, i + 1)
+        ).otherwise(F.lit(False))
+        return F.when(eq_prev | eq_next, F.length(cur)).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    return F.when(sz < 2, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1), sz),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + dup_len(i),
+        )
+    )
+
+
+def gopher_repetition_rules(
+    df: DataFrame, text_col: str = "text", use_arrow: bool = True
+) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021, §A1.2 / Table A1) —
+    the companion of :func:`gopher_rules` (§A1.1). Emits the raw
+    integer counts, one boolean per rule, and the conjunctive
+    ``rep_keep``; every threshold is an integer cross-multiplication
+    so the DuckDB oracle recomputes bit-identical booleans (see
+    GOPHER_*_THRESHOLDS).
+
+    Two value-identical execution paths (tests pin their equality):
+
+    - ``use_arrow=True`` (default, the scale path): one ``mapInPandas``
+      island — per-document Counter passes over the word list, Arrow
+      batch transfer, no shuffle. ~0.1–1 ms/doc, linear in words.
+    - ``use_arrow=False`` (the Catalyst-expr / snapshot-oracle twin):
+      pure expressions. Correct but ~100–1000× slower per document:
+      the 9 ``array_sort`` calls evaluate an interpreted lambda
+      comparator per comparison (HOFs are CodegenFallback), which
+      measures ~0.3–0.7 core-seconds per 150-word doc. Kept because
+      it is SQL-shaped (the DuckDB oracle mirrors it) and exercises
+      the exact tie-break contract; never run it over a corpus.
+
+    Rules (keep iff fraction <= threshold):
+      r_dup_line_frac / r_dup_para_frac      <= 0.30 of lines (paras)
+        are repeats of an earlier identical line (para)
+      r_dup_line_chars / r_dup_para_chars    <= 0.20 of RAW characters
+        sit in those repeated occurrences
+      r_top{2,3,4}gram_chars                 chars covered by all
+        occurrences of the most frequent word n-gram <= 0.20/0.18/0.16
+        of NORMALIZED characters
+      r_dup{5..10}gram_chars                 chars covered by every
+        occurrence of any repeated word n-gram <= 0.15…0.10
+
+    Contract notes (deterministic, both engines): lines split on
+    ``\\n`` and paragraphs on ``\\n\\n`` exactly as stored (empty
+    segments count — two blank lines ARE duplicate lines); a repeated
+    segment's FIRST occurrence is not a duplicate (count-1 per value,
+    matching the public reference implementations of this filter);
+    n-grams are over :func:`~wos_crawler_spark.operators.textdedup.
+    words_of` normalized words, overlapping occurrences each count
+    their full character span; top-n-gram count ties resolve to the
+    lexicographically smallest gram; NULL text ≡ empty (all counts 0,
+    every rule passes — compose with gopher_rules, whose word-count
+    floor rejects empty docs).
+
+    Scale shape: per-document map-side expressions ONLY — no shuffle,
+    no UDF, cost ∝ document length (6 sorted n-gram arrays dominate).
+
+    Plan shape matters here: Catalyst's subexpression elimination does
+    NOT reach into higher-order-function lambda bodies, so any
+    computed array captured inside an ``aggregate``/``transform``
+    lambda is RE-EVALUATED once per element — a single-projection
+    formulation of these rules re-split and re-sorted the n-gram
+    arrays O(words) times per document (measured: minutes for 500
+    short docs). The implementation therefore materializes each
+    intermediate (word array → sorted n-gram arrays → integer counts)
+    as a real column in its own projection, so lambda bodies only ever
+    capture attribute references; the chained projections cannot be
+    re-inlined by CollapseProject because each materialized column is
+    non-cheap and referenced more than once downstream.
+    """
+    if use_arrow:
+        return _gopher_repetition_arrow(df, text_col)
+    pre = "_grr_"
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    ngram_ns = sorted({*GOPHER_TOP_NGRAM_THRESHOLDS, *GOPHER_DUP_NGRAM_THRESHOLDS})
+
+    # stage 0: scalars + segment arrays + normalized word array
+    base = df.select(
+        "*",
+        F.length(t).cast("long").alias("total_chars"),
+        F.length(norm_text(t)).cast("long").alias("norm_chars"),
+        F.split(t, r"\n").alias(f"{pre}lns"),
+        F.split(t, r"\n\n").alias(f"{pre}prs"),
+        words_of(t).alias(f"{pre}w"),
+    )
+    # stage 1: distinct segment arrays + sorted n-gram occurrence
+    # arrays, all built from materialized columns
+    w = F.col(f"{pre}w")
+    grams = base.select(
+        "*",
+        F.array_distinct(f"{pre}lns").alias(f"{pre}lns_d"),
+        F.array_distinct(f"{pre}prs").alias(f"{pre}prs_d"),
+        *(
+            F.array_sort(_ngrams(w, n)).alias(f"{pre}g{n}")
+            for n in ngram_ns
+        ),
+    )
+
+    # stage 2: integer counts from materialized arrays
+    def seg_stats(kind: str, all_c: str, dis_c: str) -> dict[str, Column]:
+        segs, dis = F.col(all_c), F.col(dis_c)
+        return {
+            f"n_{kind}s": F.size(segs).cast("long"),
+            f"dup_{kind}s": (F.size(segs) - F.size(dis)).cast("long"),
+            f"dup_{kind}_chars": _sum_lengths(segs) - _sum_lengths(dis),
+        }
+
+    counts: dict[str, Column] = {
+        **seg_stats("line", f"{pre}lns", f"{pre}lns_d"),
+        **seg_stats("para", f"{pre}prs", f"{pre}prs_d"),
+    }
+    for n in GOPHER_TOP_NGRAM_THRESHOLDS:
+        counts[f"top{n}gram_chars"] = _top_run_chars(F.col(f"{pre}g{n}"))
+    for n in GOPHER_DUP_NGRAM_THRESHOLDS:
+        counts[f"dup{n}gram_chars"] = _dup_occurrence_chars(F.col(f"{pre}g{n}"))
+    cnt = grams.select("*", *(c.alias(k) for k, c in counts.items()))
+
+    # stage 3: rule booleans (cheap integer cross-multiplications over
+    # materialized counts) + conjunctive keep
+    total_chars, norm_chars = F.col("total_chars"), F.col("norm_chars")
+    rules: dict[str, Column] = {
+        "r_dup_line_frac": F.col("dup_lines") * 10 <= F.col("n_lines") * 3,
+        "r_dup_para_frac": F.col("dup_paras") * 10 <= F.col("n_paras") * 3,
+        "r_dup_line_chars": F.col("dup_line_chars") * 5 <= total_chars,
+        "r_dup_para_chars": F.col("dup_para_chars") * 5 <= total_chars,
+    }
+    for n, (num, den) in GOPHER_TOP_NGRAM_THRESHOLDS.items():
+        rules[f"r_top{n}gram_chars"] = (
+            F.col(f"top{n}gram_chars") * den <= norm_chars * num
+        )
+    for n, (num, den) in GOPHER_DUP_NGRAM_THRESHOLDS.items():
+        rules[f"r_dup{n}gram_chars"] = (
+            F.col(f"dup{n}gram_chars") * den <= norm_chars * num
+        )
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else (keep & F.col(name))
+    ruled = cnt.select("*", *(c.alias(k) for k, c in rules.items()))
+    return ruled.select("*", keep.alias("rep_keep")).drop(
+        *(c for c in ruled.columns if c.startswith(pre))
+    )
+
+
+#: Java regex ``\s`` is the ASCII class [ \t\n\x0B\f\r] (no
+#: UNICODE_CHARACTER_CLASS flag in Spark's regexp_replace). The python
+#: twin must NOT use python's ``\s`` (unicode-aware on str) or
+#: ``.strip()`` (strips unicode whitespace) — both would diverge from
+#: norm_text on e.g. NBSP.
+_JAVA_WS_RE = None  # compiled lazily on the executor
+
+
+def _repetition_counts(text) -> dict:
+    """Pure-python recomputation of every gopher_repetition_rules
+    column for ONE document — shared by the Arrow scale path and the
+    test twin. Bit-identical to the Catalyst-expr path by contract
+    (tests pin equality): same Java-\\s normalization, same
+    keeps-empty splits, same count-including-first dup-gram mass,
+    same strictly-greater top-gram tie-break."""
+    import re
+    from collections import Counter
+
+    global _JAVA_WS_RE
+    if _JAVA_WS_RE is None:
+        _JAVA_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    t = text if isinstance(text, str) else ""
+    total_chars = len(t)
+    norm = _JAVA_WS_RE.sub(" ", t.lower()).strip(" ")
+    out: dict = {"total_chars": total_chars, "norm_chars": len(norm)}
+    words = norm.split(" ")
+
+    for kind, sep in (("line", "\n"), ("para", "\n\n")):
+        segs = t.split(sep)
+        seen: set = set()
+        dup = dup_chars = 0
+        for s in segs:
+            if s in seen:
+                dup += 1
+                dup_chars += len(s)
+            else:
+                seen.add(s)
+        out[f"n_{kind}s"] = len(segs)
+        out[f"dup_{kind}s"] = dup
+        out[f"dup_{kind}_chars"] = dup_chars
+
+    def gram_counts(n: int) -> Counter:
+        if len(words) < n:
+            return Counter()
+        return Counter(
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        )
+
+    for n in GOPHER_TOP_NGRAM_THRESHOLDS:
+        c = gram_counts(n)
+        chars = 0
+        if c:
+            top = max(c.values())
+            if top >= 2:
+                best = min(g for g, k in c.items() if k == top)
+                chars = top * len(best)
+        out[f"top{n}gram_chars"] = chars
+    for n in GOPHER_DUP_NGRAM_THRESHOLDS:
+        out[f"dup{n}gram_chars"] = sum(
+            k * len(g) for g, k in gram_counts(n).items() if k >= 2
+        )
+
+    out["r_dup_line_frac"] = out["dup_lines"] * 10 <= out["n_lines"] * 3
+    out["r_dup_para_frac"] = out["dup_paras"] * 10 <= out["n_paras"] * 3
+    out["r_dup_line_chars"] = out["dup_line_chars"] * 5 <= total_chars
+    out["r_dup_para_chars"] = out["dup_para_chars"] * 5 <= total_chars
+    for n, (num, den) in GOPHER_TOP_NGRAM_THRESHOLDS.items():
+        out[f"r_top{n}gram_chars"] = (
+            out[f"top{n}gram_chars"] * den <= out["norm_chars"] * num
+        )
+    for n, (num, den) in GOPHER_DUP_NGRAM_THRESHOLDS.items():
+        out[f"r_dup{n}gram_chars"] = (
+            out[f"dup{n}gram_chars"] * den <= out["norm_chars"] * num
+        )
+    out["rep_keep"] = all(v for k, v in out.items() if k.startswith("r_"))
+    return out
+
+
+def _gopher_repetition_arrow(df: DataFrame, text_col: str) -> DataFrame:
+    """Arrow mapInPandas scale path of :func:`gopher_repetition_rules`:
+    per-document Counter passes, no shuffle, linear in words."""
+    from pyspark.sql import types as T
+
+    count_names = [
+        "total_chars", "norm_chars", "n_lines", "dup_lines",
+        "dup_line_chars", "n_paras", "dup_paras", "dup_para_chars",
+        *(f"top{n}gram_chars" for n in GOPHER_TOP_NGRAM_THRESHOLDS),
+        *(f"dup{n}gram_chars" for n in GOPHER_DUP_NGRAM_THRESHOLDS),
+    ]
+    rule_names = [
+        "r_dup_line_frac", "r_dup_para_frac",
+        "r_dup_line_chars", "r_dup_para_chars",
+        *(f"r_top{n}gram_chars" for n in GOPHER_TOP_NGRAM_THRESHOLDS),
+        *(f"r_dup{n}gram_chars" for n in GOPHER_DUP_NGRAM_THRESHOLDS),
+        "rep_keep",
+    ]
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(c, T.LongType(), False) for c in count_names]
+        + [T.StructField(c, T.BooleanType(), False) for c in rule_names]
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            stats = [_repetition_counts(t) for t in pdf[text_col]]
+            out = pdf.copy()
+            for k in count_names + rule_names:
+                out[k] = [s[k] for s in stats]
+            yield out
+
+    return df.mapInPandas(compute, schema=schema)
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 hex of normalized text
     (the rolling-hash family's degenerate whole-doc case; windowed
@@ -195,7 +538,12 @@ def rolling_fingerprints(text: Column, window: int = 8) -> Column:
     """Winnowing-style rolling fingerprints: xxhash64 of each
     ``window``-word shingle → array<long>. Min-sampled variants are a
     downstream array_min over slices. Empty text → empty array (not
-    one fingerprint of '')."""
+    one fingerprint of '').
+
+    Materialization caveat (same as textdedup.shingles_from_words):
+    ``text``'s word array is captured inside the transform lambda, so
+    pass an attribute or pre-project ``words_of(text)`` in anything
+    hot — subexpression elimination does not reach into HOF lambdas."""
     w = words_of(text)
     idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(w) - (window - 1)))
     fps = F.transform(
