@@ -52,7 +52,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 # efficiency collapses from 0.97 at (2,8) to ~0.5 at (8,32) for the
 # identical job/input). --levels overrides.
 CORE_LEVELS = (2, 8)
-INPUT_DIR = "/dev/shm/wcs-scaling-input"
+# tmpfs by default (generation cost + read path both RAM-speed). For
+# rungs whose input alone approaches RAM size (48M pages ≈ 54 GiB),
+# override to a disk path: page-cache-backed reads stay RAM-fast after
+# first touch but the memory is RECLAIMABLE, unlike tmpfs, so the JVM
+# heap + shuffle dirs can't be OOM-killed by the input's footprint.
+INPUT_DIR = os.environ.get(
+    "WCS_SCALING_INPUT_DIR", "/dev/shm/wcs-scaling-input"
+)
 
 
 def _cpu_probe() -> float:
