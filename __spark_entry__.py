@@ -1120,6 +1120,120 @@ def q_f5_doctype_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/Llama-style word-8-gram
+    overlap): the eval set is the first 12 words of every 19th
+    document, so each sampled document's own corpus copy must flag as
+    contaminated. Corpus text never shuffles — benchmark n-gram set
+    broadcast, hits re-broadcast (operators/decontam.py)."""
+    from wos_crawler_spark.operators.decontam import decontaminate
+    from wos_crawler_spark.operators.textdedup import words_of
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 19 == 3).select(
+        F.concat_ws(" ", F.slice(words_of(F.col("text")), 1, 12)).alias("text")
+    )
+    return decontaminate(docs, bench, n=8).select(
+        "doc_id",
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        "contaminated",
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (ROOTS/StarCoder-style rule tier): deterministic
+    email/IP/phone injected per doc_id, then counted + redacted by the
+    shared Java/RE2-compatible patterns (operators/pii.py). The oracle
+    re-runs the identical regexes in RE2 — byte-identical clean text."""
+    from wos_crawler_spark.operators.pii import redact_documents
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), d.cast("string"),
+            F.lit("@example.com or +49"), (d + 1000000).cast("string"),
+            F.lit(" at 10."), (d % 256).cast("string"),
+            F.lit("."), ((d * 7) % 256).cast("string"),
+            F.lit("."), (d % 100).cast("string"),
+        ).alias("text"),
+    )
+    return redact_documents(docs).select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.md5(F.col("text")).alias("redacted_md5"),
+    )
+
+
+def q_f_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist gate (Scrapy OffsiteMiddleware / UT1-style):
+    subdomain-suffix matching via map-side suffix explode + broadcast
+    semi join — zero frontier shuffle (operators/blocklist.py)."""
+    from wos_crawler_spark.operators.blocklist import blocklist_filter
+
+    d = F.col("doc_id")
+    frontier = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("sub"), (d % 3).cast("string"),
+            F.lit(".dom"), (d % 11).cast("string"), F.lit(".com"),
+        ).alias("host"),
+    )
+    blocked = spark.createDataFrame(
+        [("dom3.com",), ("sub1.dom5.com",), ("dom7.com",)], "domain string"
+    )
+    return blocklist_filter(frontier, blocked, id_col="doc_id")
+
+
+_PR_EDGE_MULTS = ((31, 7), (17, 3))  # two synthetic out-edges per doc
+_PR_MOD = 97
+
+
+def _pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic host graph shared with the oracle:
+    each doc contributes edges h(doc_id%97) → h((doc_id*m+a)%97)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    parts = [
+        d.select(
+            F.concat(F.lit("h"), (F.col("doc_id") % _PR_MOD).cast("string")
+                     ).alias("src"),
+            F.concat(F.lit("h"),
+                     ((F.col("doc_id") * m + a) % _PR_MOD).cast("string")
+                     ).alias("dst"),
+        )
+        for m, a in _PR_EDGE_MULTS
+    ]
+    e = parts[0].unionByName(parts[1])
+    return e.filter(F.col("src") != F.col("dst"))
+
+
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph degrees over the synthetic host graph
+    (operators/linkgraph.py — crawl-priority inputs)."""
+    from wos_crawler_spark.operators.linkgraph import degrees
+
+    return degrees(_pr_edges(spark, sf_dir).distinct()).select(
+        "node",
+        F.col("out_degree").cast("long").alias("out_degree"),
+        F.col("in_degree").cast("long").alias("in_degree"),
+    )
+
+
+def q_graph_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host PageRank (Cho/Garcia-Molina/Page crawl ordering), 5 power
+    iterations with the deterministic rounding protocol
+    (operators/linkgraph.py). Output rank is rounded to 6 dp — engine
+    FP divergence is bounded ~1e-14 by the 12/9-dp intermediate grids,
+    so both engines round to identical values."""
+    from wos_crawler_spark.operators.linkgraph import pagerank
+
+    pr = pagerank(_pr_edges(spark, sf_dir), n_iter=5)
+    return pr.select("node", F.round("rank", 6).alias("rank_r6"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl-engine operator family (SURVEY.md §2)
@@ -1162,6 +1276,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_near_dup": q_sim_cosine_near_dup,
         "sim_cosine_clusters": q_sim_cosine_clusters,
         "sim_cosine_pairs_exact": q_sim_cosine_pairs_exact,
+        "decontam_ngram_overlap": q_decontam_ngram_overlap,
+        "pii_redact": q_pii_redact,
+        "f_blocklist_gate": q_f_blocklist_gate,
+        "graph_degrees": q_graph_degrees,
+        "graph_pagerank_hosts": q_graph_pagerank_hosts,
         "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,
         "pipeline_curation": q_pipeline_curation,
@@ -1230,6 +1349,84 @@ def _snap(name: str) -> str:
         "wos_crawler_spark", "fixtures", "data",
     )
     return f"read_parquet('{d}/{name}.parquet')"
+
+
+#: Shared CTEs for the synthetic host graph (mirrors _pr_edges: two
+#: out-edges per doc, self-loops dropped, distinct).
+_PR_GRAPH_CTES = """
+    raw AS (
+        SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) AS src,
+               'h' || CAST((doc_id * 31 + 7) % 97 AS VARCHAR) AS dst
+        FROM documents
+        UNION ALL
+        SELECT 'h' || CAST(doc_id % 97 AS VARCHAR),
+               'h' || CAST((doc_id * 17 + 3) % 97 AS VARCHAR)
+        FROM documents
+    ),
+    ed AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+    nn AS (SELECT count(*) AS cnt FROM nodes),
+    outd AS (SELECT src, count(*) AS outd FROM ed GROUP BY src)
+"""
+
+
+def _pagerank_oracle_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power iteration mirroring operators/linkgraph.pagerank
+    expression-for-expression (12-dp contribs, 9-dp ranks, uniform
+    dangling redistribution), final output rounded to 6 dp."""
+    ctes = [
+        _PR_GRAPH_CTES.strip().rstrip(),
+        "r0 AS (SELECT node, round(1.0/(SELECT cnt FROM nn), 9) AS rank"
+        " FROM nodes)",
+    ]
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        ctes.append(
+            f"d{p} AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r{p}"
+            f" WHERE node NOT IN (SELECT src FROM ed))"
+        )
+        ctes.append(
+            f"c{k} AS (SELECT e.dst AS node,"
+            f" sum(round(r.rank / o.outd, 12)) AS s"
+            f" FROM ed e JOIN r{p} r ON e.src = r.node"
+            f" JOIN outd o ON e.src = o.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{k} AS (SELECT n.node,"
+            f" round((1.0 - {damping})/(SELECT cnt FROM nn)"
+            f" + {damping} * (coalesce(c.s, 0.0)"
+            f" + (SELECT dm FROM d{p})/(SELECT cnt FROM nn)), 9) AS rank"
+            f" FROM nodes n LEFT JOIN c{k} c USING (node))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, round(rank, 6) AS rank_r6 FROM r{n_iter}"
+    )
+
+
+def _pii_oracle_sql() -> str:
+    """Identical regexes, identical email→ipv4→phone order, in RE2."""
+    from wos_crawler_spark.operators.pii import PII_PATTERNS
+
+    t2 = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) ||"
+        " '@example.com or +49' || CAST(doc_id + 1000000 AS VARCHAR) ||"
+        " ' at 10.' || CAST(doc_id % 256 AS VARCHAR) ||"
+        " '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ||"
+        " '.' || CAST(doc_id % 100 AS VARCHAR)"
+    )
+    clean = "t2"
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+        counts.append(
+            f"len(regexp_extract_all(t2, '{pat}')) AS n_{name}"
+        )
+    return f"""
+        WITH d AS (SELECT doc_id, {t2} AS t2 FROM documents)
+        SELECT doc_id, {', '.join(counts)}, md5({clean}) AS redacted_md5
+        FROM d
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1544,6 +1741,58 @@ def oracle_sql() -> dict[str, str]:
                 CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
             ) WHERE rank <= 10
         """,
+        "decontam_ngram_overlap": f"""
+            WITH bench AS (
+                SELECT array_to_string(({_WORDS})[1:12], ' ') AS text
+                FROM documents WHERE doc_id % 19 = 3
+            ),
+            bng AS (
+                SELECT DISTINCT unnest(
+                    [array_to_string(ws[g:g+7], ' ')
+                     FOR g IN range(1, greatest(len(ws)-7, 1)+1)]) AS ng
+                FROM (SELECT {_WORDS} AS ws FROM bench)
+            ),
+            dng AS (
+                SELECT doc_id, unnest(list_distinct(
+                    [array_to_string(ws[g:g+7], ' ')
+                     FOR g IN range(1, greatest(len(ws)-7, 1)+1)])) AS ng
+                FROM (SELECT doc_id, {_WORDS} AS ws FROM documents)
+            ),
+            hits AS (
+                SELECT doc_id, count(*) AS n
+                FROM dng JOIN bng USING (ng) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n, 0) AS n_contaminated,
+                   coalesce(h.n, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "pii_redact": _pii_oracle_sql(),
+        "f_blocklist_gate": """
+            -- independent restatement of the suffix-match contract:
+            -- blocked iff dom3/dom7 anywhere, or sub1 under dom5
+            WITH f AS (
+                SELECT doc_id,
+                       'sub' || CAST(doc_id % 3 AS VARCHAR) ||
+                       '.dom' || CAST(doc_id % 11 AS VARCHAR) || '.com'
+                       AS host
+                FROM documents
+            )
+            SELECT doc_id, host FROM f
+            WHERE NOT (doc_id % 11 IN (3, 7)
+                       OR (doc_id % 3 = 1 AND doc_id % 11 = 5))
+        """,
+        "graph_degrees": f"""
+            WITH {_PR_GRAPH_CTES}
+            SELECT node,
+                   coalesce(o.outd, 0) AS out_degree,
+                   coalesce(i.ind, 0) AS in_degree
+            FROM nodes
+            LEFT JOIN outd o ON nodes.node = o.src
+            LEFT JOIN (SELECT dst, count(*) AS ind FROM ed GROUP BY dst) i
+                   ON nodes.node = i.dst
+        """,
+        "graph_pagerank_hosts": _pagerank_oracle_sql(),
         "sample_deterministic": """
             SELECT doc_id FROM documents
             WHERE ('0x' || substr(md5(doc_id || 'r2'), 1, 8))::BIGINT

@@ -1,0 +1,99 @@
+"""Link-graph analytics: host-edge aggregation, degrees, PageRank
+(mass conservation, dangling redistribution, python-twin equality),
+rank-driven frontier priority."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wos_crawler_spark.operators.linkgraph import (
+    degrees,
+    host_edges,
+    pagerank,
+    rank_priority,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def _pagerank_twin(pairs, n_iter=5, d=0.85, dp=9):
+    """Pure-python mirror of the operator's rounded power iteration."""
+    edges = sorted(set(pairs))
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    n = len(nodes)
+    outd = {}
+    for s, _ in edges:
+        outd[s] = outd.get(s, 0) + 1
+    rank = {v: round(1.0 / n, dp) for v in nodes}
+    for _ in range(n_iter):
+        dm = sum(rank[v] for v in nodes if v not in outd)
+        contrib = {}
+        for s, t in edges:
+            contrib[t] = contrib.get(t, 0.0) + round(rank[s] / outd[s], 12)
+        rank = {
+            v: round((1 - d) / n + d * (contrib.get(v, 0.0) + dm / n), dp)
+            for v in nodes
+        }
+    return rank
+
+
+def test_host_edges(spark):
+    links = spark.createDataFrame(
+        [
+            ("https://a.com/1", "https://b.com/x"),
+            ("https://a.com/2", "https://b.com/y"),   # same host pair
+            ("https://a.com/3", "https://a.com/4"),   # self loop dropped
+            ("https://c.com/", "https://a.com/"),
+        ],
+        "src_url string, dst_url string",
+    )
+    got = {(r.src, r.dst): r.weight for r in host_edges(links).collect()}
+    assert got == {("a.com", "b.com"): 2, ("c.com", "a.com"): 1}
+
+
+def test_degrees(spark):
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c")])
+    got = {r.node: (r.out_degree, r.in_degree) for r in degrees(e).collect()}
+    assert got == {"a": (2, 0), "b": (1, 1), "c": (0, 2)}
+
+
+def test_pagerank_conserves_mass_and_ranks_authority(spark):
+    # star: everyone links to 'hub', hub links back to one node
+    pairs = [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")]
+    r = {x.node: x.rank for x in pagerank(_edges(spark, pairs), 10).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-6
+    # hub and its sole out-neighbor trade the recirculated mass while
+    # converging; both dominate the leaf nodes at every iteration count
+    top2 = sorted(r, key=r.get, reverse=True)[:2]
+    assert set(top2) == {"hub", "a"}
+    assert r["b"] == r["c"] < min(r["hub"], r["a"])
+
+
+def test_pagerank_matches_python_twin(spark):
+    # deterministic pseudo-random digraph incl. a dangling node chain
+    pairs = [(f"h{i % 13}", f"h{(i * 7 + 3) % 17}") for i in range(60)]
+    got = {x.node: x.rank for x in pagerank(_edges(spark, pairs), 5).collect()}
+    assert got == _pagerank_twin(pairs, 5)
+
+
+def test_pagerank_dangling(spark):
+    # b has no out-links: its mass must recirculate, not vanish
+    r = {x.node: x.rank
+         for x in pagerank(_edges(spark, [("a", "b")]), 8).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-6
+    assert r["b"] > r["a"]
+
+
+def test_rank_priority(spark):
+    ranks = spark.createDataFrame(
+        [("big.com", 0.5), ("small.com", 0.1)], "node string, rank double"
+    )
+    frontier = spark.createDataFrame(
+        [(1, "big.com"), (2, "small.com"), (3, "new.com")],
+        "id long, host string",
+    )
+    got = {r.id: r.priority
+           for r in rank_priority(frontier, ranks).collect()}
+    assert got[1] == 0.5 and got[2] == 0.1
+    assert got[3] == 0.1  # unknown host gets the floor, not 0

@@ -1,0 +1,99 @@
+"""Domain allow/block filtering for the URL frontier (the distributed
+analog of Scrapy's ``OffsiteMiddleware`` / ``allowed_domains``, which
+the reference crawler inherits via its Scrapy spider — SURVEY.md §2.2
+F-family; also the UT1-style domain-blocklist gate every web-corpus
+curation pipeline runs before fetch).
+
+Semantics: a host matches a blocklist entry ``d`` when it equals ``d``
+or is a subdomain of ``d`` (``a.b.example.com`` matches
+``example.com`` and ``b.example.com``, never ``ample.com``).
+
+Scale design: the naive predicate is ``host = d OR host LIKE
+'%.' || d`` — a theta join that degenerates to a broadcast
+nested-loop scan of every frontier row × every blocklist row.
+Instead each host row map-side-expands into its own O(label-count)
+**domain suffixes** (``a.b.example.com`` → [``a.b.example.com``,
+``b.example.com``, ``example.com``]) and the match becomes a plain
+equi semi-join of the exploded suffixes against the broadcast
+blocklist — hash lookup per suffix, zero shuffle of the frontier, and
+the blocklist needs no expansion at all (it is stored at exactly the
+granularity it is written in). The matched-id set is re-broadcast for
+the final anti join, so the full gate moves no frontier bytes."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def host_suffixes(host: Column, min_labels: int = 2) -> Column:
+    """Array of the host's domain suffixes with at least ``min_labels``
+    labels, longest first (the host itself, then each parent domain).
+    Bare TLDs are excluded by default — blocking ``com`` outright is
+    never what a blocklist means."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    starts = F.sequence(F.lit(1), F.greatest(n - (min_labels - 1), F.lit(1)))
+    return F.transform(
+        starts, lambda i: F.concat_ws(".", F.slice(labels, i, n - i + 1))
+    )
+
+
+def _matched_ids(
+    df: DataFrame, blocklist: DataFrame, id_col: str, host_col: str,
+    block_col: str,
+) -> DataFrame:
+    """Ids of rows whose host equals or is a subdomain of any blocklist
+    domain — map-side suffix explode + broadcast semi join. NOT
+    deduplicated (a host matching several entries repeats): the
+    anti/semi consumers are duplicate-insensitive, and skipping the
+    distinct keeps the whole gate free of hash exchanges."""
+    sufs = df.select(
+        F.col(id_col),
+        F.explode(host_suffixes(F.lower(F.col(host_col)))).alias("_suf"),
+    )
+    # no .distinct() on either side: SEMI join output is already
+    # match-multiplicity-insensitive, and a distinct would put a hash
+    # exchange into an otherwise broadcast-only plan
+    bl = blocklist.select(F.lower(F.col(block_col)).alias("_suf"))
+    return sufs.join(F.broadcast(bl), "_suf", "semi").select(id_col)
+
+
+def blocked_ids(
+    df: DataFrame,
+    blocklist: DataFrame,
+    *,
+    id_col: str,
+    host_col: str = "host",
+    block_col: str = "domain",
+) -> DataFrame:
+    """Distinct ids of rows whose host equals or is a subdomain of any
+    blocklist domain (the audit view of the gate)."""
+    return _matched_ids(df, blocklist, id_col, host_col, block_col).distinct()
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    *,
+    id_col: str,
+    host_col: str = "host",
+    block_col: str = "domain",
+    mode: str = "block",
+    broadcast_ids: bool = True,
+) -> DataFrame:
+    """Filter ``df`` by the domain list. ``mode="block"`` drops
+    matching rows (blocklist); ``mode="allow"`` keeps ONLY matching
+    rows (Scrapy ``allowed_domains``). Default contract: the MATCHED
+    id set is broadcastable — true for blocklists (blocked traffic is
+    a sliver of the frontier) and for allow-mode's typical
+    narrow-scope crawls — so the frontier never shuffles. When the
+    matched set is itself huge, pass ``broadcast_ids=False`` for a
+    key-partitioned join instead of an executor-memory blowup."""
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be block|allow, got {mode!r}")
+    ids = _matched_ids(df, blocklist, id_col, host_col, block_col)
+    if broadcast_ids:
+        ids = F.broadcast(ids)
+    how = "left_anti" if mode == "block" else "semi"
+    return df.join(ids, id_col, how)

@@ -1,0 +1,143 @@
+"""Host-level link-graph analytics over the crawl's links table:
+degrees, PageRank, and rank-driven frontier prioritization.
+
+The reference crawler walks WoS result pages in query order; a
+web-frontier scheduler instead prioritizes by link-graph authority
+(the classic crawl-ordering result: Cho, Garcia-Molina & Page 1998 —
+PageRank-ordered crawling finds important pages first). This module
+gives the W1 priority-queue frontier (operators/politeness.py) a
+principled priority: PageRank over the HOST graph.
+
+Scale design:
+
+- The URL-level graph at 10^10 URLs is too big to iterate cheaply —
+  but crawl scheduling happens per host anyway (politeness), so the
+  operator first collapses links to the host graph (one agg shuffle;
+  hosts are ~10^7 even at full web scale) and iterates there.
+- Each PageRank iteration is one join (ranks ⋈ edges on src) + one
+  agg (sum contribs by dst) — the textbook two-shuffle iteration over
+  ``(node, rank)`` pairs only; per-iteration ``localCheckpoint``
+  truncates lineage exactly like ``min_label_components``.
+- Dangling mass (nodes with no out-links) is folded back uniformly
+  each iteration; its sum is a one-row aggregate (driver scalar —
+  same bounded-collect class as the Bloom fold).
+
+Cross-engine determinism: floating-point PageRank is sum-order
+dependent, so every contribution is rounded to 12 dp before the sum
+and every rank to ``round_dp`` (default 9) after each iteration.
+Host-graph sums aggregate ≤ fan-in terms of magnitude ≤ 1 with ulp
+~1e-16, so accumulated error stays orders of magnitude below both
+rounding grids — Spark and the unrolled-CTE DuckDB oracle produce
+bit-identical ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wos_crawler_spark.functions.urlnorm import url_host
+
+
+def host_edges(
+    links: DataFrame, src_col: str = "src_url", dst_col: str = "dst_url"
+) -> DataFrame:
+    """Collapse URL-level links to the weighted host graph
+    ``(src, dst, weight)``; self-loops dropped (a host linking to
+    itself says nothing about authority and inflates its own rank)."""
+    e = links.select(
+        url_host(F.col(src_col)).alias("src"),
+        url_host(F.col(dst_col)).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return e.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Per-node ``(node, out_degree, in_degree)`` — distinct-neighbor
+    degrees over the (already aggregated) edge list."""
+    outd = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    ind = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        outd.join(ind, "node", "full")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    round_dp: int = 9,
+) -> DataFrame:
+    """``(node, rank)`` after ``n_iter`` power iterations with uniform
+    teleport and uniform dangling-mass redistribution. Unweighted
+    (each distinct out-edge carries rank/out_degree — the classic
+    formulation, and the one the SQL oracle unrolls)."""
+    ed = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        ed.select(F.col("src").alias("node"))
+        .unionByName(ed.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    outd = ed.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0 / n), round_dp).alias("rank")
+    ).localCheckpoint()
+    dangling = nodes.join(ed.select("src").distinct(),
+                          nodes.node == F.col("src"), "left_anti")
+
+    for _ in range(n_iter):
+        dm = (
+            ranks.join(F.broadcast(dangling), "node", "semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            ed.join(ranks, ed.src == ranks.node)
+            .join(outd, "src")
+            .select(
+                "dst",
+                F.round(F.col("rank") / F.col("outd"), 12).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        new_rank = F.round(
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping)
+            * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dm / n)),
+            round_dp,
+        )
+        prev = ranks
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select("node", new_rank.alias("rank"))
+            .localCheckpoint()
+        )
+        prev.unpersist()
+    return ranks
+
+
+def rank_priority(frontier: DataFrame, ranks: DataFrame,
+                  host_col: str = "host") -> DataFrame:
+    """Attach ``priority`` = host PageRank (unknown hosts get the
+    teleport floor, not zero — a never-seen host should still beat a
+    known-junk one). Broadcast join: the host-rank dim is small by
+    construction. Feed the result to ``schedule_wave(quota=...)``."""
+    floor = ranks.agg(F.min("rank")).first()[0] or 0.0
+    r = ranks.select(F.col("node").alias(host_col),
+                     F.col("rank").alias("priority"))
+    return frontier.join(F.broadcast(r), host_col, "left").fillna(
+        {"priority": floor}
+    )
