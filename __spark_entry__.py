@@ -730,6 +730,68 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 full corpus-gate chain as ONE lazy plan — what a
+    production pretraining-data pipeline actually runs, in order:
+    domain blocklist (map-side suffix gate) → benchmark
+    decontamination (broadcast n-gram set) → lang-ID + quality gates
+    (codegen'd exprs) → PII redaction (map-side regex) → exact dedup
+    on the REDACTED text (one agg shuffle) → deterministic split
+    (map-side filter). Only the dedup aggregation and the tiny
+    decontam hit-count exchange shuffle anything."""
+    from wos_crawler_spark.operators.blocklist import blocklist_filter
+    from wos_crawler_spark.operators.decontam import decontaminate_keep
+    from wos_crawler_spark.operators.pii import redact_documents
+    from wos_crawler_spark.operators.sampling import split_train_holdout
+    from wos_crawler_spark.operators.textdedup import exact_dedup_keep, words_of
+    from wos_crawler_spark.operators.textquality import (
+        lang_id,
+        quality_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    hosted = docs.select(
+        "doc_id", "text",
+        F.concat(
+            F.lit("sub"), (d % 3).cast("string"),
+            F.lit(".dom"), (d % 11).cast("string"), F.lit(".com"),
+        ).alias("host"),
+    )
+    blocked = spark.createDataFrame(
+        [("dom3.com",), ("sub1.dom5.com",), ("dom7.com",)], "domain string"
+    )
+    g1 = blocklist_filter(hosted, blocked, id_col="doc_id").drop("host")
+    bench = docs.filter(d % 19 == 3).select(
+        F.concat_ws(" ", F.slice(words_of(F.col("text")), 1, 12)).alias("text")
+    )
+    g2 = decontaminate_keep(g1, bench, n=8)
+    g3 = g2.withColumn("lang_pred", lang_id(F.col("text"))).filter(
+        F.col("lang_pred").isin("en", "de")
+    )
+    g3 = quality_features(g3).filter(
+        (F.col("q_n_words") >= 5) & (F.col("q_n_chars") >= 30)
+    )
+    red = redact_documents(g3)
+    red = red.withColumn(
+        "n_pii",
+        (
+            F.coalesce("n_email", F.lit(0))
+            + F.coalesce("n_ipv4", F.lit(0))
+            + F.coalesce("n_phone", F.lit(0))
+        ).cast("long"),
+    )
+    kept = exact_dedup_keep(red, id_col="doc_id", text_col="text")
+    train, hold = split_train_holdout(
+        kept, "doc_id", holdout_rate=0.2, salt="cur2"
+    )
+    return (
+        train.withColumn("split", F.lit("train"))
+        .unionByName(hold.withColumn("split", F.lit("holdout")))
+        .select("doc_id", "lang_pred", "n_pii", "split")
+    )
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID (stopword-hit argmax, pure exprs)."""
     from wos_crawler_spark.operators.textquality import lang_id
@@ -1120,6 +1182,22 @@ def q_f5_doctype_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing exact-substring fingerprint pairs (Schleimer et al.
+    2003 / MOSS; the Lee-et-al-2022-style exact-substring dedup pass):
+    docs sharing ≥ min_shared winnowed char-5-gram fingerprints.
+    Fingerprints are md5-prefix hashes, so the oracle recomputes the
+    whole pipeline from scratch in SQL (operators/winnow.py)."""
+    from wos_crawler_spark.operators.winnow import winnow_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_pairs(
+        docs, k=5, w=4, min_shared=8, bucket_cap=200
+    ).select(
+        "id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared")
+    )
+
+
 def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3/Llama-style word-8-gram
     overlap): the eval set is the first 12 words of every 19th
@@ -1276,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_near_dup": q_sim_cosine_near_dup,
         "sim_cosine_clusters": q_sim_cosine_clusters,
         "sim_cosine_pairs_exact": q_sim_cosine_pairs_exact,
+        "dedup_winnow": q_dedup_winnow,
         "decontam_ngram_overlap": q_decontam_ngram_overlap,
         "pii_redact": q_pii_redact,
         "f_blocklist_gate": q_f_blocklist_gate,
@@ -1284,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,
         "pipeline_curation": q_pipeline_curation,
+        "pipeline_curation_v2": q_pipeline_curation_v2,
         "text_lang_id": q_text_lang_id,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
@@ -1426,6 +1506,90 @@ def _pii_oracle_sql() -> str:
         WITH d AS (SELECT doc_id, {t2} AS t2 FROM documents)
         SELECT doc_id, {', '.join(counts)}, md5({clean}) AS redacted_md5
         FROM d
+    """
+
+
+#: word-8-gram list over a word-array column `ws` (DuckDB)
+_NG8 = (
+    "[array_to_string(ws[g:g+7], ' ')"
+    " FOR g IN range(1, greatest(len(ws)-7, 1)+1)]"
+)
+
+
+def _curation_v2_oracle_sql() -> str:
+    """Full SQL recomputation of the v2 gate chain: blocklist
+    predicate → decontam hit exclusion → lang/quality gates → PII
+    counts + redaction → min-id dedup on redacted text → split."""
+    from wos_crawler_spark.operators.pii import PII_PATTERNS
+
+    clean = "text"
+    counts = []
+    for _, pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+        counts.append(f"len(regexp_extract_all(text, '{pat}'))")
+    n_pii = " + ".join(counts)
+    return f"""
+        WITH hosted AS (
+            SELECT doc_id, text FROM documents
+            WHERE NOT (doc_id % 11 IN (3, 7)
+                       OR (doc_id % 3 = 1 AND doc_id % 11 = 5))
+        ),
+        bench AS (
+            SELECT array_to_string(({_WORDS})[1:12], ' ') AS text
+            FROM documents WHERE doc_id % 19 = 3
+        ),
+        bng AS (
+            SELECT DISTINCT unnest({_NG8}) AS ng
+            FROM (SELECT {_WORDS} AS ws FROM bench)
+        ),
+        dng AS (
+            SELECT doc_id, unnest(list_distinct({_NG8})) AS ng
+            FROM (SELECT doc_id, {_WORDS} AS ws FROM hosted)
+        ),
+        contaminated AS (SELECT DISTINCT doc_id FROM dng JOIN bng USING (ng)),
+        clean AS (
+            SELECT doc_id, text FROM hosted
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ),
+        base AS (
+            SELECT doc_id, text, {_WORDS} AS w,
+                   CASE WHEN {_NORM} = '' THEN 0
+                        ELSE len({_WORDS}) END AS q_n_words,
+                   length(text) AS q_n_chars
+            FROM clean
+        ),
+        lang AS (
+            SELECT doc_id, text, q_n_words, q_n_chars,
+                   CASE WHEN g = 0 THEN 'und'
+                        WHEN s_de = g THEN 'de'
+                        WHEN s_en = g THEN 'en'
+                        WHEN s_es = g THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr) AS g
+                  FROM (SELECT *, {_LANG_SCORES} FROM base))
+        ),
+        gated AS (
+            SELECT * FROM lang
+            WHERE lang_pred IN ('en', 'de')
+              AND q_n_words >= 5 AND q_n_chars >= 30
+        ),
+        red AS (
+            SELECT doc_id, lang_pred,
+                   {n_pii} AS n_pii,
+                   {clean} AS text
+            FROM gated
+        ),
+        kept AS (
+            SELECT doc_id, lang_pred, n_pii FROM red
+            WHERE doc_id IN (
+                SELECT min(doc_id) FROM red GROUP BY md5({_NORM})
+            )
+        )
+        SELECT doc_id, lang_pred, n_pii,
+               CASE WHEN ('0x' || substr(md5(doc_id || 'cur2'), 1, 8))::BIGINT
+                         / 4294967296.0 < 0.2
+                    THEN 'holdout' ELSE 'train' END AS split
+        FROM kept
     """
 
 
@@ -1741,6 +1905,28 @@ def oracle_sql() -> dict[str, str]:
                 CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
             ) WHERE rank <= 10
         """,
+        "dedup_winnow": f"""
+            WITH h AS (
+                SELECT doc_id,
+                       [('0x' || substr(md5(substr(norm, g, 5)), 1, 8))::BIGINT
+                        FOR g IN range(1, greatest(len(norm)-4, 1)+1)] AS hs
+                FROM (SELECT doc_id, {_NORM} AS norm FROM documents)
+            ),
+            fp AS (
+                SELECT doc_id, unnest(list_distinct(
+                    [list_min(hs[j:j+3])
+                     FOR j IN range(1, greatest(len(hs)-3, 1)+1)])) AS fp
+                FROM h
+            ),
+            sizes AS (SELECT fp, count(*) AS n FROM fp GROUP BY fp),
+            ok AS (SELECT fp FROM sizes WHERE n BETWEEN 2 AND 200),
+            fo AS (SELECT f.doc_id, f.fp FROM fp f JOIN ok USING (fp))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS n_shared
+            FROM fo a JOIN fo b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 8
+        """,
         "decontam_ngram_overlap": f"""
             WITH bench AS (
                 SELECT array_to_string(({_WORDS})[1:12], ' ') AS text
@@ -1840,6 +2026,7 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'holdout' ELSE 'train' END AS split
             FROM kept
         """,
+        "pipeline_curation_v2": _curation_v2_oracle_sql(),
         "text_lang_id": f"""
             SELECT doc_id,
                    CASE WHEN g = 0 THEN 'und'

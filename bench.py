@@ -49,6 +49,8 @@ ENTRY_QUERIES = [
     "text_quality",
     "f2_url_canonicalize",
     "pipeline_curation",
+    "decontam_ngram_overlap",
+    "graph_pagerank_hosts",
 ]
 
 

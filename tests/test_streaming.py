@@ -160,3 +160,37 @@ def test_streaming_frontier_dedup(spark, tmp_path):
     finally:
         q.stop()
     assert got == [1, 2, 3]
+
+
+def test_streaming_curation_matches_batch(spark, tmp_path):
+    """The stateless corpus-gate chain lifts onto a stream unchanged:
+    streamed output ≡ the same exprs applied in batch."""
+    from wos_crawler_spark.streaming.ingest import streaming_curation
+
+    src = str(tmp_path / "pages_cur")
+    pages = pages_table(spark, 300, partitions=3).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" reach me a@b.io"))
+    )
+    pages.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = run_stream_to_memory(
+        streaming_curation(stream), "curated", mode="append"
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["url"]: (r["lang_pred"], r["n_pii"], r["text"])
+            for r in spark.sql("select * from curated").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        r["url"]: (r["lang_pred"], r["n_pii"], r["text"])
+        for r in streaming_curation(spark.read.parquet(src)).collect()
+    }
+    assert got == batch and len(got) > 0
+    assert all(v[1] >= 1 and "<EMAIL>" in v[2] for v in got.values())

@@ -205,6 +205,36 @@ def streaming_politeness(
     )
 
 
+def streaming_curation(pages: DataFrame) -> DataFrame:
+    """Streaming twin of the corpus-gate chain's STATELESS stages:
+    language-ID gate, quality gate, PII count + redaction — all pure
+    per-row Catalyst exprs, so they lift onto a stream unchanged (no
+    state, no watermark needed; the stateful stages — exact dedup,
+    split bookkeeping — stay batch or use
+    ``dropDuplicatesWithinWatermark`` on the text digest, mirroring
+    ``streaming_frontier_dedup``). Input: the pages stream
+    (url, warc_ts, text, lang); output adds lang_pred, n_pii,
+    redacted text — the filter thresholds match pipeline_curation."""
+    from wos_crawler_spark.operators.pii import pii_counts, redact_pii
+    from wos_crawler_spark.operators.textquality import lang_id, quality_features
+
+    t = F.col("text")
+    d = pages.withColumn("lang_pred", lang_id(t)).filter(
+        F.col("lang_pred").isin("en", "de")
+    )
+    d = quality_features(d).filter(
+        (F.col("q_n_words") >= 5) & (F.col("q_n_chars") >= 30)
+    )
+    n_pii = None
+    for _, cnt in pii_counts(t):
+        n_pii = cnt if n_pii is None else (n_pii + cnt)
+    return d.select(
+        "url", "warc_ts", "lang", "lang_pred",
+        F.coalesce(n_pii, F.lit(0)).cast("long").alias("n_pii"),
+        redact_pii(t).alias("text"),
+    )
+
+
 def run_stream_to_memory(
     agg: DataFrame, query_name: str, mode: str = "update"
 ) -> "object":
