@@ -1182,6 +1182,52 @@ def q_f5_doctype_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap seed discovery from raw robots.txt bodies (S1 family —
+    RFC 9309 §2.3 Sitemap directives are group-independent). Bodies
+    are synthesized identically in both engines; the oracle is an
+    independent restatement of which (host, url) pairs must emerge."""
+    from wos_crawler_spark.operators.robots import parse_robots_sitemaps
+
+    d = F.col("doc_id")
+    host = F.concat(F.lit("dom"), (d % 11).cast("string"), F.lit(".com"))
+    sm = F.concat(
+        F.lit("Sitemap: https://dom"), (d % 11).cast("string"),
+        F.lit(".com/sm"), (d % 4).cast("string"),
+        F.lit(".xml  # comment\nSITEMAP:   https://dom"),
+        (d % 11).cast("string"), F.lit(".com/extra.xml\n"),
+    )
+    body = F.concat(
+        F.lit("User-agent: *\r\nDisallow: /private\r\n"),
+        F.when(d % 7 == 0, sm).otherwise(F.lit("")),
+    )
+    pages = _t(spark, sf_dir, "documents").select(
+        host.alias("host"), body.alias("body")
+    )
+    return parse_robots_sitemaps(pages)
+
+
+def q_recrawl_change_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive recrawl scheduling from fetch history (Cho &
+    Garcia-Molina 2000 freshness policy; plans/recrawl.py). The events
+    table stands in as the fetch log: user_id → url, value → content
+    digest (integer-floored so both engines stringify identically).
+    All schedule math is integer seconds — bit-identical."""
+    from wos_crawler_spark.plans.recrawl import change_rate_schedule
+
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("fetch_ts"),
+        (F.floor(F.col("value") * 100).cast("long") % 7)
+        .cast("string")
+        .alias("digest"),
+    )
+    return change_rate_schedule(
+        hist, min_interval_s=3600, max_interval_s=24 * 3600
+    )
+
+
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing exact-substring fingerprint pairs (Schleimer et al.
     2003 / MOSS; the Lee-et-al-2022-style exact-substring dedup pass):
@@ -1354,6 +1400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_near_dup": q_sim_cosine_near_dup,
         "sim_cosine_clusters": q_sim_cosine_clusters,
         "sim_cosine_pairs_exact": q_sim_cosine_pairs_exact,
+        "s_sitemap_discovery": q_s_sitemap_discovery,
+        "recrawl_change_schedule": q_recrawl_change_schedule,
         "dedup_winnow": q_dedup_winnow,
         "decontam_ngram_overlap": q_decontam_ngram_overlap,
         "pii_redact": q_pii_redact,
@@ -1904,6 +1952,63 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings c
                 CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
             ) WHERE rank <= 10
+        """,
+        "s_sitemap_discovery": """
+            -- independent restatement: every 7th doc's body carries
+            -- exactly these two sitemap URLs for its host
+            WITH src AS (
+                SELECT doc_id % 11 AS h, doc_id % 4 AS s
+                FROM documents WHERE doc_id % 7 = 0
+            )
+            SELECT DISTINCT 'dom' || h || '.com' AS host,
+                   'https://dom' || h || '.com/sm' || s || '.xml'
+                   AS sitemap_url
+            FROM src
+            UNION
+            SELECT DISTINCT 'dom' || h || '.com',
+                   'https://dom' || h || '.com/extra.xml'
+            FROM src
+        """,
+        "recrawl_change_schedule": """
+            WITH hist AS (
+                SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+                       ts AS _ts,
+                       CAST(CAST(floor(value * 100) AS BIGINT) % 7
+                            AS VARCHAR) AS digest
+                FROM events
+            ),
+            stepped AS (
+                SELECT url, _ts,
+                       CASE WHEN lag(digest) OVER w IS NULL THEN 0
+                            WHEN lag(digest) OVER w <> digest THEN 1
+                            ELSE 0 END AS _chg
+                FROM hist
+                WINDOW w AS (PARTITION BY url ORDER BY _ts, digest)
+            ),
+            agg AS (
+                SELECT url, count(*) AS n_obs, sum(_chg) AS n_changes,
+                       min(_ts) AS _first, max(_ts) AS _last
+                FROM stepped GROUP BY url
+            )
+            -- Spark's unix_timestamp() truncates to whole seconds and
+            -- timestamp_seconds() emits whole-second timestamps, so
+            -- both span and next_due floor each endpoint's epoch
+            -- (sub-second warc_ts must not shift the schedule);
+            -- session tz is UTC in both engines.
+            SELECT url, n_obs, CAST(n_changes AS BIGINT) AS n_changes,
+                   least(86400, greatest(3600,
+                       CAST(floor(
+                           (floor(epoch(_last)) - floor(epoch(_first)))
+                            / greatest(n_changes, 1)) AS BIGINT)))
+                   AS interval_s,
+                   TIMESTAMP '1970-01-01'
+                   + to_seconds(CAST(floor(epoch(_last)) AS BIGINT)
+                       + least(86400, greatest(3600,
+                           CAST(floor(
+                               (floor(epoch(_last)) - floor(epoch(_first)))
+                                / greatest(n_changes, 1)) AS BIGINT))))
+                   AS next_due_ts
+            FROM agg
         """,
         "dedup_winnow": f"""
             WITH h AS (

@@ -169,3 +169,57 @@ def test_evict_requires_committed_wave(spark, world, tmp_path):
             spark, str(tmp_path / "empty"),
             world["pages"].select("url"), CrawlConfig(**CFG),
         )
+
+
+def test_change_rate_schedule(spark):
+    from datetime import datetime, timezone
+
+    from wos_crawler_spark.plans.recrawl import change_rate_schedule
+
+    def ts(h):
+        return datetime(2026, 1, 1, h, 0, 0)
+
+    rows = [
+        # volatile: digest changes at every one of 5 fetches over 8h
+        *[("volatile", ts(2 * i), f"d{i}") for i in range(5)],
+        # static: same digest for 5 fetches over 8h
+        *[("static", ts(2 * i), "same") for i in range(5)],
+        # flaky: one change in 8h
+        ("flaky", ts(0), "x"), ("flaky", ts(4), "x"), ("flaky", ts(8), "y"),
+        # singleton: one observation, zero span
+        ("once", ts(0), "z"),
+    ]
+    hist = spark.createDataFrame(
+        rows, "url string, fetch_ts timestamp, digest string"
+    )
+    got = {
+        r.url: (r.n_obs, r.n_changes, r.interval_s)
+        for r in change_rate_schedule(
+            hist, min_interval_s=3600, max_interval_s=6 * 3600
+        ).collect()
+    }
+    # volatile: span 8h, 4 changes -> 2h
+    assert got["volatile"] == (5, 4, 2 * 3600)
+    # static: span 8h, 0 changes -> 8h, clamped to max 6h
+    assert got["static"] == (5, 0, 6 * 3600)
+    # flaky: span 8h, 1 change -> 8h -> clamped to 6h
+    assert got["flaky"] == (3, 1, 6 * 3600)
+    # once: zero span -> floor(0/1)=0 -> clamped to min 1h
+    assert got["once"] == (1, 0, 3600)
+
+
+def test_change_rate_next_due(spark):
+    from datetime import datetime
+
+    from wos_crawler_spark.plans.recrawl import change_rate_schedule
+
+    hist = spark.createDataFrame(
+        [("u", datetime(2026, 1, 1, 0), "a"),
+         ("u", datetime(2026, 1, 1, 2), "b")],
+        "url string, fetch_ts timestamp, digest string",
+    )
+    r = change_rate_schedule(hist, min_interval_s=60,
+                             max_interval_s=10**9).first()
+    # span 2h, 1 change -> interval 2h; due 2h after last fetch
+    assert r.interval_s == 7200
+    assert r.next_due_ts == datetime(2026, 1, 1, 4)

@@ -177,3 +177,29 @@ def test_spark_wrapper_feeds_robots_filter(spark):
         "http://a.org/fine",
         "http://c.org/x",
     }
+
+
+def test_parse_robots_sitemaps(spark):
+    from wos_crawler_spark.operators.robots import parse_robots_sitemaps
+
+    body_a = (
+        "User-agent: *\r\n"
+        "Disallow: /private\r\n"
+        "Sitemap: https://a.com/sitemap.xml  # trailing comment\r\n"
+        "sitemap:https://a.com/news.xml\r\n"
+        "SITEMAP:   https://a.com/sitemap.xml\r\n"   # dup after case/ws
+        "NotADirective https://a.com/junk.xml\n"
+    )
+    pages = spark.createDataFrame(
+        [("a.com", body_a), ("b.com", "User-agent: *\nDisallow: /"),
+         ("c.com", None)],
+        "host string, body string",
+    )
+    got = {
+        (r.host, r.sitemap_url)
+        for r in parse_robots_sitemaps(pages).collect()
+    }
+    assert got == {
+        ("a.com", "https://a.com/sitemap.xml"),
+        ("a.com", "https://a.com/news.xml"),
+    }

@@ -229,6 +229,36 @@ def parse_robots_delays(
     )
 
 
+def parse_robots_sitemaps(
+    robots_pages: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """``(host, body)`` raw robots.txt payloads → distinct
+    ``(host, sitemap_url)`` rows from ``Sitemap:`` directives — the
+    crawler's seed-discovery channel (S1 family; the reference's seed
+    list is hand-written, a web crawler bootstraps from sitemaps).
+
+    Per RFC 9309 §2.3 / sitemaps.org, ``Sitemap:`` is NOT group-scoped
+    — it applies regardless of user-agent, so unlike the rule parser
+    this needs no group machinery and is a pure Catalyst expression
+    pipeline (explode lines → strip comments → regex-extract), fully
+    SQL-oracle-able and codegen'd: the robots corpus is a per-host dim
+    (O(hosts) rows), but at 10^8 hosts map-side exprs still beat an
+    Arrow round-trip."""
+    lines = robots_pages.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.split(F.coalesce(F.col(body_col), F.lit("")), "\n")
+        ).alias("_l"),
+    )
+    clean = F.regexp_replace(F.col("_l"), "#.*", "")
+    url = F.regexp_extract(clean, r"(?i)^\s*sitemap\s*:\s*(\S+)\s*$", 1)
+    return (
+        lines.select("host", url.alias("sitemap_url"))
+        .filter(F.col("sitemap_url") != "")
+        .distinct()
+    )
+
+
 def robots_filter(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
     """Drop frontier rows whose longest-prefix robots rule disallows.
 

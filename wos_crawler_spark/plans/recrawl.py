@@ -163,3 +163,73 @@ def evict_for_recrawl(
         ckpt_dir, wave, frontier, evicted_keys, filt.to_bytes(), metrics
     )
     return metrics
+
+
+def change_rate_schedule(
+    history: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    digest_col: str = "digest",
+    min_interval_s: int = 3600,
+    max_interval_s: int = 30 * 24 * 3600,
+) -> DataFrame:
+    """Per-URL adaptive recrawl schedule from fetch history — the
+    freshness-driven refresh policy of Cho & Garcia-Molina 2000
+    ("Synchronizing a database to improve freshness"): URLs that
+    changed often between past fetches get short refresh intervals,
+    static ones back off, clamped to [min, max].
+
+    ``history`` is (url, fetch_ts, digest) — one row per past fetch,
+    digest = content fingerprint (e.g. ``doc_fingerprint`` or the
+    parse digest). Output: one row per url with
+
+    - ``n_obs``              fetches observed,
+    - ``n_changes``          fetches whose digest differed from the
+                             previous fetch (ts order, ties broken by
+                             digest for determinism),
+    - ``interval_s``         span_s / max(n_changes, 1), clamped —
+                             INTEGER seconds (floor), so both engines
+                             compute bit-identical schedules: no
+                             float rate anywhere,
+    - ``next_due_ts``        last fetch + interval.
+
+    Plan: one window pass (lag over (url, ts)) + one aggregation —
+    both partition by url, so the window's shuffle is reused by the
+    agg (a single exchange end-to-end). At 10^10 URLs the history
+    table is the big input; nothing here is wider than (url, ts,
+    digest) and the output is one row per url."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(url_col).orderBy(
+        F.col(ts_col).asc(), F.col(digest_col).asc()
+    )
+    prev = F.lag(digest_col).over(w)
+    stepped = history.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("_ts"),
+        F.when(prev.isNull(), F.lit(0))
+        .when(prev != F.col(digest_col), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_chg"),
+    )
+    agg = stepped.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("_chg").alias("n_changes"),
+        F.min("_ts").alias("_first"),
+        F.max("_ts").alias("_last"),
+    )
+    span_s = F.unix_timestamp("_last") - F.unix_timestamp("_first")
+    raw = F.floor(span_s / F.greatest(F.col("n_changes"), F.lit(1)))
+    interval = F.least(
+        F.lit(max_interval_s).cast("long"),
+        F.greatest(F.lit(min_interval_s).cast("long"), raw.cast("long")),
+    )
+    return agg.select(
+        "url",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("n_changes").cast("long").alias("n_changes"),
+        interval.alias("interval_s"),
+        F.timestamp_seconds(F.unix_timestamp("_last") + interval).alias(
+            "next_due_ts"
+        ),
+    )
