@@ -1219,9 +1219,11 @@ def q_recrawl_change_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = ev.select(
         F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
         F.col("ts").alias("fetch_ts"),
-        (F.floor(F.col("value") * 100).cast("long") % 7)
-        .cast("string")
-        .alias("digest"),
+        # coalesce: a NULL value must not yield a NULL digest — Spark
+        # sorts NULLS FIRST ascending, DuckDB NULLS LAST, so NULL
+        # digests would make the lag() tie-break engine-dependent
+        (F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long")
+         % 7).cast("string").alias("digest"),
     )
     return change_rate_schedule(
         hist, min_interval_s=3600, max_interval_s=24 * 3600
@@ -1973,8 +1975,8 @@ def oracle_sql() -> dict[str, str]:
             WITH hist AS (
                 SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
                        ts AS _ts,
-                       CAST(CAST(floor(value * 100) AS BIGINT) % 7
-                            AS VARCHAR) AS digest
+                       CAST(CAST(floor(coalesce(value, 0.0) * 100) AS BIGINT)
+                            % 7 AS VARCHAR) AS digest
                 FROM events
             ),
             stepped AS (

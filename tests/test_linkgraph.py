@@ -97,3 +97,11 @@ def test_rank_priority(spark):
            for r in rank_priority(frontier, ranks).collect()}
     assert got[1] == 0.5 and got[2] == 0.1
     assert got[3] == 0.1  # unknown host gets the floor, not 0
+
+
+def test_pagerank_empty_graph_raises(spark):
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    with _pytest.raises(ValueError, match="empty edge set"):
+        pagerank(empty)

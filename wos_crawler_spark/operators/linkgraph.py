@@ -89,6 +89,8 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank: empty edge set (no nodes to rank)")
     outd = ed.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
 
     ranks = nodes.select(
