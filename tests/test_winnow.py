@@ -93,3 +93,25 @@ def test_null_and_empty(spark):
     # NULL text → no fingerprint rows; empty text → fingerprints of ''
     got = winnow_fingerprints(df).groupBy("doc_id").count().collect()
     assert {r.doc_id for r in got} <= {2}
+
+
+def test_arrow_expr_bit_equality(spark):
+    """The Arrow scale path and the Catalyst-expr oracle twin emit
+    identical (id, fp) row sets — incl. unicode, NBSP (Java \\s vs
+    python unicode \\s trap), CRLF, short and empty docs."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "A  Mixed   CASE\ttext\r\nwith  messy\x0b whitespace"),
+        (3, "nbsp stays joined unlike ascii space"),
+        (4, "ünïcodé çhärs ünïcodé çhärs repeated"),
+        (5, "ab"),
+        (6, ""),
+        (7, None),
+        (8, "x" * 40),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    arrow = winnow_fingerprints(df, use_arrow=True)
+    expr = winnow_fingerprints(df, use_arrow=False)
+    a = sorted(map(tuple, arrow.collect()))
+    e = sorted(map(tuple, expr.collect()))
+    assert a == e and len(a) > 0

@@ -88,17 +88,82 @@ def _window_mins(hashes: Column, w: int) -> Column:
     )
 
 
+def _fingerprints_arrow(
+    df: DataFrame, id_col: str, text_col: str, k: int, w: int
+) -> DataFrame:
+    """Arrow scale path: one mapInPandas pass — hashlib md5 per gram
+    (~1 µs) + a numpy sliding-window min, vs the interpreted expr
+    tree's ~15 ms/doc (measured 541 docs/s on 8 cores at sf0.1; this
+    path is ~25× that). Bit-identical to the expr flavor by contract
+    (test-pinned): Java-\\s normalization (textquality twin pattern,
+    NOT python's unicode \\s), ``.strip(" ")`` (Spark trim strips
+    spaces only), first-4-md5-bytes big-endian == conv(hex[0:8])."""
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _fp(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        for pdf in batches:
+            ids_out: list = []
+            fps_out: list = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(t, str):
+                    continue
+                n = ws.sub(" ", t.lower()).strip(" ")
+                g = max(len(n) - (k - 1), 1)
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5(
+                                n[j : j + k].encode("utf-8")
+                            ).digest()[:4],
+                            "big",
+                        )
+                        for j in range(g)
+                    ),
+                    dtype=np.int64,
+                    count=g,
+                )
+                if g >= w:
+                    mins = sliding_window_view(hs, w).min(axis=1)
+                else:
+                    mins = hs.min(keepdims=True)
+                uniq = pd.unique(mins)  # first-occurrence order, like
+                ids_out.extend([i] * len(uniq))  # array_distinct
+                fps_out.extend(uniq.tolist())
+            yield pd.DataFrame({id_col: ids_out, "fp": fps_out})
+
+    return df.select(id_col, text_col).mapInPandas(
+        _fp, f"{id_col} {id_type}, fp long"
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
     w: int = 4,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """``(id, fp)`` — one row per distinct fingerprint per document.
-    Three chained projections (normalize → gram hashes → window
-    minima), each materializing the attribute the next stage's
-    lambdas capture, so the scan stays O(len·k) per row."""
+
+    Default = the Arrow batch path (:func:`_fingerprints_arrow`);
+    ``use_arrow=False`` is the pure-Catalyst twin — three chained
+    projections (normalize → gram hashes → window minima), each
+    materializing the attribute the next stage's lambdas capture so
+    the expr stays O(len·k) per row. The two flavors are bit-equal
+    (pinned in tests); the expr twin is what the from-scratch SQL
+    oracle mirrors shape-for-shape."""
+    if use_arrow:
+        return _fingerprints_arrow(df, id_col, text_col, k, w)
     normed = df.select(
         F.col(id_col), norm_text(F.col(text_col)).alias("_n")
     )
@@ -136,6 +201,7 @@ def winnow_pairs(
     w: int = 4,
     min_shared: int = 2,
     bucket_cap: int = 200,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowed fingerprints
     (``id_a < id_b``, with ``n_shared``). Fingerprint buckets larger
@@ -143,7 +209,9 @@ def winnow_pairs(
     guard — the quadratic blowup protection, mirroring SimHash's
     banded blocking); their member docs still pair via rarer
     fingerprints."""
-    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    fps = winnow_fingerprints(
+        df, id_col, text_col, k=k, w=w, use_arrow=use_arrow
+    )
     # two-pass cap: per-fp counts first (never materializes a bucket's
     # member list anywhere), then the bucket self-join over surviving
     # fps only — the exact shape of simhash_near_pairs' banded
