@@ -1182,6 +1182,30 @@ def q_f5_doctype_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload content sniffing (operators/sniff.py): BOM detection +
+    aligned-hex null-byte binary heuristic over synthesized binary
+    payloads (BOM-prefixed / NUL-stuffed / plain, derived from each
+    doc's text identically in both engines). Everything is hex-string
+    math, so the oracle recomputes verdicts from scratch."""
+    from wos_crawler_spark.operators.sniff import sniff_payloads
+
+    d = F.col("doc_id")
+    body = F.encode(F.col("text"), "UTF-8")
+    payload = (
+        F.when(d % 5 == 0, F.concat(F.lit(bytearray(b"\xef\xbb\xbf")), body))
+        .when(d % 5 == 1, F.concat(F.lit(bytearray(b"\x00" * 40)), body))
+        .when(d % 5 == 2, F.concat(F.lit(bytearray(b"\xff\xfe")), body))
+        .otherwise(body)
+    )
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id", payload.alias("html")
+    )
+    return sniff_payloads(pages).select(
+        "doc_id", "bom_encoding", "n_null_prefix", "payload_binary"
+    )
+
+
 def q_s_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap seed discovery from raw robots.txt bodies (S1 family —
     RFC 9309 §2.3 Sitemap directives are group-independent). Bodies
@@ -1402,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_near_dup": q_sim_cosine_near_dup,
         "sim_cosine_clusters": q_sim_cosine_clusters,
         "sim_cosine_pairs_exact": q_sim_cosine_pairs_exact,
+        "f_content_sniff": q_f_content_sniff,
         "s_sitemap_discovery": q_s_sitemap_discovery,
         "recrawl_change_schedule": q_recrawl_change_schedule,
         "dedup_winnow": q_dedup_winnow,
@@ -1558,6 +1583,10 @@ def _pii_oracle_sql() -> str:
         FROM d
     """
 
+
+#: 40 NUL bytes as a DuckDB BLOB-literal body (f-string expressions
+#: cannot contain backslashes on py3.11)
+_NULS40 = r"\x00" * 40
 
 #: word-8-gram list over a word-array column `ws` (DuckDB)
 _NG8 = (
@@ -1954,6 +1983,48 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings c
                 CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
             ) WHERE rank <= 10
+        """,
+        "f_content_sniff": f"""
+            WITH pages AS (
+                SELECT doc_id,
+                       CASE
+                         WHEN doc_id % 5 = 0
+                           THEN '\\xEF\\xBB\\xBF'::BLOB || text::BLOB
+                         WHEN doc_id % 5 = 1
+                           THEN '{_NULS40}'::BLOB || text::BLOB
+                         WHEN doc_id % 5 = 2
+                           THEN '\\xFF\\xFE'::BLOB || text::BLOB
+                         ELSE text::BLOB
+                       END AS html
+                FROM documents
+            ),
+            hx AS (
+                SELECT doc_id, html,
+                       substring(hex(html), 1, 8) AS h4,
+                       substring(hex(html), 1, 512) AS hp
+                FROM pages
+            ),
+            sniffed AS (
+                SELECT doc_id,
+                       CASE
+                         WHEN h4 LIKE '0000FEFF%' THEN 'utf-32be'
+                         WHEN h4 LIKE 'FFFE0000%' THEN 'utf-32le'
+                         WHEN h4 LIKE 'EFBBBF%'   THEN 'utf-8'
+                         WHEN h4 LIKE 'FEFF%'     THEN 'utf-16be'
+                         WHEN h4 LIKE 'FFFE%'     THEN 'utf-16le'
+                         ELSE NULL
+                       END AS bom_encoding,
+                       len(list_filter(regexp_extract_all(hp, '..'),
+                                       x -> x = '00')) AS n_null_prefix,
+                       least(octet_length(html), 256) AS plen
+                FROM hx
+            )
+            SELECT doc_id, bom_encoding,
+                   CAST(n_null_prefix AS BIGINT) AS n_null_prefix,
+                   (coalesce(bom_encoding, '') NOT IN
+                      ('utf-16le', 'utf-16be', 'utf-32le', 'utf-32be'))
+                   AND (n_null_prefix * 16 > plen * 1) AS payload_binary
+            FROM sniffed
         """,
         "s_sitemap_discovery": """
             -- independent restatement: every 7th doc's body carries
