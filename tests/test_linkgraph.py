@@ -105,3 +105,23 @@ def test_pagerank_empty_graph_raises(spark):
     empty = spark.createDataFrame([], "src string, dst string")
     with _pytest.raises(ValueError, match="empty edge set"):
         pagerank(empty)
+
+
+def test_url_rank_drives_quota(spark):
+    """URL-keyed PageRank feeding schedule_wave's W1 quota: the
+    host's single slot goes to its highest-ranked URL."""
+    from wos_crawler_spark.operators.linkgraph import pagerank, rank_priority
+    from wos_crawler_spark.operators.politeness import schedule_wave
+
+    # u_hot is linked by three pages; u_cold by one
+    links = [("a", "u_hot"), ("b", "u_hot"), ("c", "u_hot"), ("a", "u_cold")]
+    ranks = pagerank(spark.createDataFrame(links, "src string, dst string"), 8)
+    frontier = spark.createDataFrame(
+        [("u_hot", "h.com", 11, 0), ("u_cold", "h.com", 22, 0)],
+        "url string, host string, url_hash long, discovered_wave int",
+    )
+    prio = rank_priority(frontier, ranks, key_col="url")
+    hot = {r.url: r.priority for r in prio.collect()}
+    assert hot["u_hot"] > hot["u_cold"]
+    picked = schedule_wave(prio, delay_s=0.1, quota=1).collect()
+    assert [r.url for r in picked] == ["u_hot"]

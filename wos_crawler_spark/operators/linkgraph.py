@@ -132,14 +132,25 @@ def pagerank(
 
 
 def rank_priority(frontier: DataFrame, ranks: DataFrame,
-                  host_col: str = "host") -> DataFrame:
-    """Attach ``priority`` = host PageRank (unknown hosts get the
-    teleport floor, not zero — a never-seen host should still beat a
-    known-junk one). Broadcast join: the host-rank dim is small by
-    construction. Feed the result to ``schedule_wave(quota=...)``."""
+                  key_col: str = "host",
+                  broadcast_ranks: bool = True) -> DataFrame:
+    """Attach ``priority`` = PageRank of ``key_col`` (unknown keys get
+    the teleport floor, not zero — a never-seen page should still beat
+    a known-junk one).
+
+    Key choice decides what the priority can influence downstream:
+    URL-keyed ranks (pagerank over the raw links graph) drive the W1
+    per-host quota in ``schedule_wave`` — the Cho/Garcia-Molina/Page
+    crawl ordering proper, picking WHICH of a host's queued URLs get
+    this wave's slots. Host-keyed ranks are constant within a host, so
+    they cannot reorder the per-host quota; they are the wave-ADMISSION
+    signal (which hosts' backlogs to admit) and the cheap option at
+    10^10 URLs. Host-rank dims broadcast by definition; URL-keyed rank
+    tables at full scale are frontier-sized — pass
+    ``broadcast_ranks=False`` for a key-partitioned join instead."""
     floor = ranks.agg(F.min("rank")).first()[0] or 0.0
-    r = ranks.select(F.col("node").alias(host_col),
+    r = ranks.select(F.col("node").alias(key_col),
                      F.col("rank").alias("priority"))
-    return frontier.join(F.broadcast(r), host_col, "left").fillna(
-        {"priority": floor}
-    )
+    if broadcast_ranks:
+        r = F.broadcast(r)
+    return frontier.join(r, key_col, "left").fillna({"priority": floor})
