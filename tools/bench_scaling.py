@@ -87,7 +87,20 @@ def _fresh_spark(cores: int):
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    # Two heap models. Fixed-total (default 24g at BOTH levels) is the
+    # conservative single-box protocol, but it under-models a real
+    # N -> 4N executor scale-up, where AGGREGATE heap grows 4x with the
+    # executor count (memory per core is constant on a cluster; only
+    # this one-JVM sandbox shares a fixed total across thread counts).
+    # WCS_MEM_PER_CORE_GB=<g> switches to the cluster-faithful model:
+    # heap = g * cores at each level.
+    # Capped at 64g so the 32-core input-PREP session (never measured)
+    # fits the box; measurement levels (2, 8) stay under the cap.
+    per_core = os.environ.get("WCS_MEM_PER_CORE_GB")
+    if per_core:
+        mem = f"{min(int(float(per_core) * cores), 64)}g"
+    else:
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     # tmpfs shuffle dir: this VM's root fs (ext4+discard on virtio)
     # serializes concurrent shuffle-file creates (observed via jstack:
     # executor threads parked in FileOutputStream.open0), which
