@@ -1206,6 +1206,61 @@ def q_f_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _linkful_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages-shaped fixture for the outlink-extraction entries: html
+    built from doc_id with one anchor per contract branch (abs dq /
+    protocol-relative sq / root-relative unquoted / relative+fragment
+    dq / uppercase tag+scheme) plus the three junk anchors that must
+    drop (fragment-only, mailto:, javascript:). Both engines derive
+    the expected links from doc_id arithmetic alone."""
+    d = F.col("doc_id")
+    s = d.cast("string")
+    src = F.concat(
+        F.lit("https://host"), (d % 7).cast("string"),
+        F.lit(".example.com/dir/page"), s, F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="https://ext'), (d % 5).cast("string"),
+        F.lit('.example.org/p/'), s, F.lit('">x</a>'),
+        F.lit("<a href='//cdn"), (d % 3).cast("string"),
+        F.lit(".example.net/lib'>y</a>"),
+        F.lit("<a id=q href=/r/"), (d % 11).cast("string"), F.lit(">z</a>"),
+        F.lit('<a href="next'), s, F.lit('.html#f">n</a>'),
+        F.lit('<A HREF="HTTP://Up.example.org/U'), (d % 2).cast("string"),
+        F.lit('">u</A>'),
+        F.lit('<a href="#top">t</a><a href="mailto:x@e.org">m</a>'),
+        F.lit("<a href='javascript:void(0)'>j</a></body></html>"),
+    )
+    return _t(spark, sf_dir, "documents").select(
+        src.alias("url"), F.encode(html, "UTF-8").alias("html")
+    )
+
+
+def q_f_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction from html:binary (operators/htmllinks.py):
+    href recognition across quote styles + RFC-subset resolution
+    against the page URL; dst_url is pre-canonicalization (F2 runs at
+    frontier admission), dst_host composes the politeness key. The
+    oracle states the five expected links per doc independently."""
+    from wos_crawler_spark.functions.urlnorm import url_host
+    from wos_crawler_spark.operators.htmllinks import extract_links
+
+    out = extract_links(_linkful_pages(spark, sf_dir))
+    return out.select(
+        "src_url", "dst_url", url_host(F.col("dst_url")).alias("dst_host")
+    )
+
+
+def q_f_extract_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text variant (extract_links_with_anchors): same five
+    kept links per doc, each paired with its anchor text — the
+    training-data signal (anchor-text corpora)."""
+    from wos_crawler_spark.operators.htmllinks import extract_links_with_anchors
+
+    out = extract_links_with_anchors(_linkful_pages(spark, sf_dir))
+    return out.select("src_url", "dst_url", "anchor_text")
+
+
 def q_s_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap seed discovery from raw robots.txt bodies (S1 family —
     RFC 9309 §2.3 Sitemap directives are group-independent). Bodies
@@ -1427,6 +1482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_clusters": q_sim_cosine_clusters,
         "sim_cosine_pairs_exact": q_sim_cosine_pairs_exact,
         "f_content_sniff": q_f_content_sniff,
+        "f_extract_links": q_f_extract_links,
+        "f_extract_anchor_text": q_f_extract_anchor_text,
         "s_sitemap_discovery": q_s_sitemap_discovery,
         "recrawl_change_schedule": q_recrawl_change_schedule,
         "dedup_winnow": q_dedup_winnow,
@@ -1983,6 +2040,73 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings c
                 CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
             ) WHERE rank <= 10
+        """,
+        "f_extract_links": """
+            WITH src AS (
+                SELECT doc_id,
+                       'https://host' || (doc_id % 7) ||
+                       '.example.com/dir/page' || doc_id || '.html'
+                           AS src_url
+                FROM documents
+            )
+            SELECT src_url,
+                   'https://ext' || (doc_id % 5) || '.example.org/p/'
+                       || doc_id AS dst_url,
+                   'ext' || (doc_id % 5) || '.example.org' AS dst_host
+            FROM src
+            UNION ALL
+            SELECT src_url,
+                   'https://cdn' || (doc_id % 3) || '.example.net/lib',
+                   'cdn' || (doc_id % 3) || '.example.net'
+            FROM src
+            UNION ALL
+            SELECT src_url,
+                   'https://host' || (doc_id % 7) || '.example.com/r/'
+                       || (doc_id % 11),
+                   'host' || (doc_id % 7) || '.example.com'
+            FROM src
+            UNION ALL
+            SELECT src_url,
+                   'https://host' || (doc_id % 7) ||
+                       '.example.com/dir/next' || doc_id || '.html',
+                   'host' || (doc_id % 7) || '.example.com'
+            FROM src
+            UNION ALL
+            SELECT src_url,
+                   'HTTP://Up.example.org/U' || (doc_id % 2),
+                   'up.example.org'
+            FROM src
+        """,
+        "f_extract_anchor_text": """
+            WITH src AS (
+                SELECT doc_id,
+                       'https://host' || (doc_id % 7) ||
+                       '.example.com/dir/page' || doc_id || '.html'
+                           AS src_url
+                FROM documents
+            )
+            SELECT src_url,
+                   'https://ext' || (doc_id % 5) || '.example.org/p/'
+                       || doc_id AS dst_url,
+                   'x' AS anchor_text
+            FROM src
+            UNION ALL
+            SELECT src_url,
+                   'https://cdn' || (doc_id % 3) || '.example.net/lib', 'y'
+            FROM src
+            UNION ALL
+            SELECT src_url,
+                   'https://host' || (doc_id % 7) || '.example.com/r/'
+                       || (doc_id % 11), 'z'
+            FROM src
+            UNION ALL
+            SELECT src_url,
+                   'https://host' || (doc_id % 7) ||
+                       '.example.com/dir/next' || doc_id || '.html', 'n'
+            FROM src
+            UNION ALL
+            SELECT src_url, 'HTTP://Up.example.org/U' || (doc_id % 2), 'u'
+            FROM src
         """,
         "f_content_sniff": f"""
             WITH pages AS (

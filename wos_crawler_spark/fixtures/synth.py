@@ -137,6 +137,66 @@ def links_table(spark: SparkSession, n: int, partitions: int | None = None) -> D
     )
 
 
+def _anchor_markup(i: int, n: int) -> str:
+    """HTML anchors encoding EXACTLY the links_table edges of url i
+    (d1 = i*7+1, d2 = i*13+5 mod n), rotating through the quote styles
+    and URL forms operators/htmllinks.py recognizes, plus always-on
+    junk anchors it must drop — so
+    ``links_from_pages(linked_pages_table(n)) ≡ links_table(n)``."""
+    d1, d2 = (i * 7 + 1) % n, (i * 13 + 5) % n
+    u1, u2 = wosgen.url_of(d1), wosgen.url_of(d2)
+    s1 = i % 4
+    if s1 == 0:
+        a1 = f'<a href="{u1}">one</a>'
+    elif s1 == 1:
+        a1 = f"<a href='{u1}'>one</a>"
+    elif s1 == 2:
+        a1 = f"<a id=p href={u1[len('https:'):]}>one</a>"  # //host/…
+    else:
+        a1 = f'<A HREF="{u1}">one</A>'
+    s2 = i % 3
+    if s2 == 0:
+        a2 = f'<a class=x href="  {u2}#sec ">two</a>'
+    elif s2 == 1:
+        a2 = f"<a href='{u2}#frag'>two</a>"
+    else:
+        a2 = f"<a href={u2}>two</a>"
+    junk = (
+        '<a href="#top">t</a><a href="mailto:x@example.org">m</a>'
+        "<a href='javascript:void(0)'>j</a>"
+    )
+    return a1 + a2 + junk
+
+
+def linked_pages_pdf(ids: list[int], n_total: int) -> pd.DataFrame:
+    """pages rows identical to :func:`gen_pages_pdf` except html holds
+    real anchor markup for the links_table edges (outlink-discovery
+    fixture; the seed-matched ``text`` column is unchanged)."""
+    pdf = gen_pages_pdf(ids, n_total)
+    pdf["html"] = [
+        (
+            "<html><body>" + _anchor_markup(i, n_total) + "<p>text</p></body></html>"
+        ).encode("utf-8")
+        for i in ids
+    ]
+    return pdf
+
+
+def linked_pages_table(
+    spark: SparkSession, n: int, partitions: int | None = None
+) -> DataFrame:
+    """Distributed pages table whose html column encodes the
+    links_table edges as ``<a href>`` anchors."""
+    rng = spark.range(0, n, 1, partitions) if partitions else spark.range(n)
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield linked_pages_pdf(pdf["id"].tolist(), n)
+
+    return rng.mapInPandas(_gen, PAGES_SCHEMA)
+
+
 def _url_expr(id_col: str):
     """Column expr mirror of wosgen.url_of / host_of (pure Catalyst)."""
     i = F.col(id_col)
