@@ -1261,6 +1261,26 @@ def q_f_extract_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("src_url", "dst_url", "anchor_text")
 
 
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-ngram quality classifier
+    (operators/textclassify.py): unigram+bigram features → md5 bucket
+    → integer milli-weight mean, keep = integer cross-multiplication.
+    Synthetic deterministic weights (bucket*2654435761 % 2001 - 1000);
+    the oracle recomputes the whole pipeline from scratch in SQL —
+    exact integers end to end, no float boundary."""
+    from wos_crawler_spark.operators.textclassify import classifier_score_expr
+
+    nb = 4096
+    weights = spark.range(nb).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * 2654435761) % 2001 - 1000).cast("long").alias("weight"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return classifier_score_expr(docs, weights, n_buckets=nb).select(
+        "doc_id", "w_sum", "n_feat", "clf_keep"
+    )
+
+
 def q_s_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap seed discovery from raw robots.txt bodies (S1 family —
     RFC 9309 §2.3 Sitemap directives are group-independent). Bodies
@@ -1484,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_content_sniff": q_f_content_sniff,
         "f_extract_links": q_f_extract_links,
         "f_extract_anchor_text": q_f_extract_anchor_text,
+        "text_quality_classifier": q_text_quality_classifier,
         "s_sitemap_discovery": q_s_sitemap_discovery,
         "recrawl_change_schedule": q_recrawl_change_schedule,
         "dedup_winnow": q_dedup_winnow,
@@ -2107,6 +2128,31 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT src_url, 'HTTP://Up.example.org/U' || (doc_id % 2), 'u'
             FROM src
+        """,
+        "text_quality_classifier": f"""
+            WITH w AS (
+                SELECT doc_id, {_WORDS} AS ws FROM documents
+                WHERE text IS NOT NULL
+            ),
+            feats AS (
+                SELECT doc_id,
+                       unnest(list_concat(
+                           ws,
+                           [ws[i] || ' ' || ws[i+1]
+                            FOR i IN range(1, greatest(len(ws)-1, 0)+1)]
+                       )) AS f
+                FROM w
+            ),
+            b AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS bkt
+                FROM feats
+            )
+            SELECT doc_id,
+                   sum((bkt * 2654435761) % 2001 - 1000)::BIGINT AS w_sum,
+                   count(*)::BIGINT AS n_feat,
+                   (sum((bkt * 2654435761) % 2001 - 1000) > 0) AS clf_keep
+            FROM b GROUP BY doc_id
         """,
         "f_content_sniff": f"""
             WITH pages AS (
