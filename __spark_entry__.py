@@ -656,6 +656,19 @@ def q_sim_cosine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_clusters(emb, threshold=0.3, dim=64, n_planes=3)
 
 
+def q_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023; operators/semdedup.py): k-means
+    cells block the pair search, groups = components of the
+    within-cell cosine graph, survivor = lowest centroid-cosine
+    member. Oracle: pinned assignment + pairs → recursive-CTE
+    components + an independent window re-derivation of the keeper."""
+    from wos_crawler_spark.operators.semdedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semdedup(emb, threshold=0.3, n_centroids=16, n_iter=2)
+    return out.select("vec_id", "cluster", "group_id", "semdedup_keep")
+
+
 def q_sim_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs embedding-cosine ≥ threshold (the oracle-checked
     baseline the LSH-blocked variant approximates)."""
@@ -1500,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_cosine_near_dup": q_sim_cosine_near_dup,
         "sim_cosine_clusters": q_sim_cosine_clusters,
+        "sim_semdedup": q_sim_semdedup,
         "sim_cosine_pairs_exact": q_sim_cosine_pairs_exact,
         "f_content_sniff": q_f_content_sniff,
         "f_extract_links": q_f_extract_links,
@@ -2931,6 +2945,42 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e
             LEFT JOIN reach r ON r.a = e.vec_id
             GROUP BY e.vec_id
+        """,
+        "sim_semdedup": f"""
+            -- pinned: k-means assignment (cluster, cent_sim) and the
+            -- within-cell threshold pairs (float-threshold membership
+            -- is pinned for the same IEEE-boundary reason as
+            -- sim_cosine_near_dup); recomputed INDEPENDENTLY here:
+            -- components via recursive CTE, keeper via a window over
+            -- the pinned cent_sim (lowest wins, ties on vec_id)
+            WITH RECURSIVE pairs AS (
+                SELECT id_a, id_b FROM {_snap("semdedup_pairs_sf001")}
+            ),
+            und AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach(a, b) AS (
+                SELECT src, dst FROM und
+                UNION
+                SELECT r.a, u.dst FROM reach r JOIN und u ON r.b = u.src
+            ),
+            grp AS (
+                SELECT e.vec_id,
+                       least(e.vec_id, coalesce(min(r.b), e.vec_id))
+                         AS group_id
+                FROM embeddings e
+                LEFT JOIN reach r ON r.a = e.vec_id
+                GROUP BY e.vec_id
+            )
+            SELECT g.vec_id, a.cluster, g.group_id,
+                   (row_number() OVER (
+                        PARTITION BY g.group_id
+                        ORDER BY a.cent_sim ASC, g.vec_id ASC) = 1)
+                     AS semdedup_keep
+            FROM grp g
+            JOIN {_snap("semdedup_assign_sf001")} a USING (vec_id)
         """,
     }
     # persisted-index IVF path: same params as the one-shot operator,

@@ -33,6 +33,8 @@ DuckDB over the live documents/embeddings views:
 - ``minhash_edges_sf001``  (src, dst) star edges per bucket
 - ``lsh_cand_sf001``       (q_id, vec_id) ANN candidates
 - ``cos_near_dup_sf001``   (id_a, id_b) blocked near-dup output pin
+- ``semdedup_assign_sf001`` (vec_id, cluster, cent_sim) k-means cells
+- ``semdedup_pairs_sf001``  (id_a, id_b) within-cell threshold pairs
 
 Files are single deterministic parquet files (collected, sorted,
 written via pandas/pyarrow). Re-run this tool ONLY when the parser /
@@ -147,6 +149,25 @@ def build_frames(spark) -> dict:
             emb, queries, n_centroids=16, n_probe=4, n_iter=3
         ).toPandas(),
         ["q_id", "vec_id"],
+    )
+    # SemDeDup: pin the k-means assignment (+cent_sim, the keep key)
+    # and the within-cell threshold pairs; the oracle recomputes
+    # components + keeper independently (recursive CTE + window).
+    from wos_crawler_spark.operators import semdedup as sd
+
+    cent = sim.ivf_train_centroids(emb, n_centroids=16, n_iter=2)
+    asn = sd.assign_with_sim(emb, cent)
+    frames["semdedup_assign_sf001"] = (
+        asn.select(
+            "vec_id",
+            F.col("_cluster").alias("cluster"),
+            F.col("_cent_sim").alias("cent_sim"),
+        ).toPandas(),
+        ["vec_id"],
+    )
+    frames["semdedup_pairs_sf001"] = (
+        sd.semdedup_pairs(asn, 0.3).select("id_a", "id_b").toPandas(),
+        ["id_a", "id_b"],
     )
     return frames
 
