@@ -51,6 +51,9 @@ ENTRY_QUERIES = [
     "pipeline_curation",
     "decontam_ngram_overlap",
     "graph_pagerank_hosts",
+    "f_extract_links",
+    "text_quality_classifier",
+    "sim_semdedup",
 ]
 
 
