@@ -105,6 +105,18 @@ def test_cluster_cap_drops_oversized_cells_from_pairing(spark, emb):
     assert uncapped.count() > 0
 
 
+def test_arrow_scorer_same_pairs(spark, emb):
+    """Arrow pair scorer yields the identical pair SET on the fixture
+    (no value sits within a ULP of the threshold here)."""
+    asn = assign_with_sim(emb, CENTS)
+    expr = {(r["id_a"], r["id_b"]) for r in semdedup_pairs(asn, THR).collect()}
+    arrow = {
+        (r["id_a"], r["id_b"])
+        for r in semdedup_pairs(asn, THR, use_arrow_scorer=True).collect()
+    }
+    assert arrow == expr and len(expr) > 0
+
+
 def test_trained_quantizer_path_runs(spark, emb):
     """End-to-end with self-trained k-means (no stored centroids):
     semantics (one keeper per group, all rows present) hold for

@@ -37,7 +37,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from wos_crawler_spark.operators.similarity import cosine, ivf_train_centroids
+from wos_crawler_spark.operators.similarity import (
+    cosine,
+    cosine_arrow,
+    ivf_train_centroids,
+)
 from wos_crawler_spark.operators.textdedup import min_label_components
 
 
@@ -78,12 +82,17 @@ def semdedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cluster_cap: int | None = None,
+    use_arrow_scorer: bool = False,
 ) -> DataFrame:
     """``(id_a, id_b, cos)`` — semantic-dup pairs within k-means
     cells. ``assigned`` must carry ``_cluster`` (assign_with_sim).
-    Expr-scored cosine (the threshold makes membership last-ULP
-    sensitive; the expr flavor is what the oracle pins, same
-    convention as cosine_near_dup_pairs)."""
+    Default expr-scored cosine (the threshold makes membership
+    last-ULP sensitive; the expr flavor is what the oracle pins, same
+    convention as cosine_near_dup_pairs); ``use_arrow_scorer=True``
+    swaps in the vectorized Arrow scorer — the scale choice at
+    production dims (384–1536) where an interpreted per-pair
+    aggregate dominates the within-cell scoring, with the same
+    sub-ULP membership caveat as score_candidates."""
     s = assigned.select("_cluster", id_col, vec_col)
     if cluster_cap is not None:
         ok = (
@@ -99,10 +108,11 @@ def semdedup_pairs(
     b = s.select(
         "_cluster", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
     )
+    scorer = cosine_arrow if use_arrow_scorer else cosine
     return (
         a.join(b, "_cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        .withColumn("cos", scorer(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -118,6 +128,7 @@ def semdedup(
     vec_col: str = "embedding",
     cluster_cap: int | None = None,
     max_iter: int = 50,
+    use_arrow_scorer: bool = False,
 ) -> DataFrame:
     """``(id, cluster, cent_sim, group_id, semdedup_keep)`` — one row
     per input vector. ``semdedup_keep`` marks the group survivor
@@ -131,7 +142,8 @@ def semdedup(
         )
     assigned = assign_with_sim(df, centroids, id_col, vec_col)
     pairs = semdedup_pairs(
-        assigned, threshold, id_col, vec_col, cluster_cap
+        assigned, threshold, id_col, vec_col, cluster_cap,
+        use_arrow_scorer=use_arrow_scorer,
     )
     vertices = assigned.select(F.col(id_col).alias("_id")).distinct()
     edges = pairs.select(
