@@ -54,6 +54,10 @@ def _links(spark, html: str, base: str = BASE):
         ('<a href="../i">t</a>', ["https://www.Example.com:8080/dir/sub/../i"]),
         # whitespace + fragment stripped from the href
         ('<a href="  https://x.org/j#frag ">t</a>', ["https://x.org/j"]),
+        # form feed is legal HTML5 inter-attribute whitespace
+        ('<a\fhref="https://x.org/ff">t</a>', ["https://x.org/ff"]),
+        # fragment strip crosses newlines inside a quoted href
+        ('<a href="/x#frag\ntail">t</a>', ["https://www.Example.com:8080/x"]),
         # dropped: fragment-only, empty, non-http(s) schemes
         ('<a href="#top">t</a>', []),
         ('<a href="">t</a>', []),

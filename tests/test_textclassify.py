@@ -105,3 +105,12 @@ def test_weights_length_guard(spark, weights_df):
     vec = weights_from_table(weights_df, NB)
     with pytest.raises(ValueError, match="buckets"):
         classifier_score(None, vec, n_buckets=NB * 2)
+
+
+def test_weights_bucket_range_guard(spark):
+    bad = spark.createDataFrame([(-1, 5)], "bucket long, weight long")
+    with pytest.raises(ValueError, match="outside"):
+        weights_from_table(bad, NB)
+    big = spark.createDataFrame([(NB, 5)], "bucket long, weight long")
+    with pytest.raises(ValueError, match="outside"):
+        weights_from_table(big, NB)

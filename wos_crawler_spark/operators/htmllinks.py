@@ -64,8 +64,10 @@ from wos_crawler_spark.functions.urlnorm import (
     _SCHEME_RE,
 )
 
-#: explicit ASCII whitespace — the Java∩RE2-identical stand-in for \s.
-_WS = " \\t\\r\\n"
+#: explicit ASCII whitespace — the Java∩RE2-identical stand-in for \s
+#: (Java \s adds \x0B, RE2 \s does not; the intersection is this set,
+#: \f included — FF is legal HTML5 inter-attribute whitespace).
+_WS = " \\t\\r\\n\\f"
 _A_OPEN = f"<[Aa][{_WS}]"
 _HREF_EQ = f"[Hh][Rr][Ee][Ff][{_WS}]*=[{_WS}]*"
 
@@ -96,9 +98,13 @@ def html_hrefs(html: Column) -> Column:
 
 
 def _strip_href(href: Column) -> Column:
-    """Browser-style cleanup: trim ASCII whitespace, drop fragment."""
+    """Browser-style cleanup: trim ASCII whitespace, drop fragment.
+    The fragment strip is (?s)-dotall — a quoted href may span lines
+    ('<a href="/x#frag\\ntail">'), and without dotall '#.*' cannot
+    cross the newline, leaking the fragment into dst_url; (?s) means
+    the same thing in Java and RE2."""
     trimmed = F.regexp_replace(href, f"^[{_WS}]+|[{_WS}]+$", "")
-    return F.regexp_replace(trimmed, "#.*$", "")
+    return F.regexp_replace(trimmed, "(?s)#.*", "")
 
 
 def resolve_href(base: Column, href: Column) -> Column:

@@ -32,14 +32,13 @@ Pipeline (all reused machinery):
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from wos_crawler_spark.operators.similarity import (
     cosine,
     cosine_arrow,
+    ivf_assign,
     ivf_train_centroids,
 )
 from wos_crawler_spark.operators.textdedup import min_label_components
@@ -51,29 +50,12 @@ def assign_with_sim(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ivf_assign twin that also emits ``_cent_sim`` = cosine to the
-    winning centroid (the same matmul row — no second pass)."""
-    bC = corpus.sparkSession.sparkContext.broadcast(
-        np.asarray(centroids, dtype=np.float64)
+    """``similarity.ivf_assign(with_sim=True)`` — one shared matmul
+    implementation, so SemDeDup and the IVF index can never diverge
+    on assignment arithmetic."""
+    return ivf_assign(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, with_sim=True
     )
-
-    @F.pandas_udf("_cluster int, _cent_sim double")
-    def _assign(vecs: pd.Series) -> pd.DataFrame:
-        C = bC.value
-        M = np.array(vecs.tolist(), dtype=np.float64)
-        mn = np.linalg.norm(M, axis=1)
-        Mn = M / np.where(mn == 0, 1.0, mn)[:, None]
-        S = Mn @ C.T
-        c = np.argmax(S, axis=1)
-        return pd.DataFrame(
-            {
-                "_cluster": c.astype(np.int32),
-                "_cent_sim": S[np.arange(len(c)), c],
-            }
-        )
-
-    a = corpus.withColumn("_a", _assign(F.col(vec_col)))
-    return a.select("*", "_a._cluster", "_a._cent_sim").drop("_a")
 
 
 def semdedup_pairs(
@@ -140,7 +122,12 @@ def semdedup(
             df, n_centroids=n_centroids, n_iter=n_iter,
             id_col=id_col, vec_col=vec_col,
         )
-    assigned = assign_with_sim(df, centroids, id_col, vec_col)
+    # localCheckpoint (the min_label_components idiom): `assigned`
+    # feeds FIVE scans below (both pair-join sides, the cap count,
+    # vertices, the final projection) — without materialization each
+    # re-runs the full-corpus assignment matmul through the python
+    # workers, ~5x the operator's dominant cost.
+    assigned = assign_with_sim(df, centroids, id_col, vec_col).localCheckpoint()
     pairs = semdedup_pairs(
         assigned, threshold, id_col, vec_col, cluster_cap,
         use_arrow_scorer=use_arrow_scorer,

@@ -605,12 +605,36 @@ def ivf_assign(
     centroids,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_sim: bool = False,
 ) -> DataFrame:
     """Attach ``_cluster`` = argmax-cosine centroid per vector (Arrow
-    matmul over the broadcast k×dim matrix)."""
+    matmul over the broadcast k×dim matrix). ``with_sim=True`` also
+    emits ``_cent_sim`` = the winning cosine from the SAME matmul row
+    (SemDeDup's keep key) — one implementation, so the two consumers
+    can never diverge on assignment arithmetic."""
     bC = corpus.sparkSession.sparkContext.broadcast(
         np.asarray(centroids, dtype=np.float64)
     )
+
+    if with_sim:
+
+        @F.pandas_udf("_cluster int, _cent_sim double")
+        def _assign_sim(vecs: pd.Series) -> pd.DataFrame:
+            C = bC.value
+            M = np.array(vecs.tolist(), dtype=np.float64)
+            mn = np.linalg.norm(M, axis=1)
+            Mn = M / np.where(mn == 0, 1.0, mn)[:, None]
+            S = Mn @ C.T
+            c = np.argmax(S, axis=1)
+            return pd.DataFrame(
+                {
+                    "_cluster": c.astype(np.int32),
+                    "_cent_sim": S[np.arange(len(c)), c],
+                }
+            )
+
+        a = corpus.withColumn("_a", _assign_sim(F.col(vec_col)))
+        return a.select("*", "_a._cluster", "_a._cent_sim").drop("_a")
 
     @F.pandas_udf("int")
     def _assign(vecs: pd.Series) -> pd.Series:

@@ -155,6 +155,10 @@ def classifier_score(
     nb = int(n_buckets if n_buckets is not None else len(wvec))
     if len(wvec) != nb:
         raise ValueError(f"weights has {len(wvec)} buckets, expected {nb}")
+    # sc.broadcast, not closure capture: a closure-pickled vector rides
+    # every task's serialized command (16 MB at 2^21 buckets); the
+    # broadcast value deserializes once per executor and is shared.
+    bW = df.sparkSession.sparkContext.broadcast(wvec)
     from pyspark.sql.types import LongType, StructField, StructType
 
     out_schema = StructType(
@@ -180,6 +184,7 @@ def classifier_score(
             keep_idx: list[int] = []
             sums: list[int] = []
             ns: list[int] = []
+            wv = bW.value
             for pos, t in enumerate(pdf[text_col]):
                 if not isinstance(t, str):
                     continue
@@ -196,7 +201,7 @@ def classifier_score(
                     count=len(fs),
                 )
                 keep_idx.append(pos)
-                sums.append(int(wvec[bks].sum()))
+                sums.append(int(wv[bks].sum()))
                 ns.append(len(fs))
             out = pdf.iloc[keep_idx].copy()
             out["w_sum"] = pd.Series(sums, index=out.index, dtype="int64")
@@ -220,5 +225,12 @@ def weights_from_table(weights: DataFrame, n_buckets: int):
         )
     vec = np.zeros(n_buckets, dtype=np.int64)
     for r in weights.select("bucket", "weight").collect():
-        vec[int(r["bucket"])] = int(r["weight"])
+        b = int(r["bucket"])
+        if not 0 <= b < n_buckets:
+            raise ValueError(
+                f"bucket {b} outside [0, {n_buckets}) — negative ids "
+                "would silently alias the vector tail via numpy "
+                "negative indexing"
+            )
+        vec[b] = int(r["weight"])
     return vec
