@@ -1274,6 +1274,46 @@ def q_f_extract_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("src_url", "dst_url", "anchor_text")
 
 
+def q_f3_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 under full RFC 9309 semantics (robots_verdict_rfc): ``*``
+    spans any chars, ``$`` anchors at pattern end, longest pattern
+    wins, ties → allow. Rules: /private* deny (9), /private/pub$
+    allow (13), /*.php$ deny (7), / allow (1). The oracle states each
+    path's verdict independently from doc_id arithmetic — no regex is
+    re-run in DuckDB."""
+    from wos_crawler_spark.operators.robots import robots_filter
+
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 5 == 0, F.concat(F.lit("/private/p"), d.cast("string")))
+        .when(d % 5 == 1, F.lit("/private/pub"))
+        .when(d % 5 == 2, F.concat(F.lit("/p"), d.cast("string"), F.lit(".php")))
+        .when(
+            d % 5 == 3,
+            F.concat(F.lit("/p"), d.cast("string"), F.lit(".php?x=1")),
+        )
+        .otherwise(F.concat(F.lit("/ok/p"), d.cast("string")))
+    )
+    host = F.concat(F.lit("w"), (d % 3).cast("string"), F.lit(".org"))
+    frontier = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("url_canon"),
+    )
+    rule_rows = [
+        ("/private*", False),
+        ("/private/pub$", True),
+        ("/*.php$", False),
+        ("/", True),
+    ]
+    rules = spark.createDataFrame(
+        [(f"w{k}.org", p, a, len(p)) for k in range(3) for p, a in rule_rows],
+        "host string, rule_prefix string, allow boolean, rule_len int",
+    )
+    kept = robots_filter(frontier, rules, wildcards=True)
+    return kept.select("doc_id", "host", "url_canon")
+
+
 def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-ngram quality classifier
     (operators/textclassify.py): unigram+bigram features → md5 bucket
@@ -1519,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_extract_links": q_f_extract_links,
         "f_extract_anchor_text": q_f_extract_anchor_text,
         "text_quality_classifier": q_text_quality_classifier,
+        "f3_robots_wildcards": q_f3_robots_wildcards,
         "s_sitemap_discovery": q_s_sitemap_discovery,
         "recrawl_change_schedule": q_recrawl_change_schedule,
         "dedup_winnow": q_dedup_winnow,
@@ -2142,6 +2183,26 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT src_url, 'HTTP://Up.example.org/U' || (doc_id % 2), 'u'
             FROM src
+        """,
+        "f3_robots_wildcards": """
+            -- independent restatement of the RFC-9309 verdicts:
+            --   d%5=0 /private/pN    -> /private*    (len 9) deny
+            --   d%5=1 /private/pub   -> /private/pub$ (13) allow
+            --                           beats /private* (9) deny
+            --   d%5=2 /pN.php        -> /*.php$ (7) deny
+            --   d%5=3 /pN.php?x=1    -> $-anchored rule cannot match
+            --                           a query tail -> / (1) allow
+            --   d%5=4 /ok/pN         -> / allow
+            SELECT doc_id,
+                   'w' || (doc_id % 3) || '.org' AS host,
+                   'https://w' || (doc_id % 3) || '.org' ||
+                   CASE doc_id % 5
+                     WHEN 1 THEN '/private/pub'
+                     WHEN 3 THEN '/p' || doc_id || '.php?x=1'
+                     ELSE '/ok/p' || doc_id
+                   END AS url_canon
+            FROM documents
+            WHERE doc_id % 5 IN (1, 3, 4)
         """,
         "text_quality_classifier": f"""
             WITH w AS (

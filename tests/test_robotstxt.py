@@ -203,3 +203,120 @@ def test_parse_robots_sitemaps(spark):
         ("a.com", "https://a.com/sitemap.xml"),
         ("a.com", "https://a.com/news.xml"),
     }
+
+
+def _rules_df(spark, rows):
+    return spark.createDataFrame(
+        [(h, p, a, len(p)) for h, p, a in rows],
+        "host string, rule_prefix string, allow boolean, rule_len int",
+    )
+
+
+def _gate(spark, rules_rows, paths, wildcards=True):
+    from wos_crawler_spark.operators.robots import robots_filter
+
+    rules = _rules_df(spark, rules_rows)
+    frontier = spark.createDataFrame(
+        [(f"https://w.org{p}", "w.org") for p in paths],
+        "url_canon string, host string",
+    )
+    kept = robots_filter(frontier, rules, wildcards=wildcards).collect()
+    return {r["url_canon"].removeprefix("https://w.org") for r in kept}
+
+
+def test_rfc_wildcard_star_and_dollar(spark):
+    """RFC 9309 * spans '/' ; $ anchors only at pattern end."""
+    rules = [("w.org", "/fish*.php$", False), ("w.org", "/", True)]
+    kept = _gate(
+        spark, rules,
+        ["/fish/a.php", "/fishx.php", "/fish/a.php?q=1", "/x.php", "/fish"],
+    )
+    # $ anchors: the query-bearing path does NOT match, stays allowed
+    assert kept == {"/fish/a.php?q=1", "/x.php", "/fish"}
+
+
+def test_rfc_dollar_mid_pattern_is_literal(spark):
+    rules = [("w.org", "/p$q", False), ("w.org", "/", True)]
+    kept = _gate(spark, rules, ["/p$q/tail", "/pXq", "/p"])
+    assert kept == {"/pXq", "/p"}
+
+
+def test_rfc_metachars_are_literal(spark):
+    """'.', '+', '(' in rules must not act as regex."""
+    rules = [("w.org", "/a.b", False), ("w.org", "/c+(d", False),
+             ("w.org", "/", True)]
+    kept = _gate(spark, rules, ["/a.b/x", "/aXb/x", "/c+(d", "/ccd"])
+    assert kept == {"/aXb/x", "/ccd"}
+
+
+def test_rfc_tie_allow_wins(spark):
+    """Equal-length allow and disallow both match → allow (RFC 9309
+    'least restrictive')."""
+    rules = [("w.org", "/dir/*", True), ("w.org", "/dir/a", False),
+             ("w.org", "/", False)]
+    assert _gate(spark, rules, ["/dir/a"]) == {"/dir/a"}
+
+
+def test_rfc_gate_equals_prefix_gate_on_wildcard_free_rules(spark):
+    """Strict generalization: wildcard-free rule sets gate
+    identically under both verdicts."""
+    rules = [("w.org", "/no/", False), ("w.org", "/no/yes", True),
+             ("w.org", "/", True)]
+    paths = ["/no/page", "/no/yes/page", "/fine", "/no", "/"]
+    assert _gate(spark, rules, paths, wildcards=True) == _gate(
+        spark, rules, paths, wildcards=False
+    )
+
+
+def test_rfc_crawl_parity_with_simulator(spark):
+    """Full crawl with wildcard robots: engine fetch order ≡ the
+    python-re simulator twin (robots_wildcards on both sides)."""
+    from wos_crawler_spark.fixtures import wosgen
+    from wos_crawler_spark.fixtures.synth import (
+        links_table, pages_table, seeds_table)
+    from wos_crawler_spark.functions.urlnorm import with_url_canon
+    from wos_crawler_spark.plans.crawl import CrawlConfig, run_crawl
+    from wos_crawler_spark.plans.simulator import simulate_crawl
+
+    N = 150
+    rules = [
+        (wosgen.HOT_HOST, "/rec/*1$", False),  # deny ids ending in 1
+        (wosgen.HOT_HOST, "/", True),
+    ]
+    pages = pages_table(spark, N, partitions=4).cache()
+    seeds, links = seeds_table(spark), links_table(spark, N)
+    robots = _rules_df(spark, rules)
+    cfg = CrawlConfig(delay_s=1.0, parse=False, quota=5, max_waves=3,
+                      max_depth=2, max_retries=2, rows_per_bucket=8,
+                      robots_wildcards=True)
+    res = run_crawl(spark, pages, seeds, links, robots, cfg)
+    rows = res.fetch_log.select(
+        "wave", "url", "scheduled_ts", "host", "url_hash"
+    ).collect()
+    rows.sort(key=lambda r: (r["wave"], r["scheduled_ts"], r["host"], r["url_hash"]))
+    eng = [(r["wave"], r["url"], round(r["scheduled_ts"], 6)) for r in rows]
+    urls = [wosgen.url_of(i) for i in range(N)]
+    meta = with_url_canon(
+        spark.createDataFrame([(u,) for u in urls], "url string")
+    ).collect()
+    url_meta = {r["url"]: (r["url_canon"], r["url_hash"], r["host"]) for r in meta}
+    texts = {r["url"]: r["text"] for r in pages.select("url", "text").collect()}
+    links_map = {}
+    for r in links.collect():
+        links_map.setdefault(r["src_url"], []).append(r["dst_url"])
+    sim = simulate_crawl(
+        pages_urls=set(texts), page_texts=texts,
+        seeds=[(r["query_id"], r["term"], r["priority"]) for r in seeds.collect()],
+        links=links_map,
+        robots={h: [(p, a, len(p)) for hh, p, a in rules if hh == h]
+                for h in {wosgen.HOT_HOST}},
+        url_meta=url_meta, delay_s=1.0, quota=5, max_waves=3,
+        max_depth=2, max_retries=2, rows_per_bucket=8,
+        robots_wildcards=True,
+    )
+    assert len(eng) > 10
+    assert eng == sim.fetch_order
+    # and the wildcard actually bit: no fetched hot-host url ends in 1
+    hot = [u for _, u, _ in eng if wosgen.HOT_HOST in u]
+    assert hot and all(not u.endswith("1") for u in hot)
+    pages.unpersist()

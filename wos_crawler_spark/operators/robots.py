@@ -259,17 +259,85 @@ def parse_robots_sitemaps(
     )
 
 
-def robots_filter(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
-    """Drop frontier rows whose longest-prefix robots rule disallows.
+def compile_robots_pattern(p: Column) -> Column:
+    """RFC 9309 §2.2.2/§2.2.3 pattern → anchored regex, as pure exprs
+    in the Java∩RE2 dialect: ``*`` matches any char run (including
+    ``/``), ``$`` anchors ONLY at the pattern's end (elsewhere it is
+    literal — the RFC leaves it undefined; we pin literal), everything
+    else is literal. Three passes: escape every regex metachar, then
+    un-escape the two RFC constructs (``\\*`` → ``.*``, trailing
+    ``\\$`` → ``$``), then anchor at the start. Plain prefixes compile
+    to ``^literal`` — identical verdicts to startswith, so the RFC
+    gate is a strict generalization of the LPM gate."""
+    esc = F.regexp_replace(p, r"([\\.^$+?()\[\]{}|*])", r"\\$1")
+    star = F.regexp_replace(esc, r"\\\*", ".*")
+    # replacement-side $ is a group reference in Java — escape it
+    end = F.regexp_replace(star, r"\\\$$", r"\$")
+    return F.concat(F.lit("^"), end)
+
+
+def robots_rules_by_host_rfc(robots: DataFrame) -> DataFrame:
+    """RFC-wildcard twin of :func:`robots_rules_by_host`: patterns are
+    compiled ONCE while building the tiny broadcast dim. Struct field
+    order (rule_len, allow, regex) makes the array_sort tie-break
+    allow-wins at equal length — RFC 9309 §2.2.2: 'the most specific
+    match found MUST be used ... least restrictive' on ties. (The
+    prefix gate never needs this: equal-length matching PREFIXES of
+    one path are the same string; equal-length wildcard patterns can
+    differ.)"""
+    return robots.groupBy("host").agg(
+        F.collect_list(
+            F.struct(
+                F.col("rule_len").alias("rule_len"),
+                F.col("allow").alias("allow"),
+                compile_robots_pattern(F.col("rule_prefix")).alias(
+                    "rule_regex"
+                ),
+            )
+        ).alias("_rules")
+    )
+
+
+def robots_verdict_rfc(path: Column, rules: Column) -> Column:
+    """True iff the longest matching RFC-9309 pattern allows (ties →
+    allow), or no rule matches. ``rules``: array<struct<rule_len int,
+    allow boolean, rule_regex string>> from robots_rules_by_host_rfc.
+    Per-rule ``regexp_like`` with a column pattern runs interpreted —
+    fine for a per-host rules array (tens of rules), and the dim is
+    broadcast so this stays map-side."""
+    matched = F.filter(
+        rules, lambda r: F.regexp_like(path, r["rule_regex"])
+    )
+    best = F.element_at(F.array_sort(matched), -1)
+    return F.when(
+        rules.isNull() | (F.size(matched) == 0), F.lit(True)
+    ).otherwise(best["allow"])
+
+
+def robots_filter(
+    frontier: DataFrame,
+    robots: DataFrame | None,
+    wildcards: bool = False,
+) -> DataFrame:
+    """Drop frontier rows whose winning robots rule disallows.
 
     ``frontier`` needs (url_canon, host); ``robots`` is
-    (host, rule_prefix, allow, rule_len)."""
+    (host, rule_prefix, allow, rule_len). Default = longest-prefix
+    match (the simulator-pinned crawl contract); ``wildcards=True``
+    switches to full RFC 9309 ``*``/``$`` semantics
+    (CrawlConfig.robots_wildcards plumbs this through run_crawl) —
+    byte-identical verdicts on wildcard-free rule sets."""
     if robots is None:
         return frontier
-    by_host = robots_rules_by_host(robots)
     path = url_path(F.col("url_canon"))
+    if wildcards:
+        by_host = robots_rules_by_host_rfc(robots)
+        verdict = robots_verdict_rfc(path, F.col("_rules"))
+    else:
+        by_host = robots_rules_by_host(robots)
+        verdict = robots_verdict(path, F.col("_rules"))
     return (
         frontier.join(F.broadcast(by_host), "host", "left")
-        .filter(robots_verdict(path, F.col("_rules")))
+        .filter(verdict)
         .drop("_rules")
     )

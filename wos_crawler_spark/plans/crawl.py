@@ -93,6 +93,11 @@ class CrawlConfig:
     #: at 5M candidates vs 4.5M seen: exact-only 1.2s, prefilter+rescue
     #: 15.7s (two Arrow passes + 12 MB random probes dominate).
     bloom_prefilter: bool = True
+    #: F3 gate semantics: False = longest-prefix match (the
+    #: simulator-pinned default), True = full RFC 9309 ``*``/``$``
+    #: wildcard patterns (robots.robots_verdict_rfc) — identical
+    #: verdicts on wildcard-free rule sets.
+    robots_wildcards: bool = False
     parse: bool = True
     ckpt_dir: str | None = None
     #: Keep each wave's fetched/parsed caches alive so the returned
@@ -354,8 +359,8 @@ def run_wave(
             print(f"[crawl-timing]   {label}: {time.time() - t0:.2f}s", flush=True)
 
     t0 = time.time()
-    # F3: robots gate (map-only broadcast LPM)
-    allowed = robots_filter(frontier, robots)
+    # F3: robots gate (map-only broadcast LPM / RFC-9309 wildcards)
+    allowed = robots_filter(frontier, robots, wildcards=cfg.robots_wildcards)
 
     # F1/J1: dedup — retries (dont_filter) bypass, like Scrapy.
     # intra=False: the intra-wave url_hash dedup rides the politeness

@@ -56,6 +56,33 @@ def _robots_allows(path: str, rules: list[tuple[str, bool, int]]) -> bool:
     return max(matched)[1]
 
 
+def _compile_robots_pattern(p: str) -> "re.Pattern":
+    """Python twin of robots.compile_robots_pattern (RFC 9309 * / $):
+    escape everything, un-escape the two RFC constructs, anchor at
+    start. re.escape's output for these constructs matches the
+    engine's escape class on the characters that matter."""
+    import re
+
+    esc = re.escape(p)
+    esc = esc.replace(r"\*", ".*")
+    if esc.endswith(r"\$"):
+        esc = esc[:-2] + "$"
+    return re.compile("^" + esc)
+
+
+def _robots_allows_rfc(path: str, rules: list[tuple[str, bool, int]]) -> bool:
+    """RFC-9309 wildcard twin: longest matching pattern wins, ties →
+    allow (least restrictive), no match → allow."""
+    matched = [
+        (ln, allow)
+        for (pat, allow, ln) in rules
+        if _compile_robots_pattern(pat).match(path)
+    ]
+    if not matched:
+        return True
+    return max(matched)[1]
+
+
 def simulate_crawl(
     pages_urls: set[str],
     page_texts: dict[str, str],
@@ -70,8 +97,10 @@ def simulate_crawl(
     max_retries: int = 2,
     rows_per_bucket: int = 10_000,
     host_delays: dict[str, float] | None = None,
+    robots_wildcards: bool = False,
 ) -> SimResult:
     res = SimResult()
+    robots_allows = _robots_allows_rfc if robots_wildcards else _robots_allows
 
     # frontier rows: dicts with the engine's FRONTIER_COLS semantics
     def row(url, qid, prio, depth, wave, attempt, dont_filter, lineage):
@@ -106,7 +135,7 @@ def simulate_crawl(
         for r in frontier:
             path = r["url_canon"].split("://", 1)[1]
             path = "/" + path.split("/", 1)[1] if "/" in path else "/"
-            if _robots_allows(path, robots.get(r["host"], [])):
+            if robots_allows(path, robots.get(r["host"], [])):
                 allowed.append(r)
         # F1 seen-dedup (retry rows bypass). Intra-wave dedup happens
         # INSIDE the engine's politeness shuffle (schedule_wave
