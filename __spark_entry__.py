@@ -1274,6 +1274,40 @@ def q_f_extract_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("src_url", "dst_url", "anchor_text")
 
 
+def q_f_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (operators/htmltext.py): pages-shaped
+    html synthesized around each doc's text (title/style/script
+    containers, comment, heading, entity gauntlet, block boundaries),
+    stripped back to text by the shared Java∩RE2 step chain. The
+    oracle RE-RUNS the identical chain in DuckDB (html_text_sql is
+    generated from the same step lists), so this is a full
+    byte-for-byte recomputation, not a pinned snapshot."""
+    from wos_crawler_spark.operators.htmltext import pages_extract_text
+
+    d = F.col("doc_id")
+    s = d.cast("string")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), s,
+        F.lit('</title><style>p{color:red}</style>'
+              '<script type="text/javascript">var p = '), s,
+        F.lit(" < 99; // trap</script></head><body><!-- wave "), s,
+        F.lit(" --><h1>Doc "), s, F.lit("</h1><p>"), t,
+        F.lit("</p><p>B &amp; W &lt;i&gt;&nbsp;&#39;q</p><div>tail "),
+        (d % 7).cast("string"), F.lit("</div></body></html>"),
+    )
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(html, "UTF-8").alias("html")
+    )
+    out = pages_extract_text(pages)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.col("text_bytes"),
+        F.size(F.split(F.col("text"), "\n", -1)).alias("n_lines"),
+    )
+
+
 def q_f3_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 under full RFC 9309 semantics (robots_verdict_rfc): ``*``
     spans any chars, ``$`` anchors at pattern end, longest pattern
@@ -1558,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_content_sniff": q_f_content_sniff,
         "f_extract_links": q_f_extract_links,
         "f_extract_anchor_text": q_f_extract_anchor_text,
+        "f_html_to_text": q_f_html_to_text,
         "text_quality_classifier": q_text_quality_classifier,
         "f3_robots_wildcards": q_f3_robots_wildcards,
         "s_sitemap_discovery": q_s_sitemap_discovery,
@@ -1690,6 +1725,32 @@ def _pagerank_oracle_sql(n_iter: int = 5, damping: float = 0.85) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, round(rank, 6) AS rank_r6 FROM r{n_iter}"
     )
+
+
+def _html_to_text_oracle_sql() -> str:
+    """Identical html synthesis, identical step chain (generated from
+    the SAME lists the Spark expr compiles from), in RE2."""
+    from wos_crawler_spark.operators.htmltext import html_text_sql
+
+    h = (
+        "'<html><head><title>Doc ' || doc_id ||"
+        " '</title><style>p{color:red}</style>"
+        "<script type=\"text/javascript\">var p = ' || doc_id ||"
+        " ' < 99; // trap</script></head><body><!-- wave ' || doc_id ||"
+        " ' --><h1>Doc ' || doc_id || '</h1><p>' ||"
+        " coalesce(text, '') ||"
+        " '</p><p>B &amp; W &lt;i&gt;&nbsp;&#39;q</p><div>tail ' ||"
+        " (doc_id % 7) || '</div></body></html>'"
+    )
+    return f"""
+        WITH d AS (SELECT doc_id, {h} AS h FROM documents),
+        x AS (SELECT doc_id, {html_text_sql("h")} AS t FROM d)
+        SELECT doc_id,
+               md5(t) AS text_md5,
+               CAST(octet_length(encode(t)) AS INTEGER) AS text_bytes,
+               CAST(len(string_split(t, chr(10))) AS INTEGER) AS n_lines
+        FROM x
+    """
 
 
 def _pii_oracle_sql() -> str:
@@ -2377,6 +2438,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         "pii_redact": _pii_oracle_sql(),
+        "f_html_to_text": _html_to_text_oracle_sql(),
         "f_blocklist_gate": """
             -- independent restatement of the suffix-match contract:
             -- blocked iff dom3/dom7 anywhere, or sub1 under dom5
