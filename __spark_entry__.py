@@ -1308,6 +1308,38 @@ def q_f_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f_trap_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap guard (operators/trapguard.py): per-(host, shape)
+    distinct-url cap with a deterministic kept sample. Even doc_ids
+    form a calendar trap (one shape per host, unbounded distinct
+    urls); odd doc_ids fold onto 7 page urls per host (under the
+    cap, all kept incl. duplicates). The oracle recomputes shapes via
+    the shared regex twin and reruns the rank/max windows in DuckDB."""
+    from wos_crawler_spark.operators.trapguard import trap_guard
+
+    d = F.col("doc_id")
+    s = d.cast("string")
+    host = F.concat(F.lit("h"), (d % 3).cast("string"), F.lit(".org"))
+    url = (
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("https://"), host, F.lit("/cal/"), s,
+                F.lit("/d"), (d % 12).cast("string"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("https://"), host, F.lit("/page"),
+                (d % 7).cast("string"),
+            )
+        )
+    )
+    frontier = _t(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url_canon")
+    )
+    return trap_guard(frontier, cap=10, keep=5).select("doc_id", "url_canon")
+
+
 def q_f3_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 under full RFC 9309 semantics (robots_verdict_rfc): ``*``
     spans any chars, ``$`` anchors at pattern end, longest pattern
@@ -1593,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_extract_links": q_f_extract_links,
         "f_extract_anchor_text": q_f_extract_anchor_text,
         "f_html_to_text": q_f_html_to_text,
+        "f_trap_guard": q_f_trap_guard,
         "text_quality_classifier": q_text_quality_classifier,
         "f3_robots_wildcards": q_f3_robots_wildcards,
         "s_sitemap_discovery": q_s_sitemap_discovery,
@@ -1725,6 +1758,36 @@ def _pagerank_oracle_sql(n_iter: int = 5, damping: float = 0.85) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, round(rank, 6) AS rank_r6 FROM r{n_iter}"
     )
+
+
+def _trap_guard_oracle_sql() -> str:
+    """Identical shape regexes (shared twin) + the same rank/max
+    window pair, recomputed from scratch in DuckDB."""
+    from wos_crawler_spark.operators.trapguard import url_shape_sql
+
+    return f"""
+        WITH f AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0
+                     THEN 'https://h' || (doc_id % 3) || '.org/cal/'
+                          || doc_id || '/d' || (doc_id % 12)
+                     ELSE 'https://h' || (doc_id % 3) || '.org/page'
+                          || (doc_id % 7)
+                   END AS url_canon
+            FROM documents
+        ),
+        s AS (SELECT doc_id, url_canon,
+                     {url_shape_sql('url_canon')} AS shape
+              FROM f),
+        r AS (SELECT doc_id, url_canon, shape,
+                     dense_rank() OVER (
+                       PARTITION BY shape ORDER BY url_canon) AS rk
+              FROM s),
+        m AS (SELECT doc_id, url_canon, rk,
+                     max(rk) OVER (PARTITION BY shape) AS n
+              FROM r)
+        SELECT doc_id, url_canon FROM m WHERE n <= 10 OR rk <= 5
+    """
 
 
 def _html_to_text_oracle_sql() -> str:
@@ -2439,6 +2502,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_redact": _pii_oracle_sql(),
         "f_html_to_text": _html_to_text_oracle_sql(),
+        "f_trap_guard": _trap_guard_oracle_sql(),
         "f_blocklist_gate": """
             -- independent restatement of the suffix-match contract:
             -- blocked iff dom3/dom7 anywhere, or sub1 under dom5

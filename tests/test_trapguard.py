@@ -1,0 +1,131 @@
+"""Crawl-trap guard (operators/trapguard.py): shape rule unit cases +
+DuckDB twin parity, trap detection/capping semantics, determinism
+under repartitioning, and the one-exchange plan pin."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from wos_crawler_spark.operators.trapguard import (
+    trap_guard,
+    trap_shapes,
+    url_shape_expr,
+    url_shape_sql,
+)
+
+URLS = [
+    # calendar trap: digit runs collapse
+    "https://cal.example.com/2026/08/19",
+    "https://cal.example.com/2026/08/20",
+    "https://CAL.example.com:8080/1999/01/02",   # case + port fold into host
+    # session-id (hex 8+) collapses to H, shorter digit run to D
+    "https://s.example.com/sess/deadbeef42abc/p7",
+    "https://s.example.com/sess/0123456789abcdef/p8",
+    # 8+ pure digits are hex-eligible -> H (documented ordering)
+    "https://n.example.com/id/12345678",
+    # 7 digits stay a digit run -> D
+    "https://n.example.com/id/1234567",
+    # query values -> V, keys kept
+    "https://q.example.com/s?item=42&page=3",
+    "https://q.example.com/s?item=kettle&page=9",
+    "https://q.example.com/s?other=1",
+]
+
+
+def _shapes_spark(spark):
+    df = spark.createDataFrame([(u,) for u in URLS], "url_canon string")
+    return [
+        r["s"]
+        for r in df.select(url_shape_expr("url_canon").alias("s")).collect()
+    ]
+
+
+def test_shape_rule_cases(spark):
+    got = _shapes_spark(spark)
+    assert got[0] == got[1] == got[2] == "cal.example.com/D/D/D"
+    assert got[3] == got[4] == "s.example.com/sess/H/pD"
+    assert got[5] == "n.example.com/id/H"
+    assert got[6] == "n.example.com/id/D"
+    assert got[7] == got[8] == "q.example.com/s?item=V&page=V"
+    assert got[9] == "q.example.com/s?other=V"
+
+
+def test_shape_duckdb_twin_parity(spark):
+    got = _shapes_spark(spark)
+    con = duckdb.connect()
+    sql = url_shape_sql("u")
+    db = [
+        con.execute(f"SELECT {sql} FROM (SELECT ? AS u)", [u]).fetchone()[0]
+        for u in URLS
+    ]
+    assert db == got
+
+
+def _frontier(spark, partitions=4):
+    rows = []
+    for i in range(40):  # one trap shape: /cal/D/D (40 distinct urls)
+        rows.append((f"https://t.org/cal/{2000 + i}/{i % 12}", i))
+    for i in range(5):  # small shape: /pN (5 distinct)
+        rows.append((f"https://t.org/p{i}", 100 + i))
+    rows.append(("https://t.org/p0", 200))  # duplicate url row
+    return spark.createDataFrame(
+        rows, "url_canon string, meta int"
+    ).repartition(partitions)
+
+
+def test_trap_shapes_counts(spark):
+    stats = {
+        (r["shape"]): (r["n_urls"], r["is_trap"])
+        for r in trap_shapes(_frontier(spark), cap=10).collect()
+    }
+    assert stats["t.org/cal/D/D"] == (40, True)
+    assert stats["t.org/pD"] == (5, False)  # duplicate row counts once
+
+
+def test_trap_guard_caps_and_passes(spark):
+    out = trap_guard(_frontier(spark), cap=10, keep=3)
+    urls = sorted(r["url_canon"] for r in out.collect())
+    # non-trap shape intact, INCLUDING its duplicate row
+    assert sum(u.startswith("https://t.org/p") for u in urls) == 6
+    # trap shape keeps its 3 lexicographically smallest urls
+    kept_cal = [u for u in urls if "/cal/" in u]
+    assert kept_cal == sorted(
+        f"https://t.org/cal/{2000 + i}/{i % 12}" for i in range(40)
+    )[:3]
+    assert out.columns == ["url_canon", "meta"]  # passthrough schema
+
+
+def test_keep_zero_drops_whole_shape(spark):
+    out = trap_guard(_frontier(spark), cap=10, keep=0)
+    assert all("/cal/" not in r["url_canon"] for r in out.collect())
+
+
+def test_keep_default_is_cap_and_bounds(spark):
+    out = trap_guard(_frontier(spark), cap=7)
+    assert sum("/cal/" in r["url_canon"] for r in out.collect()) == 7
+    with pytest.raises(ValueError):
+        trap_guard(_frontier(spark), cap=5, keep=6)
+
+
+def test_partitioning_invariance(spark):
+    a = sorted(
+        (r["url_canon"], r["meta"])
+        for r in trap_guard(_frontier(spark, 1), cap=10, keep=3).collect()
+    )
+    b = sorted(
+        (r["url_canon"], r["meta"])
+        for r in trap_guard(_frontier(spark, 7), cap=10, keep=3).collect()
+    )
+    assert a == b
+
+
+def test_plan_single_exchange(spark):
+    plan = (
+        trap_guard(_frontier(spark), cap=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # both window operators (rank + max) share one shape exchange;
+    # the only other exchange is the fixture's own repartition
+    assert plan.count("Exchange hashpartitioning") == 1
