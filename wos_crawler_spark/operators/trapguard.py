@@ -80,6 +80,22 @@ def url_shape_sql(expr: str) -> str:
     return f"{host} || {tail}"
 
 
+def url_shape_python(url_canon: str) -> str:
+    """Pure-python twin of ``url_shape_expr`` (same patterns — the
+    simulator's crawl twin uses it for fetch-order parity). ASCII
+    urls only, like every other simulator twin."""
+    import re
+
+    u = url_canon.lower()
+    tail = re.sub("^[^:/?#]+://[^/?#]*", "", u)
+    tail = re.sub(_HEX_RUN, "H", tail)
+    tail = re.sub(_DIGIT_RUN, "D", tail)
+    tail = re.sub(_QUERY_VALUE, "=V", tail)
+    m = re.match("^[^:/?#]+://([^/?#]*)", u)
+    host = re.sub(":[0-9]+$", "", m.group(1) if m else "")
+    return host + tail
+
+
 def trap_shapes(
     frontier: DataFrame, cap: int, url_col: str = "url_canon"
 ) -> DataFrame:

@@ -98,6 +98,14 @@ class CrawlConfig:
     #: wildcard patterns (robots.robots_verdict_rfc) — identical
     #: verdicts on wildcard-free rule sets.
     robots_wildcards: bool = False
+    #: Crawl-trap guard (operators/trapguard.py): cap on distinct
+    #: urls per (host, url-shape) per wave, applied to fresh
+    #: candidates after the robots gate and before seen-dedup
+    #: (retries bypass, like F1). None = off (default — the guard
+    #: adds one shape-keyed exchange to the wave when enabled).
+    trap_cap: int | None = None
+    #: kept sample per trap shape (None → trap_cap).
+    trap_keep: int | None = None
     parse: bool = True
     ckpt_dir: str | None = None
     #: Keep each wave's fetched/parsed caches alive so the returned
@@ -368,6 +376,15 @@ def run_wave(
     # per wave instead of two.
     filtered = allowed.filter(~F.col("dont_filter"))
     bypass = allowed.filter(F.col("dont_filter"))
+    if cfg.trap_cap is not None:
+        # F1g: per-(host, shape) explosion cap on FRESH candidates —
+        # retries bypass (they already passed admission once).
+        from wos_crawler_spark.operators.trapguard import trap_guard
+
+        filtered = trap_guard(
+            filtered, cfg.trap_cap, keep=cfg.trap_keep,
+            url_col="url_canon",
+        )
     fresh = dedup_frontier(
         filtered, seen, bloom if cfg.bloom_prefilter else None, intra=False
     )

@@ -98,6 +98,8 @@ def simulate_crawl(
     rows_per_bucket: int = 10_000,
     host_delays: dict[str, float] | None = None,
     robots_wildcards: bool = False,
+    trap_cap: int | None = None,
+    trap_keep: int | None = None,
 ) -> SimResult:
     res = SimResult()
     robots_allows = _robots_allows_rfc if robots_wildcards else _robots_allows
@@ -142,6 +144,34 @@ def simulate_crawl(
         # dedup_intra), so the salt-count pool here keeps intra-wave
         # duplicate copies — S(host) derives from the pre-dedup
         # multiset, mirroring the engine exactly.
+        # F1g trap guard: fresh candidates only (retries bypass, like
+        # F1) — a shape with more than trap_cap distinct canon urls
+        # keeps rows whose canon is among its trap_keep smallest.
+        if trap_cap is not None:
+            from wos_crawler_spark.operators.trapguard import (
+                url_shape_python,
+            )
+
+            keep_n = trap_cap if trap_keep is None else trap_keep
+            by_shape: dict[str, set] = {}
+            for r in allowed:
+                if not r["dont_filter"]:
+                    by_shape.setdefault(
+                        url_shape_python(r["url_canon"]), set()
+                    ).add(r["url_canon"])
+            kept_canons = {
+                s: set(sorted(canons)[:keep_n])
+                for s, canons in by_shape.items()
+                if len(canons) > trap_cap
+            }
+            allowed = [
+                r
+                for r in allowed
+                if r["dont_filter"]
+                or (s := url_shape_python(r["url_canon"])) not in kept_canons
+                or r["url_canon"] in kept_canons[s]
+            ]
+
         pool = []
         for r in allowed:
             if r["dont_filter"] or r["url_hash"] not in res.seen:
