@@ -1340,6 +1340,28 @@ def q_f_trap_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trap_guard(frontier, cap=10, keep=5).select("doc_id", "url_canon")
 
 
+#: BM25 driver-entry queries — vocab words the synth docs contain.
+_BM25_QUERIES = [
+    (0, "table scan fast"),
+    (1, "hash join"),
+    (2, "stream window agg batch"),
+]
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (operators/bm25.py): Okapi BM25 with the
+    Robertson idf, per-term contributions quantized to integer
+    nano-units (floor) so the score sum is order-independent and
+    byte-identical across engines. The oracle recomputes the whole
+    pipeline from scratch in DuckDB — tokenize, tf/df, idf, the same
+    IEEE expression tree, the same floor quantization."""
+    from wos_crawler_spark.operators.bm25 import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = spark.createDataFrame(_BM25_QUERIES, "q_id long, q_text string")
+    return bm25_topk(docs, qs, k=10)
+
+
 def q_f3_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 under full RFC 9309 semantics (robots_verdict_rfc): ``*``
     spans any chars, ``$`` anchors at pattern end, longest pattern
@@ -1626,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_extract_anchor_text": q_f_extract_anchor_text,
         "f_html_to_text": q_f_html_to_text,
         "f_trap_guard": q_f_trap_guard,
+        "text_bm25_topk": q_text_bm25_topk,
         "text_quality_classifier": q_text_quality_classifier,
         "f3_robots_wildcards": q_f3_robots_wildcards,
         "s_sitemap_discovery": q_s_sitemap_discovery,
@@ -1758,6 +1781,78 @@ def _pagerank_oracle_sql(n_iter: int = 5, damping: float = 0.85) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, round(rank, 6) AS rank_r6 FROM r{n_iter}"
     )
+
+
+def _bm25_oracle_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    """From-scratch BM25 recomputation: same tokenization (_WORDS),
+    same IEEE expression tree (python-repr'd literals round-trip to
+    the identical doubles Spark's F.lit ships), same floor-to-nano
+    quantization, BIGINT sum, same tie rule."""
+    qvals = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+    k1p1, one_m_b = repr(k1 + 1.0), repr(1.0 - b)
+    k1r, br = repr(k1), repr(b)
+    return f"""
+        WITH q(q_id, q_text) AS (VALUES {qvals}),
+        qt AS (
+            SELECT DISTINCT CAST(q_id AS BIGINT) AS q_id, term FROM (
+                SELECT q_id, unnest(string_split(trim(regexp_replace(
+                    lower(q_text), '\\s+', ' ', 'g')), ' ')) AS term
+                FROM q
+            ) WHERE term != ''
+        ),
+        dls AS (
+            SELECT doc_id,
+                   len(list_filter(
+                       string_split(trim(regexp_replace(
+                           lower(coalesce(text, '')), '\\s+', ' ', 'g')),
+                           ' '),
+                       w -> w != '')) AS dl
+            FROM documents
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   CAST(sum(dl) AS DOUBLE) AS sum_dl
+            FROM dls
+        ),
+        posts AS (
+            SELECT doc_id, w AS term, count(*) AS tf
+            FROM (SELECT doc_id, unnest({_WORDS}) AS w FROM documents)
+            WHERE w != '' AND w IN (SELECT term FROM qt)
+            GROUP BY doc_id, w
+        ),
+        dft AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+        c AS (
+            SELECT qt.q_id, p.doc_id,
+                   CAST(floor(
+                     ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5)
+                               / (CAST(df AS DOUBLE) + 0.5))
+                     * ((CAST(tf AS DOUBLE) * {k1p1})
+                        / (CAST(tf AS DOUBLE)
+                           + {k1r} * ({one_m_b}
+                                      + {br} * CAST(dl AS DOUBLE)
+                                        / (sum_dl / n_docs))))
+                     * 1000000000.0
+                   ) AS BIGINT) AS c
+            FROM posts p
+            JOIN dft USING (term)
+            JOIN dls USING (doc_id)
+            CROSS JOIN stats
+            JOIN qt USING (term)
+        ),
+        s AS (
+            SELECT q_id, doc_id,
+                   CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(sum(c) AS BIGINT) AS score_nano
+            FROM c GROUP BY q_id, doc_id
+        )
+        SELECT q_id, doc_id, n_terms, score_nano,
+               CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY score_nano DESC, doc_id
+            ) AS rank FROM s
+        ) WHERE rank <= 10
+    """
 
 
 def _trap_guard_oracle_sql() -> str:
@@ -2503,6 +2598,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _pii_oracle_sql(),
         "f_html_to_text": _html_to_text_oracle_sql(),
         "f_trap_guard": _trap_guard_oracle_sql(),
+        "text_bm25_topk": _bm25_oracle_sql(),
         "f_blocklist_gate": """
             -- independent restatement of the suffix-match contract:
             -- blocked iff dom3/dom7 anywhere, or sub1 under dom5

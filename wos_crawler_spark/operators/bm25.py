@@ -1,0 +1,157 @@
+"""BM25 top-k retrieval over the documents corpus — the query-time
+complement of the curation family: decontamination, quality gates and
+dedup decide what ENTERS the corpus; BM25 is how a training-data
+pipeline then FINDS things in it (benchmark-leak forensics: "which
+training docs score highest against this eval question", targeted
+subset mining, nearest-neighbor text retrieval without embeddings).
+Okapi BM25 with the Robertson/Lucene idf variant
+``ln(1 + (N - df + 0.5)/(df + 0.5))`` (Robertson & Zaragoza 2009,
+public formula).
+
+Tokenization is the engine's shared rule (``textdedup.words_of`` ≡
+the oracle ``_WORDS`` spelling); empty tokens are dropped and
+``dl`` counts the non-empty tokens, so empty/whitespace docs have
+dl=0 and can never match.
+
+Determinism protocol (the float-sum trap): a double BM25 score is a
+SUM over matched terms, and summation order differs between Spark's
+partial aggregates and any oracle — same math, different rounding,
+flapping ranks. So each per-(term, doc) contribution — computed by an
+identical IEEE expression tree in both engines from exact integers
+(tf, dl, df, N) — is quantized to integer NANO-units via ``floor(x *
+1e9)`` (floor, not round: round-half rules differ across engines;
+floor of a double is exact in both), and the score is the BIGINT sum
+of those integers: order-independent, overflow-safe (score ≤ ~30
+nano-units · 1e9 per term · terms), and byte-identical across
+engines. Rank ties break on doc_id ascending.
+
+Scale design (10^9-doc corpus, handful-to-10^5 queries): the corpus
+side is filtered to QUERY TERMS before any aggregation — explode →
+broadcast semi-join on the distinct query-term set → tf groupBy —
+so the only full-corpus exchange carries (doc, query-term) pairs,
+never the whole postings list; df for a query term is derived from
+that same filtered set (count of docs carrying it), so no
+full-vocabulary shuffle ever happens. Doc lengths ride the same scan
+map-side. The final top-k window partitions by q_id; its input is
+already collapsed to (q_id, doc) scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from wos_crawler_spark.operators.textdedup import words_of
+
+#: fixed-point quantum for per-term contributions (nano-nats).
+_QUANTUM = 1_000_000_000.0
+
+
+def corpus_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, term, tf)`` — term frequencies per doc, empty
+    tokens dropped. Exposed for tests/reuse; ``bm25_topk`` inlines a
+    query-term-filtered variant so the full postings list is never
+    shuffled."""
+    w = F.explode(words_of(F.col(text_col))).alias("term")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), w)
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_lengths(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, dl)`` — non-empty token count per doc (0 for
+    NULL/empty text). Map-side only."""
+    ws = words_of(F.coalesce(F.col(text_col), F.lit("")))
+    dl = F.size(F.filter(ws, lambda x: x != ""))
+    return docs.select(F.col(id_col).alias("doc_id"), dl.alias("dl"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    q_id_col: str = "q_id",
+    q_text_col: str = "q_text",
+) -> DataFrame:
+    """``(q_id, doc_id, n_terms, score_nano, rank)`` — top-k docs per
+    query by quantized BM25 (see module docstring). Query term
+    multiplicity is ignored (distinct query terms — the common
+    qtf-free Okapi form). Queries are assumed broadcast-scale
+    (anything up to ~10^5 rows of short text)."""
+    # distinct query terms (broadcast twice: semi-join + score join)
+    qterms = (
+        queries.select(
+            F.col(q_id_col).alias("q_id"),
+            F.explode(words_of(F.col(q_text_col))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    term_set = qterms.select("term").distinct()
+
+    # corpus stats: N over ALL docs, avgdl = sum(dl)/N — one map-side
+    # scan + a 1-row aggregate, broadcast back via crossJoin.
+    dls = doc_lengths(docs, id_col, text_col)
+    stats = dls.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+
+    # postings restricted to query terms BEFORE the tf aggregation:
+    # the groupBy exchange carries only (doc, query-term) pairs.
+    hits = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(words_of(F.col(text_col))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .join(F.broadcast(term_set), "term", "left_semi")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # df per (query) term from the SAME filtered set
+    df_t = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored_terms = (
+        hits.join(F.broadcast(df_t), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qterms), "term")
+    )
+    n = F.col("n_docs").cast("double")
+    dfc = F.col("df").cast("double")
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n
+    idf = F.ln(F.lit(1.0) + (n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
+    tfpart = (tf * F.lit(k1 + 1.0)) / (
+        tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl)
+    )
+    contrib = F.floor(idf * tfpart * F.lit(_QUANTUM)).cast("long")
+
+    scores = (
+        scored_terms.select("q_id", "doc_id", contrib.alias("c"))
+        .groupBy("q_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("c").alias("score_nano"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score_nano"), F.asc("doc_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "doc_id", "n_terms", "score_nano", "rank")
+    )
