@@ -1362,6 +1362,21 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, qs, k=10)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): concat-and-chunk
+    manifest over whitespace token counts, block 512, EOS sep 1. The
+    engine runs the two-phase distributed prefix sum; the oracle
+    states the invariant directly — a single-node cumsum over doc_id
+    order must reproduce the manifest exactly (all-integer)."""
+    from wos_crawler_spark.operators.packing import pack_manifest
+    from wos_crawler_spark.operators.textquality import token_count_ws
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    return pack_manifest(docs, 512, sep_tokens=1)
+
+
 def q_f3_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 under full RFC 9309 semantics (robots_verdict_rfc): ``*``
     spans any chars, ``$`` anchors at pattern end, longest pattern
@@ -1649,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_html_to_text": q_f_html_to_text,
         "f_trap_guard": q_f_trap_guard,
         "text_bm25_topk": q_text_bm25_topk,
+        "pack_sequences": q_pack_sequences,
         "text_quality_classifier": q_text_quality_classifier,
         "f3_robots_wildcards": q_f3_robots_wildcards,
         "s_sitemap_discovery": q_s_sitemap_discovery,
@@ -2599,6 +2615,38 @@ def oracle_sql() -> dict[str, str]:
         "f_html_to_text": _html_to_text_oracle_sql(),
         "f_trap_guard": _trap_guard_oracle_sql(),
         "text_bm25_topk": _bm25_oracle_sql(),
+        "pack_sequences": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN {_NORM} IS NULL OR {_NORM} = ''
+                            THEN 0 ELSE len({_WORDS}) END AS n
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, n + 1 AS L,
+                       -- DuckDB window sum over BIGINT widens to
+                       -- HUGEINT; pin back to BIGINT (Spark long)
+                       CAST(sum(n + 1) OVER (
+                         ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+                       ) AS BIGINT) AS g_end
+                FROM toks WHERE n > 0
+            ),
+            e AS (SELECT doc_id, g_end, g_end - L AS g_start FROM g),
+            x AS (
+                SELECT doc_id, g_start, g_end,
+                       unnest(generate_series(
+                         g_start // 512, (g_end - 1) // 512)) AS block_id
+                FROM e
+            )
+            SELECT doc_id, block_id,
+                   greatest(g_start, block_id * 512) - g_start
+                       AS doc_offset,
+                   greatest(g_start, block_id * 512) - block_id * 512
+                       AS block_offset,
+                   least(g_end, (block_id + 1) * 512)
+                       - greatest(g_start, block_id * 512) AS piece_len
+            FROM x
+        """,
         "f_blocklist_gate": """
             -- independent restatement of the suffix-match contract:
             -- blocked iff dom3/dom7 anywhere, or sub1 under dom5

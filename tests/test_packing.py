@@ -1,0 +1,96 @@
+"""Sequence packing (operators/packing.py): manifest semantics vs a
+python twin, the full-blocks invariant, partition-count independence
+(the distributed prefix sum must equal a single-node cumsum), and
+block assembly with separator slots."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wos_crawler_spark.operators.packing import (
+    gather_blocks,
+    pack_manifest,
+    pack_stats,
+)
+
+DOCS = [(1, 5), (2, 3), (3, 9), (4, 1), (5, 0), (6, None), (7, 4)]
+B = 8
+SEP = 1
+
+
+def _manifest_python(docs, block_size, sep):
+    out = []
+    end = 0
+    for d, n in sorted(docs):
+        if n is None or n <= 0:
+            continue
+        L = n + sep
+        start, end = end, end + L
+        for blk in range(start // block_size, (end - 1) // block_size + 1):
+            ps = max(start, blk * block_size)
+            pe = min(end, (blk + 1) * block_size)
+            out.append((d, blk, ps - start, ps - blk * block_size, pe - ps))
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, n_tokens long")
+
+
+def test_manifest_matches_python_twin(spark, docs_df):
+    got = sorted(
+        map(tuple, pack_manifest(docs_df, B, sep_tokens=SEP).collect())
+    )
+    assert got == _manifest_python(DOCS, B, SEP)
+
+
+def test_zero_and_null_docs_dropped(spark, docs_df):
+    ids = {r["doc_id"] for r in pack_manifest(docs_df, B).collect()}
+    assert 5 not in ids and 6 not in ids
+
+
+def test_partition_count_independence(spark, docs_df):
+    a = sorted(map(tuple, pack_manifest(
+        docs_df, B, sep_tokens=SEP, num_partitions=1).collect()))
+    b = sorted(map(tuple, pack_manifest(
+        docs_df.repartition(5), B, sep_tokens=SEP,
+        num_partitions=7).collect()))
+    assert a == b
+
+
+def test_full_blocks_invariant(spark):
+    # 300 docs, varied lengths: every non-last block exactly full
+    rows = [(i, 1 + (i * 7) % 23) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    m = pack_manifest(docs, 64, sep_tokens=1, num_partitions=8)
+    stats = pack_stats(m, 64).collect()[0]
+    total = sum(n + 1 for _, n in rows)
+    assert stats["non_last_fill_defect"] == 0
+    assert stats["n_blocks"] == (total + 63) // 64
+    assert stats["fill_last"] == total - (stats["n_blocks"] - 1) * 64
+    # straddling docs appear in exactly their covered blocks
+    per_doc = m.groupBy("doc_id").agg(
+        F.sum("piece_len").alias("s")).collect()
+    assert all(r["s"] == dict(rows)[r["doc_id"]] + 1 for r in per_doc)
+
+
+def test_gather_blocks_with_separator_slots(spark):
+    docs = spark.createDataFrame(
+        [(1, [10, 11, 12]), (2, [20, 21]), (3, [30, 31, 32, 33])],
+        "doc_id long, tokens array<bigint>",
+    )
+    counted = docs.withColumn("n_tokens", F.size("tokens"))
+    m = pack_manifest(counted, 4, sep_tokens=1)
+    blocks = {
+        r["block_id"]: r["tokens"]
+        for r in gather_blocks(m, docs).collect()
+    }
+    # stream: 10 11 12 ∅ | 20 21 ∅ 30 | 31 32 33 ∅   (∅ = separator)
+    assert blocks[0] == [10, 11, 12, None]
+    assert blocks[1] == [20, 21, None, 30]
+    assert blocks[2] == [31, 32, 33, None]
+
+
+def test_block_size_validation(spark, docs_df):
+    with pytest.raises(ValueError):
+        pack_manifest(docs_df, 0)

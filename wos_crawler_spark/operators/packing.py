@@ -1,0 +1,171 @@
+"""Sequence packing — the training-batch construction step between a
+curated corpus and a pretraining run: concatenate documents in a
+deterministic order (with a separator token after each, the EOS
+convention) and slice the stream into fixed ``block_size`` context
+windows. This is the standard "concat and chunk" recipe (GPT-2 /
+The Pile preprocessing; docs straddle block boundaries rather than
+padding), emitted here as a *manifest* — (doc, block, offsets, length)
+pieces — because the engine deals in token COUNTS, not token ids; any
+tokenizer's ids can be gathered with the manifest afterwards
+(``gather_blocks`` does it for an array column).
+
+Semantics (pinned):
+
+- packing order is ascending ``id_col`` (total order; ids unique);
+- each doc contributes ``n_tokens + sep_tokens`` to the stream
+  (separator AFTER every doc, last included — Pile-style EOS);
+- docs with ``n_tokens <= 0`` (or NULL) are dropped — a phantom
+  separator for an empty doc would shift every later block;
+- a doc occupies the half-open global interval [end - L, end) where
+  ``end`` is the running sum of L in packing order; its pieces are
+  the intersections with block intervals [b·B, (b+1)·B);
+- the last block is PARTIAL (fill < B) unless the stream length is a
+  multiple of B — callers drop or pad it (``pack_stats`` reports it).
+
+Scale design (10^9-doc corpus): the naive plan — one global
+``Window.orderBy(id)`` cumsum — serializes the whole corpus through a
+SINGLE partition (Spark demotes an unpartitioned ordered window to
+one task). Instead the classic two-phase distributed prefix sum:
+range-repartition on id (ordered partitions), per-partition running
+sum via a window keyed on ``spark_partition_id()``, plus a
+#partitions-row offsets table (broadcast) — the result is provably
+independent of where the range boundaries land, so the sampled
+RangePartitioner cannot perturb the output. Rows carried through the
+exchanges are (id, L) manifest stubs, never text. The DuckDB oracle
+states the INVARIANT directly: a plain single-node
+``sum() OVER (ORDER BY id)`` cumsum must reproduce the distributed
+result exactly (all-integer arithmetic — no float anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_manifest(
+    docs: DataFrame,
+    block_size: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    sep_tokens: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``(doc_id, block_id, doc_offset, block_offset, piece_len)`` —
+    one row per (doc, block) intersection, the packing manifest."""
+    if block_size <= 0:
+        raise ValueError(f"block_size must be positive, got {block_size}")
+    bsz = F.lit(block_size).cast("long")
+    d = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("L", F.col("n_tokens") + F.lit(sep_tokens).cast("long"))
+    )
+    parts = num_partitions or d.sparkSession.sparkContext.defaultParallelism
+    ranged = d.repartitionByRange(parts, F.col("doc_id")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("pid").orderBy("doc_id")
+    local = ranged.withColumn("local_end", F.sum("L").over(w_local))
+    # per-partition totals → exclusive prefix offsets: #partitions
+    # rows, so the unpartitioned ordered window here is driver-scale
+    # by construction, and the join back is a broadcast.
+    totals = local.groupBy("pid").agg(F.sum("L").alias("ptot"))
+    w_off = (
+        Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "pid", F.coalesce(F.sum("ptot").over(w_off), F.lit(0)).alias("poff")
+    )
+    g = local.join(F.broadcast(offsets), "pid").select(
+        "doc_id",
+        "L",
+        (F.col("local_end") + F.col("poff")).alias("g_end"),
+    )
+    g = g.withColumn("g_start", F.col("g_end") - F.col("L"))
+    # DIV: exact integral division (a `/` would detour through DOUBLE
+    # and silently lose exactness past 2^53 global tokens).
+    blocks = F.sequence(
+        F.expr(f"g_start DIV {block_size}"),
+        F.expr(f"(g_end - 1) DIV {block_size}"),
+    )
+    e = g.select(
+        "doc_id", "g_start", "g_end", F.explode(blocks).alias("block_id")
+    )
+    p_start = F.greatest(F.col("g_start"), F.col("block_id") * bsz)
+    p_end = F.least(F.col("g_end"), (F.col("block_id") + 1) * bsz)
+    return e.select(
+        "doc_id",
+        "block_id",
+        (p_start - F.col("g_start")).alias("doc_offset"),
+        (p_start - F.col("block_id") * bsz).alias("block_offset"),
+        (p_end - p_start).alias("piece_len"),
+    )
+
+
+def pack_stats(manifest: DataFrame, block_size: int) -> DataFrame:
+    """``(n_blocks, non_last_fill_defect, fill_last)`` — one row;
+    every non-last block must be exactly full (defect 0 is the
+    packing invariant), only the last may be partial."""
+    per_block = manifest.groupBy("block_id").agg(
+        F.sum("piece_len").alias("fill")
+    )
+    last = per_block.agg(F.max("block_id").alias("m"))
+    return (
+        per_block.crossJoin(F.broadcast(last))
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(
+                F.when(F.col("block_id") != F.col("m"), F.col("fill") - block_size)
+                .otherwise(0)
+                .cast("long")
+            ).alias("non_last_fill_defect"),
+            F.max(
+                F.when(F.col("block_id") == F.col("m"), F.col("fill"))
+            ).alias("fill_last"),
+        )
+    )
+
+
+def gather_blocks(
+    manifest: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_arr_col: str = "tokens",
+) -> DataFrame:
+    """Demo assembly: given docs carrying an ``array`` token column,
+    gather each block's token sequence per the manifest — slice each
+    piece map-side, then ONE groupBy(block_id) with pieces ordered by
+    block_offset. The separator position (the slot past each doc's
+    last token) is emitted as NULL for the caller's EOS id."""
+    pieces = manifest.join(docs.select(F.col(id_col).alias("doc_id"),
+                                       F.col(tokens_arr_col).alias("_toks")),
+                           "doc_id")
+    # a piece may cover the separator slot, which lies one past the
+    # doc's tokens: F.get returns NULL out of bounds (element_at
+    # would RAISE under Spark 4's default ANSI mode).
+    sl = F.transform(
+        F.sequence(
+            F.col("doc_offset"),
+            F.col("doc_offset") + F.col("piece_len") - 1,
+        ),
+        lambda i: F.get(F.col("_toks"), i.cast("int")),
+    )
+    return (
+        pieces.select("block_id", "block_offset", sl.alias("piece"))
+        .groupBy("block_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("block_offset", "piece"))
+                    ),
+                    lambda s: s["piece"],
+                )
+            ).alias("tokens")
+        )
+    )
