@@ -1377,6 +1377,20 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_manifest(docs, 512, sep_tokens=1)
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py): target = every
+    19th doc (the decontam benchmark slice convention), raw = the
+    whole corpus; hashed unigram+bigram log-ratio weights,
+    Gumbel-top-50 on the nano-quantized key. The oracle recomputes
+    everything from scratch in DuckDB — features, md5 buckets,
+    Laplace log-ratios, the md5 Gumbel, same floor quantization."""
+    from wos_crawler_spark.operators.dsir import dsir_resample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 19 == 3)
+    return dsir_resample(docs, target, k=50, n_buckets=4096)
+
+
 def q_f3_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 under full RFC 9309 semantics (robots_verdict_rfc): ``*``
     spans any chars, ``$`` anchors at pattern end, longest pattern
@@ -1665,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_trap_guard": q_f_trap_guard,
         "text_bm25_topk": q_text_bm25_topk,
         "pack_sequences": q_pack_sequences,
+        "dsir_select": q_dsir_select,
         "text_quality_classifier": q_text_quality_classifier,
         "f3_robots_wildcards": q_f3_robots_wildcards,
         "s_sitemap_discovery": q_s_sitemap_discovery,
@@ -1868,6 +1883,68 @@ def _bm25_oracle_sql(k1: float = 1.2, b: float = 0.75) -> str:
                 PARTITION BY q_id ORDER BY score_nano DESC, doc_id
             ) AS rank FROM s
         ) WHERE rank <= 10
+    """
+
+
+def _dsir_oracle_sql(k: int = 50, m: int = 4096, salt: str = "dsir") -> str:
+    """From-scratch DSIR recomputation: same features/buckets as the
+    classifier oracle (+ the empty-feature drop), same left-assoc ln
+    chain, same md5 Gumbel, same floor-to-nano quantization."""
+    bigrams = (
+        "[ws[i] || ' ' || ws[i+1]"
+        " FOR i IN range(1, greatest(len(ws)-1, 0)+1)]"
+    )
+
+    def feats(where: str) -> str:
+        return f"""(
+            SELECT doc_id,
+                   ('0x' || substr(md5(f), 1, 8))::BIGINT % {m} AS bucket
+            FROM (
+                SELECT doc_id, unnest(list_concat(ws, {bigrams})) AS f
+                FROM (SELECT doc_id, {_WORDS} AS ws FROM documents
+                      WHERE text IS NOT NULL {where})
+            ) WHERE f != ''
+        )"""
+
+    return f"""
+        WITH b_raw AS (SELECT * FROM {feats("")}),
+        b_t AS (SELECT * FROM {feats("AND doc_id % 19 = 3")}),
+        cr AS (SELECT bucket, count(*)::BIGINT AS c_r
+               FROM b_raw GROUP BY bucket),
+        ct AS (SELECT bucket, count(*)::BIGINT AS c_t
+               FROM b_t GROUP BY bucket),
+        tot AS (SELECT (SELECT sum(c_r) FROM cr)::BIGINT AS n_r,
+                       (SELECT coalesce(sum(c_t), 0) FROM ct)::BIGINT
+                           AS n_t),
+        wts AS (
+            SELECT bucket,
+                   CAST(floor((
+                     ln(CAST(coalesce(c_t, 0) + 1 AS DOUBLE))
+                     - ln(CAST(n_t AS DOUBLE) + {float(m)!r})
+                     - ln(CAST(c_r + 1 AS DOUBLE))
+                     + ln(CAST(n_r AS DOUBLE) + {float(m)!r})
+                   ) * 1000000000.0) AS BIGINT) AS w_nano
+            FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tot
+        ),
+        s AS (
+            SELECT doc_id, count(*)::BIGINT AS n_feat,
+                   sum(w_nano)::BIGINT AS logw_nano
+            FROM b_raw JOIN wts USING (bucket) GROUP BY doc_id
+        ),
+        g AS (
+            SELECT doc_id, n_feat, logw_nano,
+                   logw_nano + CAST(floor(
+                     -ln(-ln((CAST(('0x' || substr(md5(
+                         doc_id::VARCHAR || '{salt}'), 1, 8))::BIGINT
+                       AS DOUBLE) + 0.5) / 4294967296.0))
+                     * 1000000000.0) AS BIGINT) AS key_nano
+            FROM s
+        )
+        SELECT doc_id, n_feat, logw_nano, key_nano,
+               CAST(rank AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (
+                ORDER BY key_nano DESC, doc_id) AS rank FROM g)
+        WHERE rank <= {k}
     """
 
 
@@ -2614,6 +2691,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _pii_oracle_sql(),
         "f_html_to_text": _html_to_text_oracle_sql(),
         "f_trap_guard": _trap_guard_oracle_sql(),
+        "dsir_select": _dsir_oracle_sql(),
         "text_bm25_topk": _bm25_oracle_sql(),
         "pack_sequences": f"""
             WITH toks AS (

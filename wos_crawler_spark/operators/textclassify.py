@@ -79,19 +79,27 @@ def classifier_features(
     text_col: str = "text",
     n_buckets: int = DEFAULT_BUCKETS,
     digest: str = "md5",
+    drop_empty: bool = False,
 ) -> DataFrame:
     """``(id, bucket)`` — one row per feature OCCURRENCE (unigrams +
     bigrams). Chained projections so the bigram lambda only captures a
     materialized word array; the explode never leaves the source
-    row's partition (map-side)."""
+    row's partition (map-side).
+
+    ``drop_empty``: an empty/whitespace doc tokenizes to ``['']`` and
+    would emit ONE phantom ``''`` feature (non-empty docs never yield
+    empty tokens after whitespace collapse). The classifier keeps it
+    (its pinned oracle scores empty docs by that bucket); DSIR drops
+    it so empty docs have no features and can never be selected."""
     w = df.select(F.col(id_col), words_of(F.col(text_col)).alias("_w"))
     feats = w.select(
         F.col(id_col),
         F.concat(F.col("_w"), bigrams_of(F.col("_w"))).alias("_f"),
     )
-    return feats.select(
-        F.col(id_col), F.explode("_f").alias("_feat")
-    ).select(
+    exploded = feats.select(F.col(id_col), F.explode("_f").alias("_feat"))
+    if drop_empty:
+        exploded = exploded.filter(F.col("_feat") != "")
+    return exploded.select(
         F.col(id_col),
         feature_bucket(F.col("_feat"), n_buckets, digest).alias("bucket"),
     )
