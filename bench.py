@@ -54,6 +54,10 @@ ENTRY_QUERIES = [
     "f_extract_links",
     "text_quality_classifier",
     "sim_semdedup",
+    "f_html_to_text",
+    "text_bm25_topk",
+    "pack_sequences",
+    "dsir_select",
 ]
 
 

@@ -108,25 +108,33 @@ def bm25_topk(
     )
 
     # postings restricted to query terms BEFORE the tf aggregation:
-    # the groupBy exchange carries only (doc, query-term) pairs.
+    # the groupBy exchange carries only (doc, query-term) pairs. dl
+    # rides the exploded rows into the groupBy key (constant per doc,
+    # so cardinality is unchanged) — carrying it is one long per row
+    # and saves a corpus-wide doc_id join (two exchanges) against a
+    # separate doc-lengths table.
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        words_of(F.coalesce(F.col(text_col), F.lit(""))).alias("_w"),
+    ).withColumn("dl", F.size(F.filter(F.col("_w"), lambda x: x != "")))
     hits = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(words_of(F.col(text_col))).alias("term"),
-        )
+        base.select("doc_id", "dl", F.explode("_w").alias("term"))
         .filter(F.col("term") != "")
         .join(F.broadcast(term_set), "term", "left_semi")
-        .groupBy("doc_id", "term")
+        .groupBy("doc_id", "term", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # df per (query) term from the SAME filtered set
-    df_t = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df per (query) term as a WINDOW over the same hits — a
+    # groupBy(term) + join-back would re-evaluate the whole corpus
+    # explode subtree a second time (no cache, and exchange reuse is
+    # a runtime courtesy, not a plan guarantee); the window costs one
+    # exchange of the already-small (doc, query-term) set instead.
+    hits = hits.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
 
-    scored_terms = (
-        hits.join(F.broadcast(df_t), "term")
-        .join(dls, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .join(F.broadcast(qterms), "term")
+    scored_terms = hits.crossJoin(F.broadcast(stats)).join(
+        F.broadcast(qterms), "term"
     )
     n = F.col("n_docs").cast("double")
     dfc = F.col("df").cast("double")
