@@ -143,6 +143,37 @@ def test_partitioning_invariance(spark, frames):
     assert a == b
 
 
+def test_arrow_twins_bit_equal(spark, frames):
+    """The Arrow counting/scoring passes reproduce the expr flavor
+    exactly — counts, weights, and the full resample."""
+    from wos_crawler_spark.operators.dsir import (
+        bucket_counts_arrow,
+        dsir_scores_arrow,
+    )
+
+    raw, target = frames
+    ce = sorted(map(tuple, bucket_counts(raw, n_buckets=M).collect()))
+    ca = sorted(map(tuple, bucket_counts_arrow(raw, n_buckets=M).collect()))
+    assert ca == ce
+
+    we = sorted(map(tuple, dsir_log_weights(
+        target, raw, n_buckets=M).collect()))
+    wa = sorted(map(tuple, dsir_log_weights(
+        target, raw, n_buckets=M, use_arrow=True).collect()))
+    assert wa == we
+
+    w = dsir_log_weights(target, raw, n_buckets=M)
+    se = sorted(map(tuple, dsir_scores(raw, w, n_buckets=M).collect()))
+    sa = sorted(map(tuple, dsir_scores_arrow(raw, w, n_buckets=M).collect()))
+    assert sa == se
+
+    re_ = sorted(map(tuple, dsir_resample(
+        raw, target, k=15, n_buckets=M).collect()))
+    ra = sorted(map(tuple, dsir_resample(
+        raw, target, k=15, n_buckets=M, use_arrow=True).collect()))
+    assert ra == re_
+
+
 def test_weights_cover_exactly_raw_buckets(spark, frames):
     raw, target = frames
     w = dsir_log_weights(target, raw, n_buckets=M)

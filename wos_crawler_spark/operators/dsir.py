@@ -68,6 +68,56 @@ def bucket_counts(
     )
 
 
+def bucket_counts_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Arrow twin of ``bucket_counts`` (md5 flavor): one mapInPandas
+    pass emits per-batch ``np.bincount`` partials — ≤ n_buckets rows
+    per batch — and a tiny groupBy folds them. The interpreted bigram
+    HOF never runs; counts are pinned bit-equal to the expr flavor
+    (tests). Same Java-\\s / strip(" ") / first-4-md5-bytes traps as
+    ``classifier_score``; empty docs contribute nothing (the DSIR
+    drop_empty convention)."""
+    nb = int(n_buckets)
+
+    def _count(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        acc = np.zeros(nb, dtype=np.int64)
+        for pdf in batches:
+            for t in pdf[text_col]:
+                if not isinstance(t, str):
+                    continue
+                toks = [
+                    w
+                    for w in ws.sub(" ", t.lower()).strip(" ").split(" ")
+                    if w
+                ]
+                for f in toks + [
+                    toks[j] + " " + toks[j + 1]
+                    for j in range(len(toks) - 1)
+                ]:
+                    acc[
+                        int.from_bytes(
+                            hashlib.md5(f.encode("utf-8")).digest()[:4],
+                            "big",
+                        )
+                        % nb
+                    ] += 1
+        nz = np.nonzero(acc)[0]
+        yield pd.DataFrame({"bucket": nz.astype("int64"), "c": acc[nz]})
+
+    partials = df.mapInPandas(_count, "bucket long, c long")
+    return partials.groupBy("bucket").agg(F.sum("c").alias("c"))
+
+
 def dsir_log_weights(
     target: DataFrame,
     raw: DataFrame,
@@ -75,12 +125,21 @@ def dsir_log_weights(
     text_col: str = "text",
     n_buckets: int = 4096,
     digest: str = "md5",
+    use_arrow: bool = False,
 ) -> DataFrame:
     """``(bucket, w_nano)`` — floor-quantized per-bucket log-ratio
     weights for every bucket OBSERVED IN RAW (only those can score a
-    raw doc; target-only buckets contribute nothing to any raw doc)."""
-    ct = bucket_counts(target, id_col, text_col, n_buckets, digest)
-    cr = bucket_counts(raw, id_col, text_col, n_buckets, digest)
+    raw doc; target-only buckets contribute nothing to any raw doc).
+    ``use_arrow`` swaps the counting passes for the vectorized
+    mapInPandas twin (md5 only; counts pinned bit-equal)."""
+    if use_arrow:
+        if digest != "md5":
+            raise ValueError("use_arrow supports the md5 digest only")
+        ct = bucket_counts_arrow(target, text_col, n_buckets)
+        cr = bucket_counts_arrow(raw, text_col, n_buckets)
+    else:
+        ct = bucket_counts(target, id_col, text_col, n_buckets, digest)
+        cr = bucket_counts(raw, id_col, text_col, n_buckets, digest)
     tot_t = ct.agg(F.sum("c").alias("n_t"))
     tot_r = cr.agg(F.sum("c").alias("n_r"))
     j = (
@@ -126,6 +185,38 @@ def dsir_scores(
     )
 
 
+def dsir_scores_arrow(
+    raw: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Arrow twin of ``dsir_scores``: densify the ≤ n_buckets weight
+    table (``weights_from_table`` — driver-scale model loading with
+    the out-of-range guard) and score in ONE ``classifier_score``
+    pass — zero shuffles, zero joins, the corpus text never leaves
+    its partition. Bit-equal to the expr flavor: every raw-observed
+    bucket is in the weight table by construction, and the unmapped
+    zeros are never consulted."""
+    from wos_crawler_spark.operators.textclassify import (
+        classifier_score,
+        weights_from_table,
+    )
+
+    wvec = weights_from_table(
+        weights.withColumnRenamed("w_nano", "weight"), n_buckets
+    )
+    scored = classifier_score(
+        raw, wvec, id_col, text_col, n_buckets, drop_empty=True
+    )
+    return scored.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("n_feat"),
+        F.col("w_sum").alias("logw_nano"),
+    )
+
+
 def gumbel_nano(key: Column, salt: str = "dsir") -> Column:
     """Floor-quantized Gumbel draw from the deterministic md5 uniform:
     u = (md5_32(key||salt) + 0.5) / 2^32, g = −ln(−ln(u))."""
@@ -144,13 +235,24 @@ def dsir_resample(
     n_buckets: int = 4096,
     digest: str = "md5",
     salt: str = "dsir",
+    use_arrow: bool = False,
 ) -> DataFrame:
     """``(doc_id, n_feat, logw_nano, key_nano, rank)`` — the k
     selected docs, Gumbel-top-k on the quantized importance weight
     (ties on doc_id). orderBy+limit → TakeOrderedAndProject, never a
-    one-partition window."""
-    w = dsir_log_weights(target, raw, id_col, text_col, n_buckets, digest)
-    scored = dsir_scores(raw, w, id_col, text_col, n_buckets, digest)
+    one-partition window. ``use_arrow`` (md5 only) swaps both the
+    counting and the scoring corpus passes for the vectorized
+    mapInPandas twins — the scale choice, since the expr flavor pays
+    the interpreted bigram HOF three times over the corpus; expr
+    stays the default because the oracle pins it (outputs are
+    bit-equal, test-pinned)."""
+    w = dsir_log_weights(
+        target, raw, id_col, text_col, n_buckets, digest, use_arrow
+    )
+    if use_arrow:
+        scored = dsir_scores_arrow(raw, w, id_col, text_col, n_buckets)
+    else:
+        scored = dsir_scores(raw, w, id_col, text_col, n_buckets, digest)
     keyed = scored.withColumn(
         "key_nano", F.col("logw_nano") + gumbel_nano(F.col("doc_id"), salt)
     )

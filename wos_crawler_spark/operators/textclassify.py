@@ -149,6 +149,7 @@ def classifier_score(
     text_col: str = "text",
     n_buckets: int | None = None,
     threshold_milli: int = 0,
+    drop_empty: bool = False,
 ) -> DataFrame:
     """Arrow scale path: annotate ``df`` in place with ``w_sum,
     n_feat, clf_keep, clf_score`` — zero shuffles, zero joins. md5
@@ -156,6 +157,9 @@ def classifier_score(
     normalization (NOT python's unicode \\s), ``strip(" ")`` (Spark
     trim strips spaces only), first-4-md5-bytes big-endian ==
     conv(hex[0:8]). NULL-text rows are dropped (expr-flavor parity).
+    ``drop_empty`` mirrors ``classifier_features(drop_empty=True)``:
+    empty/whitespace docs (whose only feature would be the phantom
+    ``''``) are dropped from the output instead of scored.
     """
     import numpy as np
 
@@ -184,6 +188,8 @@ def classifier_score(
 
         def _feats(t: str) -> list[str]:
             toks = ws.sub(" ", t.lower()).strip(" ").split(" ")
+            if drop_empty:
+                toks = [w for w in toks if w]
             return toks + [
                 toks[j] + " " + toks[j + 1] for j in range(len(toks) - 1)
             ]
@@ -197,6 +203,8 @@ def classifier_score(
                 if not isinstance(t, str):
                     continue
                 fs = _feats(t)
+                if not fs:
+                    continue
                 bks = np.fromiter(
                     (
                         int.from_bytes(
