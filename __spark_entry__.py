@@ -1383,12 +1383,15 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole corpus; hashed unigram+bigram log-ratio weights,
     Gumbel-top-50 on the nano-quantized key. The oracle recomputes
     everything from scratch in DuckDB — features, md5 buckets,
-    Laplace log-ratios, the md5 Gumbel, same floor quantization."""
+    Laplace log-ratios, the md5 Gumbel, same floor quantization.
+    Runs the Arrow scale path (use_arrow=True): it is test-pinned
+    bit-equal to the expr flavor the oracle mirrors, so the hash
+    comparison still certifies both."""
     from wos_crawler_spark.operators.dsir import dsir_resample
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     target = docs.filter(F.col("doc_id") % 19 == 3)
-    return dsir_resample(docs, target, k=50, n_buckets=4096)
+    return dsir_resample(docs, target, k=50, n_buckets=4096, use_arrow=True)
 
 
 def q_f3_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
