@@ -494,6 +494,37 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(combo)
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (Lee et al. 2022 ExactSubstr as
+    hash-rank-merge; operators/textdedup.py). Same combo fixture as
+    dedup_paragraphs (doc ++ successor doc) so every interior text's
+    15-token windows appear in two combo docs; the manifest removes
+    each later occurrence and merges windows into maximal intervals.
+    Runs the Arrow window-hash twin (test-pinned bit-equal to the
+    expr flavor the oracle recomputes from scratch)."""
+    from pyspark.sql.window import Window
+
+    from wos_crawler_spark.operators.textdedup import span_dedup_manifest
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = Window.orderBy("doc_id")
+    combo = (
+        docs.select(
+            "doc_id",
+            F.lead("text", 1).over(w).alias("_nxt"),
+            "text",
+        )
+        .filter(F.col("_nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "text", "_nxt").alias("text"))
+    )
+    return span_dedup_manifest(combo, span_len=15, use_arrow=True).select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-shingle Jaccard near-dup pairs, blocked by source."""
     from wos_crawler_spark.operators.textdedup import ngram_jaccard_pairs
@@ -1662,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "dedup_spans": q_dedup_spans,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
@@ -2395,6 +2427,54 @@ def oracle_sql() -> dict[str, str]:
                      AS n_paras_kept,
                    coalesce(k.dedup_text, '') AS dedup_text
             FROM combo c LEFT JOIN k USING (doc_id)
+        """,
+        "dedup_spans": f"""
+            -- ExactSubstr manifest recomputed from scratch: same
+            -- combo fixture, same norm/tokenize rule, md5 of every
+            -- 15-token window, keep-first rank, interval union.
+            WITH combo AS (
+                SELECT doc_id,
+                       text || ' ' || lead(text) OVER (ORDER BY doc_id)
+                         AS text
+                FROM documents
+                QUALIFY lead(text) OVER (ORDER BY doc_id) IS NOT NULL
+            ), w AS (
+                SELECT doc_id, {_WORDS} AS w FROM combo
+            ), s AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(w[i : i + 14], ' ')) AS h
+                FROM w, unnest(generate_series(1, len(w) - 14)) AS t(i)
+                WHERE len(w) >= 15
+            ), r AS (
+                SELECT doc_id, pos, row_number() OVER (
+                           PARTITION BY h ORDER BY doc_id, pos) AS rn
+                FROM s
+            ), rem AS (
+                SELECT doc_id, pos AS st, pos + 15 AS en
+                FROM r WHERE rn > 1
+            ), g AS (
+                SELECT doc_id, st, en,
+                       CASE WHEN max(en) OVER (
+                                PARTITION BY doc_id ORDER BY st
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) IS NULL
+                              OR st > max(en) OVER (
+                                PARTITION BY doc_id ORDER BY st
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING)
+                            THEN 1 ELSE 0 END AS ng
+                FROM rem
+            ), g2 AS (
+                SELECT doc_id, st, en,
+                       sum(ng) OVER (PARTITION BY doc_id ORDER BY st)
+                         AS grp
+                FROM g
+            )
+            SELECT doc_id,
+                   CAST(min(st) AS INT) AS span_start,
+                   CAST(max(en) AS INT) AS span_end,
+                   CAST(max(en) - min(st) AS INT) AS n_tokens
+            FROM g2 GROUP BY doc_id, grp
         """,
         "dedup_ngram_jaccard": f"""
             WITH sh AS (

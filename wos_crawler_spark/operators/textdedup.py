@@ -593,3 +593,208 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# --------------------------------------- exact-substring span dedup
+#
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better"): every occurrence AFTER THE FIRST of any duplicated
+# L-token span is removed from the corpus. The reference
+# implementation builds one suffix array over the concatenated
+# corpus — inherently single-machine. The Spark-native restatement:
+# hash every L-token window (linear in corpus tokens), rank
+# occurrences per hash (one shuffle keyed by span hash — uniform,
+# AQE-splittable), keep rank 1, merge the surviving removal windows
+# into maximal per-document intervals (per-doc window, doc-level
+# parallelism). Equivalent to the suffix-array formulation for
+# fixed L, up to md5 collisions (2^-128 per pair).
+
+
+def span_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 50,
+) -> DataFrame:
+    """``(id, pos, h)`` — md5 of every L-token sliding window under
+    the dedup family's shared tokenization (``norm_text`` + single-
+    space split). ``pos`` is the 0-based start token index; documents
+    shorter than ``span_len`` tokens emit nothing (no partial spans —
+    Lee et al. windows are exactly L). Expr flavor: the per-window
+    slice+join+md5 is O(L) interpreted work per token — the DuckDB
+    oracle recomputes exactly this rule; :func:`span_hashes_arrow`
+    is the bit-equal scale twin."""
+    L = int(span_len)
+    if L < 2:
+        raise ValueError("span_len must be >= 2")
+    w = df.select(F.col(id_col), words_of(F.col(text_col)).alias("_w"))
+    idx = F.when(
+        F.size("_w") >= L, F.sequence(F.lit(1), F.size("_w") - (L - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return w.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                idx, lambda i: F.md5(F.concat_ws(" ", F.slice("_w", i, L)))
+            )
+        ).alias("pos", "h"),
+    )
+
+
+def span_hashes_arrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 50,
+) -> DataFrame:
+    """Arrow twin of :func:`span_hashes` — one mapInPandas pass, no
+    interpreted higher-order functions; hashlib.md5 over the same
+    joined-window bytes (bit-equal, test-pinned). Python regex
+    ``[ \\t\\n\\x0b\\f\\r]+`` mirrors Java/RE2 ASCII ``\\s`` on the
+    lowercased text, ``strip(' ')`` mirrors Spark ``trim``."""
+    L = int(span_len)
+    if L < 2:
+        raise ValueError("span_len must be >= 2")
+    id_field = df.schema[id_col]
+
+    def _spans(batches):
+        import hashlib
+        import re
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(t, str):
+                    t = ""
+                toks = ws.sub(" ", t.lower()).strip(" ").split(" ")
+                if len(toks) < L:
+                    continue
+                joined = " ".join(toks)
+                # window [p, p+L) as a byte slice of the joined string:
+                # start offset = sum(len)+p separators, tracked
+                # incrementally so the pass is O(n) joins, O(n·L)
+                # hashed bytes (the same bytes the expr flavor hashes).
+                off = 0
+                offs = []
+                for tk in toks:
+                    offs.append(off)
+                    off += len(tk) + 1
+                jb = joined.encode("utf-8")
+                # offs are CHARACTER offsets; md5 needs bytes — re-slice
+                # on the str (unicode-safe) then encode per window.
+                for p in range(len(toks) - L + 1):
+                    end_char = (
+                        offs[p + L - 1] + len(toks[p + L - 1])
+                    )
+                    win = joined[offs[p]:end_char]
+                    ids.append(i)
+                    poss.append(p)
+                    hs.append(hashlib.md5(win.encode("utf-8")).hexdigest())
+            yield pd.DataFrame({id_col: ids, "pos": poss, "h": hs})
+
+    schema = f"{id_col} {id_field.dataType.simpleString()}, pos int, h string"
+    return df.mapInPandas(_spans, schema)
+
+
+def span_removal_manifest(
+    spans: DataFrame, id_col: str = "doc_id", span_len: int = 50
+) -> DataFrame:
+    """``(id, span_start, span_end, n_tokens)`` — maximal merged
+    token intervals to delete. Keeper of each duplicated span = the
+    globally smallest ``(id, pos)`` occurrence (deterministic);
+    single-occurrence spans survive untouched. Two shuffles: the
+    rank window keyed by span hash, then the per-document interval
+    merge (running-max + group-start flags, the classic one-pass
+    interval union)."""
+    L = int(span_len)
+    rn = F.row_number().over(
+        Window.partitionBy("h").orderBy(id_col, "pos")
+    )
+    rem = (
+        spans.withColumn("_rn", rn)
+        .filter(F.col("_rn") > 1)
+        .select(
+            F.col(id_col),
+            F.col("pos").alias("_s"),
+            (F.col("pos") + L).alias("_e"),
+        )
+    )
+    wd = Window.partitionBy(id_col).orderBy("_s")
+    prev_max = F.max("_e").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = F.sum(
+        F.when(prev_max.isNull() | (F.col("_s") > prev_max), 1).otherwise(0)
+    ).over(wd.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        rem.withColumn("_grp", grp)
+        .groupBy(id_col, "_grp")
+        .agg(F.min("_s").alias("span_start"), F.max("_e").alias("span_end"))
+        .select(
+            F.col(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
+        )
+    )
+
+
+def span_dedup_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 50,
+    use_arrow: bool = False,
+) -> DataFrame:
+    """ExactSubstr removal manifest over a corpus — see the section
+    comment. ``use_arrow`` swaps the window-hash pass for the
+    mapInPandas twin (bit-equal; avoids the interpreted per-window
+    slice/join HOF that dominates the expr flavor's scan)."""
+    mk = span_hashes_arrow if use_arrow else span_hashes
+    return span_removal_manifest(
+        mk(df, id_col, text_col, span_len), id_col, span_len
+    )
+
+
+def span_dedup_apply(
+    df: DataFrame,
+    manifest: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Reassemble documents with manifest intervals deleted:
+    ``(id, dedup_text, n_tokens_kept)`` over the SAME tokenization
+    (the rebuilt text is single-space joined normalized tokens, the
+    dedup family's canonical form). The manifest is grouped to one
+    small intervals-array row per affected doc before the join, so
+    the corpus-side cost is one co-keyed left join plus an
+    O(tokens × intervals) filter expression per affected doc;
+    untouched docs pass through with a null-array fast path."""
+    iv = manifest.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_iv")
+    )
+    w = df.select(
+        F.col(id_col), words_of(F.col(text_col)).alias("_w")
+    ).join(iv, id_col, "left")
+    kept = F.when(F.col("_iv").isNull(), F.col("_w")).otherwise(
+        F.transform(
+            F.filter(
+                F.transform(
+                    F.col("_w"),
+                    lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+                ),
+                lambda s: ~F.exists(
+                    F.col("_iv"),
+                    lambda v: (s["i"] >= v["span_start"])
+                    & (s["i"] < v["span_end"]),
+                ),
+            ),
+            lambda s: s["t"],
+        )
+    )
+    return w.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("dedup_text"),
+        F.size(kept).alias("n_tokens_kept"),
+    )
