@@ -525,6 +525,38 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (operators/redirects.py, path
+    doubling — ceil(log2(max_hops)) self-joins instead of per-chain
+    iteration). Deterministic fixture from documents: doc_id not
+    divisible by 7 redirects to doc_id−1 (chains up to 6 links,
+    roots at multiples of 7), plus a planted 2-cycle. The contract
+    projection nulls final/hops for unresolved walks (cycle rows);
+    the oracle re-walks every chain with a recursive CTE."""
+    from wos_crawler_spark.operators.redirects import resolve_redirects
+
+    u = lambda c: F.concat(F.lit("https://ex.com/r/"), c.cast("string"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.filter(F.col("doc_id") % 7 != 0).select(
+        u(F.col("doc_id")).alias("src"),
+        u(F.col("doc_id") - 1).alias("dst"),
+    )
+    cyc = spark.createDataFrame(
+        [
+            ("https://ex.com/loop/a", "https://ex.com/loop/b"),
+            ("https://ex.com/loop/b", "https://ex.com/loop/a"),
+        ],
+        "src string, dst string",
+    )
+    r = resolve_redirects(edges.union(cyc), max_hops=8)
+    return r.select(
+        "src",
+        F.when(F.col("resolved"), F.col("final")).alias("final_url"),
+        F.col("hops").cast("long").alias("hops"),
+        "resolved",
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-shingle Jaccard near-dup pairs, blocked by source."""
     from wos_crawler_spark.operators.textdedup import ngram_jaccard_pairs
@@ -1694,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_spans": q_dedup_spans,
+        "f_resolve_redirects": q_f_resolve_redirects,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
@@ -2427,6 +2460,38 @@ def oracle_sql() -> dict[str, str]:
                      AS n_paras_kept,
                    coalesce(k.dedup_text, '') AS dedup_text
             FROM combo c LEFT JOIN k USING (doc_id)
+        """,
+        "f_resolve_redirects": """
+            -- re-walk every redirect chain with a recursive CTE:
+            -- same fixture (doc_id % 7 != 0 -> doc_id - 1 chains +
+            -- a planted 2-cycle), hop cap 8, cycle rows unresolved.
+            WITH RECURSIVE e AS (
+                SELECT 'https://ex.com/r/' || CAST(doc_id AS VARCHAR)
+                         AS src,
+                       'https://ex.com/r/' || CAST(doc_id - 1 AS VARCHAR)
+                         AS dst
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT 'https://ex.com/loop/a', 'https://ex.com/loop/b'
+                UNION ALL
+                SELECT 'https://ex.com/loop/b', 'https://ex.com/loop/a'
+            ), walk AS (
+                SELECT src, dst AS cur, 1 AS hops FROM e
+                UNION ALL
+                SELECT w.src, e2.dst, w.hops + 1
+                FROM walk w JOIN e e2 ON w.cur = e2.src
+                WHERE w.hops < 8
+            ), term AS (
+                SELECT w.src, w.cur AS final_url, w.hops
+                FROM walk w
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM e WHERE e.src = w.cur)
+            )
+            SELECT e.src,
+                   t.final_url,
+                   CAST(t.hops AS BIGINT) AS hops,
+                   t.src IS NOT NULL AS resolved
+            FROM e LEFT JOIN term t ON e.src = t.src
         """,
         "dedup_spans": f"""
             -- ExactSubstr manifest recomputed from scratch: same
