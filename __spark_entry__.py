@@ -557,6 +557,39 @@ def q_f_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET source round trip (sources/wet.py): documents → one WET
+    blob per source (warcinfo + Content-Length-framed conversion
+    records) → parsed back through the real reader path (mapInPandas
+    + try_to_timestamp). The oracle is the identity the round trip
+    must equal — byte-exact text, octet length, epoch timestamp —
+    so any framing/encoding defect in EITHER direction hash-fails."""
+    from wos_crawler_spark.sources.wet import (
+        parse_wet,
+        serialize_wet,
+        with_warc_ts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://ex.com/wet/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.date_format(
+            F.timestamp_seconds(F.col("doc_id") * 3600),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'",
+        ).alias("warc_date"),
+        "text",
+        "source",
+    )
+    parsed = with_warc_ts(parse_wet(serialize_wet(docs, "source"), "wet"))
+    return parsed.select(
+        "url",
+        F.col("warc_ts").cast("long").alias("warc_epoch"),
+        "text",
+        "n_bytes",
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-shingle Jaccard near-dup pairs, blocked by source."""
     from wos_crawler_spark.operators.textdedup import ngram_jaccard_pairs
@@ -1727,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_spans": q_dedup_spans,
         "f_resolve_redirects": q_f_resolve_redirects,
+        "s_wet_roundtrip": q_s_wet_roundtrip,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
@@ -2460,6 +2494,17 @@ def oracle_sql() -> dict[str, str]:
                      AS n_paras_kept,
                    coalesce(k.dedup_text, '') AS dedup_text
             FROM combo c LEFT JOIN k USING (doc_id)
+        """,
+        "s_wet_roundtrip": """
+            -- the identity the WET serialize->parse round trip must
+            -- reproduce: byte-exact text, utf-8 octet length, epoch ts
+            SELECT 'https://ex.com/wet/' || CAST(doc_id AS VARCHAR)
+                     AS url,
+                   CAST(doc_id * 3600 AS BIGINT) AS warc_epoch,
+                   coalesce(text, '') AS text,
+                   CAST(octet_length(encode(coalesce(text, '')))
+                        AS BIGINT) AS n_bytes
+            FROM documents
         """,
         "f_resolve_redirects": """
             -- re-walk every redirect chain with a recursive CTE:
