@@ -590,6 +590,35 @@ def q_s_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM gate (operators/lmscore.py): hashed trigram
+    Laplace LM trained on the target slice (doc_id % 19 == 3, the
+    engine's decontam/DSIR slice convention), every doc scored by
+    nano-quantized mean log-prob, head/middle/tail on exact corpus
+    tertiles. Scoring runs the Arrow twin (test-pinned bit-equal to
+    the expr flavor the oracle mirrors); the two tertile cutoffs are
+    a driver-scale collect of one aggregate row. The oracle
+    recomputes counts, contributions, quantile_cont tertiles and
+    labels from scratch in DuckDB."""
+    from wos_crawler_spark.operators.lmscore import (
+        lm_bucket,
+        lm_score_arrow,
+        lm_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 19 == 3)
+    c3, c2 = lm_train(ref, n_buckets=4096)
+    scored = lm_score_arrow(docs, c3, c2, n_buckets=4096)
+    head_cut, tail_cut = scored.agg(
+        F.floor(F.expr(f"percentile(avg_nano, {2 / 3!r})")).cast("long"),
+        F.floor(F.expr(f"percentile(avg_nano, {1 / 3!r})")).cast("long"),
+    ).first()
+    return lm_bucket(scored, int(head_cut), int(tail_cut)).select(
+        "doc_id", "n_tri", "lp_nano", "avg_nano", "ppl_bucket"
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-shingle Jaccard near-dup pairs, blocked by source."""
     from wos_crawler_spark.operators.textdedup import ngram_jaccard_pairs
@@ -1761,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "f_resolve_redirects": q_f_resolve_redirects,
         "s_wet_roundtrip": q_s_wet_roundtrip,
+        "text_lm_perplexity": q_text_lm_perplexity,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
@@ -1985,6 +2015,84 @@ def _bm25_oracle_sql(k1: float = 1.2, b: float = 0.75) -> str:
                 PARTITION BY q_id ORDER BY score_nano DESC, doc_id
             ) AS rank FROM s
         ) WHERE rank <= 10
+    """
+
+
+def _lm_oracle_sql(m: int = 4096) -> str:
+    """From-scratch CCNet-gate recomputation: salted trigram/bigram
+    md5 buckets, exact integer counts from the target slice, the
+    identical ln contribution tree floor-quantized to nano, BIGINT
+    sums, floored double division for the mean, quantile_cont
+    tertiles, head/middle/tail labels."""
+    toks = f"list_filter({_WORDS}, w -> w <> '')"
+    tri_b = (
+        f"[('0x' || substr(md5('lm3:' || ws[i] || ' ' || ws[i+1]"
+        f" || ' ' || ws[i+2]), 1, 8))::BIGINT % {m}"
+        f" FOR i IN range(1, greatest(len(ws) - 2, 0) + 1)]"
+    )
+    tri_c = (
+        f"[('0x' || substr(md5('lm2:' || ws[i] || ' ' || ws[i+1]),"
+        f" 1, 8))::BIGINT % {m}"
+        f" FOR i IN range(1, greatest(len(ws) - 2, 0) + 1)]"
+    )
+    bi_b = (
+        f"[('0x' || substr(md5('lm2:' || ws[i] || ' ' || ws[i+1]),"
+        f" 1, 8))::BIGINT % {m}"
+        f" FOR i IN range(1, greatest(len(ws) - 1, 0) + 1)]"
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, {toks} AS ws FROM documents
+            WHERE text IS NOT NULL
+        ),
+        tri AS (
+            SELECT doc_id,
+                   unnest({tri_b}) AS b3,
+                   unnest({tri_c}) AS b2
+            FROM tok WHERE len(ws) >= 3
+        ),
+        bi AS (
+            SELECT doc_id, unnest({bi_b}) AS b2
+            FROM tok WHERE len(ws) >= 2
+        ),
+        c3 AS (SELECT b3, count(*)::BIGINT AS c3 FROM tri
+               WHERE doc_id % 19 = 3 GROUP BY b3),
+        c2 AS (SELECT b2, count(*)::BIGINT AS c2 FROM bi
+               WHERE doc_id % 19 = 3 GROUP BY b2),
+        contrib AS (
+            SELECT t.doc_id,
+                   CAST(floor((
+                     ln(CAST(coalesce(c3.c3, 0) + 1 AS DOUBLE))
+                     - ln(CAST(coalesce(c2.c2, 0) AS DOUBLE)
+                          + {float(m)!r})
+                   ) * 1000000000.0) AS BIGINT) AS w
+            FROM tri t
+            LEFT JOIN c3 ON t.b3 = c3.b3
+            LEFT JOIN c2 ON t.b2 = c2.b2
+        ),
+        s AS (
+            SELECT doc_id, count(*)::BIGINT AS n_tri,
+                   sum(w)::BIGINT AS lp_nano
+            FROM contrib GROUP BY doc_id
+        ),
+        sc AS (
+            SELECT doc_id, n_tri, lp_nano,
+                   CAST(floor(CAST(lp_nano AS DOUBLE) / n_tri)
+                        AS BIGINT) AS avg_nano
+            FROM s
+        ),
+        cuts AS (
+            SELECT CAST(floor(quantile_cont(avg_nano, {2 / 3!r}))
+                        AS BIGINT) AS head_cut,
+                   CAST(floor(quantile_cont(avg_nano, {1 / 3!r}))
+                        AS BIGINT) AS tail_cut
+            FROM sc
+        )
+        SELECT doc_id, n_tri, lp_nano, avg_nano,
+               CASE WHEN avg_nano >= head_cut THEN 'head'
+                    WHEN avg_nano < tail_cut THEN 'tail'
+                    ELSE 'middle' END AS ppl_bucket
+        FROM sc CROSS JOIN cuts
     """
 
 
@@ -2538,6 +2646,7 @@ def oracle_sql() -> dict[str, str]:
                    t.src IS NOT NULL AS resolved
             FROM e LEFT JOIN term t ON e.src = t.src
         """,
+        "text_lm_perplexity": _lm_oracle_sql(),
         "dedup_spans": f"""
             -- ExactSubstr manifest recomputed from scratch: same
             -- combo fixture, same norm/tokenize rule, md5 of every
