@@ -835,6 +835,28 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the Pile/LLaMA α-recipe):
+    kept shares ∝ p_source^0.5 realized by maximal thinning — the
+    rarest source binds at rate 1, every rate derives from exact
+    integer counts by a fixed expression tree, selection is the
+    md5 draw. The parquet sources are deliberately uniform, so the
+    fixture derives an 80/15/4/1 skewed stratum from doc_id — the
+    regime temperature mixing exists for. Oracle recomputes counts,
+    rates and draws from scratch."""
+    from wos_crawler_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 100 < 80, "web")
+        .when(F.col("doc_id") % 100 < 95, "news")
+        .when(F.col("doc_id") % 100 < 99, "books")
+        .otherwise("wiki")
+        .alias("stratum"),
+    )
+    return mixture_sample(docs, "stratum", "doc_id", alpha=0.5)
+
+
 def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation pipeline — the LLM-corpus
     composition the individual operators exist for, as ONE lazy plan
@@ -1824,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_hosts": q_graph_pagerank_hosts,
         "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,
+        "sample_mixture": q_sample_mixture,
         "pipeline_curation": q_pipeline_curation,
         "pipeline_curation_v2": q_pipeline_curation_v2,
         "text_lang_id": q_text_lang_id,
@@ -3063,6 +3086,39 @@ def oracle_sql() -> dict[str, str]:
                   / 4294967296.0
                   < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2
                               WHEN 'de' THEN 0.4 ELSE 0.05 END
+        """,
+        "sample_mixture": f"""
+            -- temperature thinning: rate_s = (n_s/N)^(a-1) / max_s,
+            -- keep iff md5 draw < rate; a = 0.5
+            WITH strat AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 100 < 80 THEN 'web'
+                            WHEN doc_id % 100 < 95 THEN 'news'
+                            WHEN doc_id % 100 < 99 THEN 'books'
+                            ELSE 'wiki' END AS stratum
+                FROM documents
+            ),
+            cnt AS (
+                SELECT stratum, count(*)::BIGINT AS n
+                FROM strat GROUP BY stratum
+            ),
+            tot AS (SELECT sum(n)::BIGINT AS ntot FROM cnt),
+            raw AS (
+                SELECT stratum,
+                       pow(CAST(n AS DOUBLE) / ntot,
+                           {0.5 - 1.0!r}) AS r
+                FROM cnt CROSS JOIN tot
+            ),
+            mx AS (SELECT max(r) AS rmax FROM raw),
+            rates AS (
+                SELECT stratum, r / rmax AS rate
+                FROM raw CROSS JOIN mx
+            )
+            SELECT d.doc_id, d.stratum
+            FROM strat d JOIN rates USING (stratum)
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                      || 'mix'), 1, 8))::BIGINT
+                  / 4294967296.0 < rate
         """,
         "pipeline_curation": f"""
             WITH base AS (

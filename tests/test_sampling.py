@@ -90,3 +90,68 @@ def test_stratified_rates(spark):
     assert set(by_lang) <= {"en", "zh"}  # default 0 drops de/es entirely
     assert by_lang["en"] / 500 > 0.65
     assert by_lang.get("zh", 0) / 500 < 0.2
+
+
+def _skewed(spark, n=4000):
+    """80/15/4/1 percent source mixture."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 100 < 80, "web")
+        .when(F.col("id") % 100 < 95, "news")
+        .when(F.col("id") % 100 < 99, "books")
+        .otherwise("wiki")
+        .alias("source"),
+    )
+
+
+def test_mixture_rates_binding_stratum_and_shares(spark):
+    from wos_crawler_spark.operators.sampling import mixture_rates
+
+    df = _skewed(spark)
+    rates = {r["stratum"]: r["rate"] for r in
+             mixture_rates(df, "source", alpha=0.5).collect()}
+    # alpha < 1 flattens: the rarest source binds at rate 1.0
+    assert rates["wiki"] == 1.0
+    assert rates["web"] < rates["news"] < rates["books"] < 1.0
+    # thinning realizes shares ∝ p^alpha: rate_s ∝ p_s^(alpha-1),
+    # so rate_web/rate_wiki == (p_web/p_wiki)^(-0.5) == (80)^-0.5
+    assert abs(rates["web"] - 0.8 ** -0.5 / 0.01 ** -0.5) < 1e-12
+    # alpha = 1 keeps everything
+    r1 = {r["stratum"]: r["rate"] for r in
+          mixture_rates(df, "source", alpha=1.0).collect()}
+    assert set(r1.values()) == {1.0}
+
+
+def test_mixture_sample_deterministic_and_flattening(spark):
+    import pytest as _pytest
+
+    from wos_crawler_spark.operators.sampling import mixture_sample
+
+    df = _skewed(spark)
+    a = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            df.repartition(1), "source", "doc_id", alpha=0.5
+        ).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            df.repartition(17), "source", "doc_id", alpha=0.5
+        ).collect()
+    )
+    assert a == b and 0 < len(a) < 4000
+    # kept shares move toward uniform: web share drops below its 80%
+    kept = mixture_sample(df, "source", "doc_id", alpha=0.5)
+    shares = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    tot = sum(shares.values())
+    assert shares["web"] / tot < 0.8
+    assert shares["wiki"] == 40  # binding stratum keeps all rows
+    assert set(kept.columns) == {"doc_id", "source"}
+    with _pytest.raises(ValueError):
+        mixture_sample(df, "source", "doc_id", alpha=0.0)

@@ -81,3 +81,68 @@ def split_train_holdout(
     hash draw (no row is lost or duplicated under retries)."""
     h = sample_hash(F.col(key_col), salt)
     return df.filter(h >= holdout_rate), df.filter(h < holdout_rate)
+
+
+def mixture_rates(
+    df: DataFrame, stratum_col: str, alpha: float
+) -> DataFrame:
+    """Temperature-mixing acceptance rates — the Pile/LLaMA domain-
+    mixing recipe (target share ∝ p_s^α) realized by pure thinning:
+    with r_raw(s) = (n_s / N)^(α−1), rate(s) = r_raw(s) / max_s
+    r_raw(s), the kept corpus's stratum shares are proportional to
+    p_s^α and the binding stratum keeps everything (thinning can only
+    downsample — this is the unique maximal realization). α = 1 keeps
+    all rows; α < 1 flattens toward uniform (rare sources bind);
+    α > 1 sharpens (big sources bind). NULL strata group under the
+    shared sentinel draw-block like NULL sample keys.
+
+    ``(stratum, n, rate)`` — two tiny aggregations (stratum
+    cardinality rows); every float derives from exact integer counts
+    by a fixed expression tree, so the oracle recomputes rates
+    bit-identically."""
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    g = F.coalesce(F.col(stratum_col).cast("string"), F.lit(_NULL_KEY))
+    cnt = df.select(g.alias("_g")).groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.agg(F.sum("n").alias("_N"))
+    raw = cnt.crossJoin(F.broadcast(tot)).withColumn(
+        "_raw",
+        F.pow(
+            F.col("n").cast("double") / F.col("_N"),
+            F.lit(float(alpha) - 1.0),
+        ),
+    )
+    mx = raw.agg(F.max("_raw").alias("_rmax"))
+    return raw.crossJoin(F.broadcast(mx)).select(
+        F.col("_g").alias("stratum"),
+        "n",
+        (F.col("_raw") / F.col("_rmax")).alias("rate"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    alpha: float,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic temperature resampling: broadcast the per-stratum
+    rates and keep each row iff its md5 draw clears its stratum's
+    rate. One broadcast join + a map-side filter over the corpus —
+    no corpus shuffle, partitioning-invariant, monotone in α toward
+    the binding stratum."""
+    # private aliases so the join never collides with user columns
+    # named stratum/n/rate
+    rates = mixture_rates(df, stratum_col, alpha).select(
+        F.col("stratum").alias("_mx_g"), F.col("rate").alias("_mx_rate")
+    )
+    g = F.coalesce(F.col(stratum_col).cast("string"), F.lit(_NULL_KEY))
+    return (
+        df.withColumn("_g", g)
+        .join(F.broadcast(rates), F.col("_g") == F.col("_mx_g"))
+        .filter(sample_hash(F.col(key_col), salt) < F.col("_mx_rate"))
+        .drop("_g", "_mx_g", "_mx_rate")
+    )
