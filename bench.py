@@ -58,6 +58,8 @@ ENTRY_QUERIES = [
     "text_bm25_topk",
     "pack_sequences",
     "dsir_select",
+    "dedup_spans",
+    "text_lm_perplexity",
 ]
 
 
