@@ -525,6 +525,37 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reassembly half of ExactSubstr: documents rebuilt with
+    manifest intervals deleted (canonical single-space token form).
+    Same combo fixture as dedup_spans; the oracle recomputes the
+    manifest AND the surviving-token reassembly from scratch."""
+    from pyspark.sql.window import Window
+
+    from wos_crawler_spark.operators.textdedup import (
+        span_dedup_apply,
+        span_dedup_manifest,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = Window.orderBy("doc_id")
+    combo = (
+        docs.select(
+            "doc_id",
+            F.lead("text", 1).over(w).alias("_nxt"),
+            "text",
+        )
+        .filter(F.col("_nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "text", "_nxt").alias("text"))
+    )
+    m = span_dedup_manifest(combo, span_len=15, use_arrow=True)
+    return span_dedup_apply(combo, m).select(
+        "doc_id",
+        "dedup_text",
+        F.col("n_tokens_kept").cast("int").alias("n_tokens_kept"),
+    )
+
+
 def q_f_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution (operators/redirects.py, path
     doubling — ceil(log2(max_hops)) self-joins instead of per-chain
@@ -1810,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_spans": q_dedup_spans,
+        "dedup_spans_apply": q_dedup_spans_apply,
         "f_resolve_redirects": q_f_resolve_redirects,
         "s_wet_roundtrip": q_s_wet_roundtrip,
         "text_lm_perplexity": q_text_lm_perplexity,
@@ -2636,6 +2668,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(coalesce(text, '')))
                         AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "dedup_spans_apply": f"""
+            -- reassembly from scratch: a token survives iff no
+            -- duplicated window (rank > 1) covers its position —
+            -- coverage by raw removal spans == coverage by their
+            -- interval union, so the merge step needn't be repeated.
+            WITH combo AS (
+                SELECT doc_id,
+                       text || ' ' || lead(text) OVER (ORDER BY doc_id)
+                         AS text
+                FROM documents
+                QUALIFY lead(text) OVER (ORDER BY doc_id) IS NOT NULL
+            ), w AS (
+                SELECT doc_id, {_WORDS} AS w FROM combo
+            ), s AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(w[i : i + 14], ' ')) AS h
+                FROM w, unnest(generate_series(1, len(w) - 14)) AS t(i)
+                WHERE len(w) >= 15
+            ), r AS (
+                SELECT doc_id, pos, row_number() OVER (
+                           PARTITION BY h ORDER BY doc_id, pos) AS rn
+                FROM s
+            ), rem AS (
+                SELECT doc_id, pos AS st, pos + 15 AS en
+                FROM r WHERE rn > 1
+            ), tokpos AS (
+                SELECT doc_id, i - 1 AS p, w[i] AS tok
+                FROM w, unnest(generate_series(1, len(w))) AS t(i)
+            ), kept AS (
+                SELECT tp.doc_id, tp.p, tp.tok
+                FROM tokpos tp
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM rem
+                    WHERE rem.doc_id = tp.doc_id
+                      AND tp.p >= rem.st AND tp.p < rem.en)
+            )
+            SELECT w.doc_id,
+                   coalesce(k.dedup_text, '') AS dedup_text,
+                   CAST(coalesce(k.n, 0) AS INT) AS n_tokens_kept
+            FROM w LEFT JOIN (
+                SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY p) AS dedup_text,
+                       count(*) AS n
+                FROM kept GROUP BY doc_id
+            ) k USING (doc_id)
         """,
         "f_resolve_redirects": """
             -- re-walk every redirect chain with a recursive CTE:

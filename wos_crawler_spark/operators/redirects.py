@@ -131,3 +131,45 @@ def resolve_redirects(
         ok.alias("resolved"),
     )
     return out
+
+
+def redirect_rewrite(
+    frontier: DataFrame,
+    rmap: DataFrame,
+    url_col: str = "url",
+    canon_col: str = "url_canon",
+) -> DataFrame:
+    """Admission-time rewrite through a RESOLVED redirect map
+    (``resolve_redirects`` output, ``(src, final, resolved)``, in
+    CANONICAL url space): candidates whose canonical url is not a
+    redirect source pass through untouched; resolved sources continue
+    under their landing url (``url_col`` replaced by ``final`` — the
+    caller re-derives canon/hash/host, since the landing url changes
+    all three); unresolved sources (cycles / over-cap chains) DROP,
+    exactly as an HTTP client refuses them at fetch time.
+
+    Idempotent by construction: a resolved ``final`` is terminal in
+    the redirect graph, hence never itself a source — re-applying the
+    rewrite to already-rewritten rows matches nothing. (Retry rows
+    re-entering the frontier therefore need no bypass, unlike the
+    F1/F1g gates.)
+
+    One equi join keyed by the canonical url on the rows flowing
+    through admission; Spark broadcasts the map side when it is small
+    (AQE), and at 10^8+ observed redirects the join degrades
+    gracefully to a shuffle of the NEW-candidate rows only — the
+    rewrite rides frontier entry (seeds + per-wave expansions), never
+    the whole standing frontier."""
+    m = rmap.select(
+        F.col("src").alias("_rd_src"),
+        F.col("final").alias("_rd_final"),
+        F.col("resolved").alias("_rd_ok"),
+    )
+    j = frontier.join(m, frontier[canon_col] == F.col("_rd_src"), "left")
+    j = j.filter(F.col("_rd_ok").isNull() | F.col("_rd_ok"))
+    return j.withColumn(
+        url_col,
+        F.when(F.col("_rd_ok"), F.col("_rd_final")).otherwise(
+            F.col(url_col)
+        ),
+    ).drop("_rd_src", "_rd_final", "_rd_ok")

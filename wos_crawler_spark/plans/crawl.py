@@ -106,6 +106,13 @@ class CrawlConfig:
     trap_cap: int | None = None
     #: kept sample per trap shape (None → trap_cap).
     trap_keep: int | None = None
+    #: Redirect-resolution hop cap (operators/redirects.py) used when
+    #: run_crawl is given a ``redirects`` edge table: chains are
+    #: resolved ONCE by path doubling before the wave loop, and every
+    #: url entering the frontier (seeds + per-wave expansions) is
+    #: rewritten to its landing url — cycles and over-cap chains are
+    #: refused at admission, like an HTTP client's redirect cap.
+    redirect_max_hops: int = 8
     parse: bool = True
     ckpt_dir: str | None = None
     #: Keep each wave's fetched/parsed caches alive so the returned
@@ -343,6 +350,17 @@ def prepare_links_side(
     )
 
 
+def rewrite_through_redirects(frontier: DataFrame, rmap: DataFrame) -> DataFrame:
+    """Apply the admission-time redirect rewrite and re-derive the
+    three canon-dependent columns (url_canon/url_hash/host change with
+    the landing url; with_url_canon overwrites in place)."""
+    from wos_crawler_spark.operators.redirects import redirect_rewrite
+
+    return with_url_canon(redirect_rewrite(frontier, rmap)).select(
+        FRONTIER_COLS
+    )
+
+
 def run_wave(
     spark: SparkSession,
     wave: int,
@@ -356,6 +374,7 @@ def run_wave(
     wave_start: float,
     host_delays: DataFrame | None = None,
     inter_wave_gap_s: float | None = None,
+    rmap: DataFrame | None = None,
 ) -> tuple[WaveResult, DataFrame, DataFrame]:
     """One wave. ``pages``/``links`` should be pre-partitioned via
     ``prepare_fetch_side``/``prepare_links_side`` (run_crawl does).
@@ -529,6 +548,12 @@ def run_wave(
     # expansion (S5-parallel)
     if links is not None:
         expansions = expand_frontier(hits, links, wave, cfg.max_depth)
+        if rmap is not None:
+            # redirect rewrite rides frontier ENTRY (new discoveries
+            # only): retries/overflow were rewritten when they first
+            # entered, and the rewrite is idempotent anyway (a
+            # resolved landing url is terminal, never a source).
+            expansions = rewrite_through_redirects(expansions, rmap)
     else:
         expansions = spark.createDataFrame([], frontier.schema)
     next_frontier = expansions.unionByName(retries.select(FRONTIER_COLS))  # U1
@@ -574,10 +599,15 @@ def run_crawl(
     pages_fetch: DataFrame | None = None,
     links_prepped: DataFrame | None = None,
     host_delays: DataFrame | None = None,
+    redirects: DataFrame | None = None,
 ) -> CrawlResult:
     """Full crawl: wave loop until frontier empty / max_waves.
     With cfg.ckpt_dir set, each wave commits atomically and
     ``resume=True`` restarts from the last committed wave.
+
+    ``redirects``: observed 3xx edges ``(src, dst)`` in CANONICAL url
+    space. Resolved ONCE by path doubling (cfg.redirect_max_hops) and
+    applied at every frontier entry — see rewrite_through_redirects.
 
     ``pages_fetch`` / ``links_prepped``: optionally pass join sides
     already laid out by ``prepare_fetch_side`` / ``prepare_links_side``
@@ -640,8 +670,23 @@ def run_crawl(
             else None
         )
 
+    # redirect map: resolved once per crawl (wave-invariant), cached
+    # so the 5-join path-doubling lineage never re-executes per wave.
+    rmap = None
+    if redirects is not None:
+        from wos_crawler_spark.operators.redirects import resolve_redirects
+
+        rmap = (
+            resolve_redirects(redirects, max_hops=cfg.redirect_max_hops)
+            .select("src", "final", "resolved")
+            .cache()
+        )
+        rmap.count()
+
     if frontier is None:
         frontier = init_frontier(seeds, pages)
+        if rmap is not None:
+            frontier = rewrite_through_redirects(frontier, rmap)
     # materialize once: without this, wave 0's seed-match theta join
     # would run twice (emptiness probe + first candidate use)
     frontier = frontier.localCheckpoint()
@@ -658,6 +703,7 @@ def run_crawl(
             spark, wave, frontier, pages_kv, links_kv, robots, seen, bloom,
             cfg, wave_start,
             host_delays=host_delays, inter_wave_gap_s=inter_wave_gap,
+            rmap=rmap,
         )
         out.waves.append(res)
         if cfg.keep_wave_caches:
@@ -871,6 +917,8 @@ def run_crawl(
         pages_kv.unpersist()
     if links_kv is not None and links_prepped is None:
         links_kv.unpersist()
+    if rmap is not None:
+        rmap.unpersist()
     out.seen = seen
     if fetch_logs:
         log = fetch_logs[0]

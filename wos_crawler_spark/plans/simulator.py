@@ -100,9 +100,36 @@ def simulate_crawl(
     robots_wildcards: bool = False,
     trap_cap: int | None = None,
     trap_keep: int | None = None,
+    redirect_edges: dict[str, str] | None = None,
+    redirect_max_hops: int = 8,
 ) -> SimResult:
     res = SimResult()
     robots_allows = _robots_allows_rfc if robots_wildcards else _robots_allows
+
+    # Redirect twin (engine: resolve_redirects + rewrite at frontier
+    # entry): resolve every chain by direct walking — an independent
+    # restatement of the engine's path doubling. Resolved sources map
+    # to their landing url; cycles/over-cap sources are refused.
+    rd_final: dict[str, str] = {}
+    rd_refused: set[str] = set()
+    if redirect_edges:
+        for src in redirect_edges:
+            cur, hops = src, 0
+            while cur in redirect_edges and hops < redirect_max_hops:
+                cur = redirect_edges[cur]
+                hops += 1
+            if cur in redirect_edges:
+                rd_refused.add(src)
+            else:
+                rd_final[src] = cur
+
+    def via_redirects(url: str) -> str | None:
+        """Landing url for a candidate (None = refused). Keyed by the
+        candidate's CANONICAL url, like the engine's rewrite join."""
+        canon = url_meta[url][0]
+        if canon in rd_refused:
+            return None
+        return rd_final.get(canon, url)
 
     # frontier rows: dicts with the engine's FRONTIER_COLS semantics
     def row(url, qid, prio, depth, wave, attempt, dont_filter, lineage):
@@ -122,10 +149,11 @@ def simulate_crawl(
         }
 
     frontier = [
-        row(url, qid, prio, 0, 0, 0, False, f"seed:{qid}")
+        row(landed, qid, prio, 0, 0, 0, False, f"seed:{qid}")
         for url in sorted(page_texts)
         for (qid, term, prio) in seeds
         if term in page_texts[url]
+        and (landed := via_redirects(url)) is not None
     ]
 
     wave_start = 0.0
@@ -244,9 +272,12 @@ def simulate_crawl(
             if r.get("_hit"):
                 if r["depth"] + 1 <= max_depth:
                     for dst in links.get(r["url"], []):
+                        landed = via_redirects(dst)
+                        if landed is None:
+                            continue
                         nxt.append(
                             row(
-                                dst, r["query_id"], r["priority"],
+                                landed, r["query_id"], r["priority"],
                                 r["depth"] + 1, wave + 1, 0, False,
                                 f"link:{r['url']}",
                             )
