@@ -157,3 +157,65 @@ def test_span_len_guard(spark, planted):
         span_hashes(planted, span_len=1)
     with pytest.raises(ValueError):
         span_hashes_arrow(planted, span_len=0)
+
+
+def test_fuzz_matches_bruteforce_twin(spark):
+    """Seeded randomized corpus (small vocab → organic collisions,
+    plus planted clones and self-repeats) vs a brute-force python
+    ExactSubstr twin: hash every window into a dict, keep-first by
+    (id, pos), merge intervals. 200 docs, L=4."""
+    import random
+
+    L4 = 4
+    rng = random.Random(99)
+    docs = []
+    for i in range(200):
+        n = rng.randrange(0, 18)
+        toks = [f"v{rng.randrange(12)}" for _ in range(n)]
+        if i % 7 == 3 and docs:
+            # clone a prefix of an earlier doc
+            prev = docs[rng.randrange(len(docs))][1].split()
+            toks = prev[: rng.randrange(len(prev) + 1)] + toks
+        if i % 11 == 5 and len(toks) >= L4:
+            toks = toks + toks[:L4]  # self-repeat
+        docs.append((i, " ".join(toks)))
+
+    # brute-force twin
+    first: dict[tuple, tuple] = {}
+    occ = []
+    for i, t in docs:
+        w = t.split()
+        for p in range(len(w) - L4 + 1):
+            key = tuple(w[p : p + L4])
+            occ.append((i, p, key))
+            if key not in first or (i, p) < first[key]:
+                first[key] = (i, p)
+    rem: dict[int, list] = {}
+    for i, p, key in occ:
+        if first[key] != (i, p):
+            rem.setdefault(i, []).append((p, p + L4))
+    expected = []
+    for i, spans in rem.items():
+        spans.sort()
+        cur_s, cur_e = spans[0]
+        for s, e in spans[1:]:
+            if s > cur_e:
+                expected.append((i, cur_s, cur_e, cur_e - cur_s))
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        expected.append((i, cur_s, cur_e, cur_e - cur_s))
+
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string"
+    ).repartition(6)
+    for arrow in (False, True):
+        got = sorted(
+            map(
+                tuple,
+                span_dedup_manifest(
+                    df, span_len=L4, use_arrow=arrow
+                ).collect(),
+            )
+        )
+        assert got == sorted(expected), f"arrow={arrow}"

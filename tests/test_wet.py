@@ -114,3 +114,32 @@ def test_bad_date_yields_null_ts_not_error(spark):
     df = spark.createDataFrame([(blob,)], "content binary")
     got = with_warc_ts(parse_wet(df)).collect()
     assert len(got) == 1 and got[0]["warc_ts"] is None
+
+
+def test_fuzz_roundtrip_byte_exact(spark):
+    """500 seeded adversarial payloads — unicode planes, control
+    chars, CRLF runs, embedded record magics, header-shaped lines,
+    empty docs — must round-trip byte-exact through serialize→parse
+    (Content-Length framing is the only authority)."""
+    import random
+
+    rng = random.Random(20260819)
+    alphabet = (
+        "abc xyz\t\r\n"
+        "WARC/1.0\r\n"
+        "Content-Length: 7\r\n"
+        "émojis: \U0001f600☃ 日本語 Ж א"
+    )
+    rows = []
+    for i in range(500):
+        n = rng.randrange(0, 120)
+        payload = "".join(rng.choice(alphabet) for _ in range(n))
+        rows.append((i, f"https://fz/{i}", D, payload))
+    df = spark.createDataFrame(
+        rows, "grp long, url string, warc_date string, text string"
+    ).withColumn("grp", F.col("grp") % 7)
+    parsed = parse_wet(serialize_wet(df, "grp"), "wet").collect()
+    got = {r["url"]: (r["text"], r["n_bytes"]) for r in parsed}
+    assert len(got) == 500
+    for _, u, _, t in rows:
+        assert got[u] == (t, len(t.encode("utf-8"))), u
