@@ -621,6 +621,28 @@ def q_s_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/LSH's memory-bounded sibling: product quantization ANN
+    (operators/pq.py, Jégou et al. 2011). Codebooks train
+    deterministically on the hash sample (pinned as the
+    pq_codebooks_sf001 snapshot — the one non-SQL step); encoding,
+    per-query ADC lookup tables, BIGINT score sums and ranking are
+    all recomputed from scratch by the oracle over the live
+    embeddings using the identical left-associative distance
+    chains."""
+    from wos_crawler_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m_sub=8, k=16, n_iter=5, sample=500)
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 3)
+    return pq_topk(queries, codes, books, k_top=10)
+
+
 def q_text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM gate (operators/lmscore.py): hashed trigram
     Laplace LM trained on the target slice (doc_id % 19 == 3, the
@@ -1845,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_resolve_redirects": q_f_resolve_redirects,
         "s_wet_roundtrip": q_s_wet_roundtrip,
         "text_lm_perplexity": q_text_lm_perplexity,
+        "sim_pq_topk": q_sim_pq_topk,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
@@ -2070,6 +2093,65 @@ def _bm25_oracle_sql(k1: float = 1.2, b: float = 0.75) -> str:
                 PARTITION BY q_id ORDER BY score_nano DESC, doc_id
             ) AS rank FROM s
         ) WHERE rank <= 10
+    """
+
+
+def _pq_oracle_sql(dsub: int = 8, topk: int = 10) -> str:
+    """From-scratch PQ recomputation over the live embeddings +
+    pinned codebooks: encoding via argmin over the SAME
+    left-associative squared-L2 chains the engine's python loop
+    executes (identical IEEE op sequence → identical doubles →
+    identical argmin/ordering), per-query ADC lookup tables
+    floor-quantized to nano BIGINTs, scores as order-independent
+    integer sums, rank ties on vec_id."""
+
+    def dist(vec: str) -> str:
+        terms = [
+            f"(CAST({vec}[cb.sub * {dsub} + {j}] AS DOUBLE)"
+            f" - cb.vec[{j}])"
+            f" * (CAST({vec}[cb.sub * {dsub} + {j}] AS DOUBLE)"
+            f" - cb.vec[{j}])"
+            for j in range(1, dsub + 1)
+        ]
+        expr = terms[0]
+        for t in terms[1:]:
+            expr = f"({expr} + {t})"
+        return expr
+
+    return f"""
+        WITH cbs AS (
+            SELECT sub, code, vec FROM {_snap("pq_codebooks_sf001")}
+        ),
+        enc AS (
+            SELECT vec_id, sub, code FROM (
+                SELECT e.vec_id, cb.sub, cb.code,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id, cb.sub
+                           ORDER BY {dist("e.embedding")}, cb.code
+                       ) AS rn
+                FROM embeddings e CROSS JOIN cbs cb
+            ) WHERE rn = 1
+        ),
+        lut AS (
+            SELECT q.vec_id AS q_id, cb.sub, cb.code,
+                   CAST(floor({dist("q.embedding")}
+                              * 1000000000.0) AS BIGINT) AS d_nano
+            FROM (SELECT * FROM embeddings WHERE vec_id < 3) q
+            CROSS JOIN cbs cb
+        ),
+        adc AS (
+            SELECT l.q_id, en.vec_id,
+                   sum(l.d_nano)::BIGINT AS adc_nano
+            FROM enc en
+            JOIN lut l ON l.sub = en.sub AND l.code = en.code
+            GROUP BY l.q_id, en.vec_id
+        )
+        SELECT q_id, vec_id, adc_nano, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY adc_nano, vec_id) AS rank
+            FROM adc
+        ) WHERE rank <= {topk}
     """
 
 
@@ -2748,6 +2830,7 @@ def oracle_sql() -> dict[str, str]:
             FROM e LEFT JOIN term t ON e.src = t.src
         """,
         "text_lm_perplexity": _lm_oracle_sql(),
+        "sim_pq_topk": _pq_oracle_sql(),
         "dedup_spans": f"""
             -- ExactSubstr manifest recomputed from scratch: same
             -- combo fixture, same norm/tokenize rule, md5 of every

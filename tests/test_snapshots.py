@@ -36,6 +36,7 @@ SNAPSHOT_NAMES = [
     "lsh_cand_sf001",
     "cos_near_dup_sf001",
     "ivf_cand_sf001",
+    "pq_codebooks_sf001",
 ]
 
 

@@ -169,6 +169,18 @@ def build_frames(spark) -> dict:
         sd.semdedup_pairs(asn, 0.3).select("id_a", "id_b").toPandas(),
         ["id_a", "id_b"],
     )
+    # PQ: pin ONLY the trained codebooks (training is the one
+    # non-reproducible-in-SQL step — numpy Lloyd on the hash sample);
+    # the oracle recomputes encoding (argmin over the generated
+    # left-assoc distance chains), ADC LUTs, scores and ranking from
+    # scratch over the live embeddings.
+    from wos_crawler_spark.operators import pq as pqm
+
+    books = pqm.pq_train(emb, m_sub=8, k=16, n_iter=5, sample=500)
+    frames["pq_codebooks_sf001"] = (
+        pqm.codebooks_df(spark, books).toPandas(),
+        ["sub", "code"],
+    )
     return frames
 
 
