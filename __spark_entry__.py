@@ -643,6 +643,32 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(queries, codes, books, k_top=10)
 
 
+def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (FAISS's IVFADC minus residuals): the IVF
+    coarse quantizer proposes candidates (same deterministic train as
+    sim_ivf_topk — pinned as ivf_cand_sf001), PQ's ADC scores ONLY
+    those pairs. The oracle re-derives encoding, LUTs, integer score
+    sums and ranking from scratch over the pinned candidate set and
+    codebooks."""
+    from wos_crawler_spark.operators.pq import (
+        pq_encode,
+        pq_score_candidates,
+        pq_train,
+    )
+    from wos_crawler_spark.operators.similarity import ivf_candidates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cand = ivf_candidates(
+        emb, queries, n_centroids=16, n_probe=4, n_iter=3
+    )
+    books = pq_train(emb, m_sub=8, k=16, n_iter=5, sample=500)
+    codes = pq_encode(emb, books)
+    return pq_score_candidates(cand, codes, books, queries, k_top=10)
+
+
 def q_text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM gate (operators/lmscore.py): hashed trigram
     Laplace LM trained on the target slice (doc_id % 19 == 3, the
@@ -1868,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_wet_roundtrip": q_s_wet_roundtrip,
         "text_lm_perplexity": q_text_lm_perplexity,
         "sim_pq_topk": q_sim_pq_topk,
+        "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
@@ -2096,14 +2123,19 @@ def _bm25_oracle_sql(k1: float = 1.2, b: float = 0.75) -> str:
     """
 
 
-def _pq_oracle_sql(dsub: int = 8, topk: int = 10) -> str:
+def _pq_oracle_sql(
+    dsub: int = 8, topk: int = 10, candidates: bool = False
+) -> str:
     """From-scratch PQ recomputation over the live embeddings +
     pinned codebooks: encoding via argmin over the SAME
     left-associative squared-L2 chains the engine's python loop
     executes (identical IEEE op sequence → identical doubles →
     identical argmin/ordering), per-query ADC lookup tables
     floor-quantized to nano BIGINTs, scores as order-independent
-    integer sums, rank ties on vec_id."""
+    integer sums, rank ties on vec_id. ``candidates=True`` = the
+    IVF-PQ flavor: scoring restricted to the pinned coarse-quantizer
+    candidate pairs (ivf_cand_sf001), with q_id/vec_id column
+    names."""
 
     def dist(vec: str) -> str:
         terms = [
@@ -2144,6 +2176,9 @@ def _pq_oracle_sql(dsub: int = 8, topk: int = 10) -> str:
                    sum(l.d_nano)::BIGINT AS adc_nano
             FROM enc en
             JOIN lut l ON l.sub = en.sub AND l.code = en.code
+            {"JOIN " + _snap("ivf_cand_sf001")
+             + " cd ON cd.q_id = l.q_id AND cd.vec_id = en.vec_id"
+             if candidates else ""}
             GROUP BY l.q_id, en.vec_id
         )
         SELECT q_id, vec_id, adc_nano, CAST(rank AS INT) AS rank
@@ -2831,6 +2866,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_lm_perplexity": _lm_oracle_sql(),
         "sim_pq_topk": _pq_oracle_sql(),
+        "sim_ivfpq_topk": _pq_oracle_sql(candidates=True),
         "dedup_spans": f"""
             -- ExactSubstr manifest recomputed from scratch: same
             -- combo fixture, same norm/tokenize rule, md5 of every

@@ -128,3 +128,46 @@ def test_guardrails(spark, world):
         pq_train(df, m_sub=5, k=8, sample=120)
     with pytest.raises(ValueError, match="smaller than k"):
         pq_train(df, m_sub=4, k=121, sample=120)
+
+
+def test_score_candidates_matches_restricted_twin(spark, world):
+    from wos_crawler_spark.operators.pq import pq_score_candidates
+
+    rows, df, books = world
+    stored = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    codes = pq_encode(df, books)
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    # candidate set: q 0 sees ids 0..29, q 1 sees odd ids, q 2 NONE
+    cand_rows = [(0, i) for i in range(30)] + [
+        (1, i) for i in range(120) if i % 2
+    ]
+    cand = spark.createDataFrame(cand_rows, "q_id long, vec_id long")
+    got = pq_score_candidates(
+        cand, codes, books, queries, k_top=5
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append(
+            (r["rank"], r["vec_id"], r["adc_nano"])
+        )
+    assert 2 not in by_q  # starved query: no candidates, no rows
+    pcodes = {i: _py_codes(v, books) for i, v in stored.items()}
+    allowed = {0: set(range(30)), 1: {i for i in range(120) if i % 2}}
+    for qid in (0, 1):
+        q = np.asarray(stored[qid], dtype=np.float64)
+        lut = [
+            [
+                int(np.floor(_seq_sq_dist(
+                    q[m * DSUB : (m + 1) * DSUB], books[m, c]) * NANO))
+                for c in range(K)
+            ]
+            for m in range(M)
+        ]
+        scored = sorted(
+            (sum(lut[m][pcodes[i][m]] for m in range(M)), i)
+            for i in allowed[qid]
+        )[:5]
+        expect = [(rk + 1, i, s) for rk, (s, i) in enumerate(scored)]
+        assert sorted(by_q[qid]) == expect, qid

@@ -255,3 +255,78 @@ def pq_topk(
         .filter(F.col("rank") <= k_top)
         .select("q_id", id_col, "adc_nano", F.col("rank").cast("int"))
     )
+
+
+def pq_score_candidates(
+    cand: DataFrame,
+    codes: DataFrame,
+    books: np.ndarray,
+    queries: DataFrame,
+    k_top: int = 10,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    id_col: str = "vec_id",
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """ADC over a CANDIDATE set — the IVF-PQ composition (FAISS's
+    IVFADC minus residual encoding, which trades exactness of the
+    oracle for a modest recall gain and is documented out): a coarse
+    quantizer proposes ``(q_id, vec_id)`` pairs (ivf_candidates),
+    and only those rows are ADC-scored, so query cost is
+    O(candidates · m_sub) integer adds instead of a corpus scan.
+    Same nano-LUT / BIGINT-sum / tie-on-vec_id protocol as
+    :func:`pq_topk`; one candidate-keyed join against the codes
+    table is the only exchange."""
+    from pyspark.sql.window import Window
+
+    m_sub, k, dsub = books.shape
+    qrows = queries.select(q_id_col, q_vec_col).orderBy(q_id_col).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"{len(qrows)} queries exceed max_queries={max_queries}"
+        )
+    luts = {}
+    for r in qrows:
+        q = np.asarray(r[q_vec_col], dtype=np.float64)
+        t = np.empty((m_sub, k), dtype=np.int64)
+        for m in range(m_sub):
+            sub = q[m * dsub : (m + 1) * dsub]
+            for c in range(k):
+                t[m, c] = int(
+                    np.floor(_seq_sq_dist(sub, books[m, c]) * NANO)
+                )
+        luts[r[q_id_col]] = t
+    q_id_type = cand.schema[q_id_col].dataType.simpleString()
+    id_type = codes.schema[id_col].dataType.simpleString()
+
+    j = cand.join(codes, id_col)
+
+    def _score(batches):
+        for pdf in batches:
+            out_q, out_i, out_s = [], [], []
+            for qid, i, cs in zip(
+                pdf[q_id_col], pdf[id_col], pdf["codes"]
+            ):
+                t = luts.get(qid)
+                if t is None:
+                    continue
+                s = 0
+                for m in range(m_sub):
+                    s += int(t[m, cs[m]])
+                out_q.append(qid)
+                out_i.append(i)
+                out_s.append(s)
+            yield pd.DataFrame(
+                {q_id_col: out_q, id_col: out_i, "adc_nano": out_s}
+            )
+
+    scored = j.mapInPandas(
+        _score,
+        f"{q_id_col} {q_id_type}, {id_col} {id_type}, adc_nano long",
+    )
+    w = Window.partitionBy(q_id_col).orderBy("adc_nano", id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select(q_id_col, id_col, "adc_nano", F.col("rank").cast("int"))
+    )
