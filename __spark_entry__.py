@@ -621,6 +621,56 @@ def q_s_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 composition — the session's new operators as ONE
+    pipeline, in published-recipe order: CCNet LM gate (hashed
+    trigram LM trained on the target slice; drop the tail tertile,
+    docs under 3 tokens unscored→dropped) → ExactSubstr span dedup
+    over the survivors (L=8 — the synthetic corpus carries ~1k
+    organic duplicate 8-grams, so the manifest genuinely bites) →
+    reassembly → token floor (≥ 10 kept). Output carries the LM
+    label and the rebuilt text; the oracle recomputes every stage
+    from scratch in one SQL chain."""
+    from wos_crawler_spark.operators.lmscore import (
+        lm_bucket,
+        lm_score_arrow,
+        lm_train,
+    )
+    from wos_crawler_spark.operators.textdedup import (
+        span_dedup_apply,
+        span_dedup_manifest,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 19 == 3)
+    c3, c2 = lm_train(ref, n_buckets=4096)
+    scored = lm_score_arrow(docs, c3, c2, n_buckets=4096)
+    head_cut, tail_cut = scored.agg(
+        F.floor(F.expr(f"percentile(avg_nano, {2 / 3!r})")).cast("long"),
+        F.floor(F.expr(f"percentile(avg_nano, {1 / 3!r})")).cast("long"),
+    ).first()
+    lab = (
+        lm_bucket(scored, int(head_cut), int(tail_cut))
+        .filter(F.col("ppl_bucket") != "tail")
+        .select("doc_id", "avg_nano", "ppl_bucket")
+    )
+    kept = docs.join(lab, "doc_id")
+    body = kept.select("doc_id", "text")
+    manifest = span_dedup_manifest(body, span_len=8, use_arrow=True)
+    rebuilt = span_dedup_apply(body, manifest)
+    return (
+        rebuilt.join(lab, "doc_id")
+        .filter(F.col("n_tokens_kept") >= 10)
+        .select(
+            "doc_id",
+            "ppl_bucket",
+            "avg_nano",
+            F.col("n_tokens_kept").cast("int").alias("n_tokens_kept"),
+            "dedup_text",
+        )
+    )
+
+
 def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF/LSH's memory-bounded sibling: product quantization ANN
     (operators/pq.py, Jégou et al. 2011). Codebooks train
@@ -1895,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_perplexity": q_text_lm_perplexity,
         "sim_pq_topk": q_sim_pq_topk,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
+        "pipeline_curation_v3": q_pipeline_curation_v3,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
@@ -2190,12 +2241,11 @@ def _pq_oracle_sql(
     """
 
 
-def _lm_oracle_sql(m: int = 4096) -> str:
-    """From-scratch CCNet-gate recomputation: salted trigram/bigram
-    md5 buckets, exact integer counts from the target slice, the
-    identical ln contribution tree floor-quantized to nano, BIGINT
-    sums, floored double division for the mean, quantile_cont
-    tertiles, head/middle/tail labels."""
+def _lm_scored_ctes(m: int = 4096) -> str:
+    """Shared CTE chain (no WITH) ending in ``sc`` (doc_id, n_tri,
+    lp_nano, avg_nano) and ``cuts`` (head_cut, tail_cut) — used by
+    both the text_lm_perplexity oracle and the pipeline_curation_v3
+    composition so the two can never drift."""
     toks = f"list_filter({_WORDS}, w -> w <> '')"
     tri_b = (
         f"[('0x' || substr(md5('lm3:' || ws[i] || ' ' || ws[i+1]"
@@ -2213,7 +2263,7 @@ def _lm_oracle_sql(m: int = 4096) -> str:
         f" FOR i IN range(1, greatest(len(ws) - 1, 0) + 1)]"
     )
     return f"""
-        WITH tok AS (
+        tok AS (
             SELECT doc_id, {toks} AS ws FROM documents
             WHERE text IS NOT NULL
         ),
@@ -2260,11 +2310,81 @@ def _lm_oracle_sql(m: int = 4096) -> str:
                         AS BIGINT) AS tail_cut
             FROM sc
         )
+    """
+
+
+def _lm_oracle_sql(m: int = 4096) -> str:
+    """From-scratch CCNet-gate recomputation: salted trigram/bigram
+    md5 buckets, exact integer counts from the target slice, the
+    identical ln contribution tree floor-quantized to nano, BIGINT
+    sums, floored double division for the mean, quantile_cont
+    tertiles, head/middle/tail labels."""
+    return f"""
+        WITH {_lm_scored_ctes(m)}
         SELECT doc_id, n_tri, lp_nano, avg_nano,
                CASE WHEN avg_nano >= head_cut THEN 'head'
                     WHEN avg_nano < tail_cut THEN 'tail'
                     ELSE 'middle' END AS ppl_bucket
         FROM sc CROSS JOIN cuts
+    """
+
+
+def _curation_v3_oracle_sql(m: int = 4096, span_len: int = 8) -> str:
+    """The v3 composition from scratch in one SQL chain: the shared
+    LM CTEs → drop the tail tertile → ExactSubstr span dedup over the
+    survivors (same md5-window/rank/coverage rule as the dedup_spans
+    oracles, L = span_len) → token rebuild → floor ≥ 10."""
+    L = int(span_len)
+    return f"""
+        WITH {_lm_scored_ctes(m)},
+        keep AS (
+            SELECT sc.doc_id, sc.avg_nano,
+                   CASE WHEN sc.avg_nano >= cuts.head_cut THEN 'head'
+                        ELSE 'middle' END AS ppl_bucket
+            FROM sc CROSS JOIN cuts
+            WHERE sc.avg_nano >= cuts.tail_cut
+        ),
+        w AS (
+            SELECT d.doc_id, {_WORDS} AS w
+            FROM documents d JOIN keep USING (doc_id)
+        ),
+        sp AS (
+            SELECT doc_id, i - 1 AS pos,
+                   md5(array_to_string(w[i : i + {L - 1}], ' ')) AS h
+            FROM w, unnest(generate_series(1, len(w) - {L - 1})) AS t(i)
+            WHERE len(w) >= {L}
+        ),
+        r AS (
+            SELECT doc_id, pos, row_number() OVER (
+                       PARTITION BY h ORDER BY doc_id, pos) AS rn
+            FROM sp
+        ),
+        rem AS (
+            SELECT doc_id, pos AS st, pos + {L} AS en
+            FROM r WHERE rn > 1
+        ),
+        tokpos AS (
+            SELECT doc_id, i - 1 AS p, w[i] AS tok
+            FROM w, unnest(generate_series(1, len(w))) AS t(i)
+        ),
+        keptok AS (
+            SELECT tp.doc_id, tp.p, tp.tok
+            FROM tokpos tp
+            WHERE NOT EXISTS (
+                SELECT 1 FROM rem
+                WHERE rem.doc_id = tp.doc_id
+                  AND tp.p >= rem.st AND tp.p < rem.en)
+        ),
+        rebuilt AS (
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY p) AS dedup_text,
+                   CAST(count(*) AS INT) AS n_tokens_kept
+            FROM keptok GROUP BY doc_id
+        )
+        SELECT k.doc_id, k.ppl_bucket, k.avg_nano,
+               rb.n_tokens_kept, rb.dedup_text
+        FROM keep k JOIN rebuilt rb USING (doc_id)
+        WHERE rb.n_tokens_kept >= 10
     """
 
 
@@ -2867,6 +2987,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lm_perplexity": _lm_oracle_sql(),
         "sim_pq_topk": _pq_oracle_sql(),
         "sim_ivfpq_topk": _pq_oracle_sql(candidates=True),
+        "pipeline_curation_v3": _curation_v3_oracle_sql(),
         "dedup_spans": f"""
             -- ExactSubstr manifest recomputed from scratch: same
             -- combo fixture, same norm/tokenize rule, md5 of every
