@@ -621,6 +621,29 @@ def q_s_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a_hll_host_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host distinct-URL cardinality by HyperLogLog
+    (operators/sketches.py): the crawl-analytics sketch that replaces
+    exact per-host distinct counting at 10^10 urls. Fixture plants
+    duplicate urls (doc_id % 150) so distinct ≠ count; p=4 puts every
+    host in the raw harmonic branch (n ≈ 70 ≫ 2.5·m = 40). The
+    harmonic sum is a sum of dyadic rationals — exactly
+    order-independent in float64 — so the oracle recomputes buckets,
+    rhos (via bin-length, no float log), registers and the identical
+    estimate tree from scratch."""
+    from wos_crawler_spark.operators.sketches import hll_count_distinct
+
+    d = F.col("doc_id")
+    k = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (d % 7).cast("string")).alias("host"),
+        F.concat(
+            F.lit("https://h"), (d % 7).cast("string"),
+            F.lit(".ex/p/"), (d % 150).cast("string"),
+        ).alias("url"),
+    )
+    return hll_count_distinct(k, "url", p=4, group_cols=["host"])
+
+
 def q_pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-3 composition — the session's new operators as ONE
     pipeline, in published-recipe order: CCNet LM gate (hashed
@@ -1946,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_topk": q_sim_pq_topk,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "pipeline_curation_v3": q_pipeline_curation_v3,
+        "a_hll_host_cardinality": q_a_hll_host_cardinality,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
@@ -2988,6 +3012,52 @@ def oracle_sql() -> dict[str, str]:
         "sim_pq_topk": _pq_oracle_sql(),
         "sim_ivfpq_topk": _pq_oracle_sql(candidates=True),
         "pipeline_curation_v3": _curation_v3_oracle_sql(),
+        "a_hll_host_cardinality": f"""
+            -- HLL from scratch: md5 buckets, bin-length rhos (no
+            -- float log), max registers, the identical estimate tree
+            -- (left-assoc alpha*m*m, dyadic harmonic sum — exactly
+            -- order-independent — and the linear-counting branch).
+            WITH k AS (
+                SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+                       'https://h' || CAST(doc_id % 7 AS VARCHAR)
+                         || '.ex/p/' || CAST(doc_id % 150 AS VARCHAR)
+                         AS url
+                FROM documents
+            ),
+            br AS (
+                SELECT host,
+                       ('0x' || substr(md5(url), 1, 8))::BIGINT % 16
+                         AS bucket,
+                       CASE WHEN ('0x' || substr(md5(url), 9, 8))
+                                   ::BIGINT = 0 THEN 33
+                            ELSE 33 - length(bin(
+                                ('0x' || substr(md5(url), 9, 8))
+                                  ::BIGINT)) END AS rho
+                FROM k
+            ),
+            regs AS (
+                SELECT host, bucket, max(rho) AS rho
+                FROM br GROUP BY host, bucket
+            ),
+            agg AS (
+                SELECT host, count(*)::BIGINT AS n_obs,
+                       sum(pow(2.0, -rho)) AS hs
+                FROM regs GROUP BY host
+            )
+            SELECT host, n_obs,
+                   CAST(16 - n_obs AS BIGINT) AS zeros,
+                   CAST(floor(
+                     CASE WHEN ((0.673 * 16.0) * 16.0)
+                                / (hs + CAST(16 - n_obs AS DOUBLE))
+                                <= 40.0
+                            AND n_obs < 16
+                          THEN 16.0 * ln(16.0 /
+                                  CAST(16 - n_obs AS DOUBLE))
+                          ELSE ((0.673 * 16.0) * 16.0)
+                                / (hs + CAST(16 - n_obs AS DOUBLE))
+                     END) AS BIGINT) AS est
+            FROM agg
+        """,
         "dedup_spans": f"""
             -- ExactSubstr manifest recomputed from scratch: same
             -- combo fixture, same norm/tokenize rule, md5 of every
