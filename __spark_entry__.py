@@ -709,7 +709,10 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_train,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # project BEFORE the Arrow passes: mapInPandas consumes whole
+    # rows, so pruning must happen upstream of it or the scan reads
+    # the unused label column
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     books = pq_train(emb, m_sub=8, k=16, n_iter=5, sample=500)
     codes = pq_encode(emb, books)
     queries = emb.filter(F.col("vec_id") < 3)

@@ -60,6 +60,7 @@ ENTRY_QUERIES = [
     "dsir_select",
     "dedup_spans",
     "text_lm_perplexity",
+    "pipeline_curation_v3",
 ]
 
 
