@@ -625,7 +625,8 @@ def q_a_hll_host_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host distinct-URL cardinality by HyperLogLog
     (operators/sketches.py): the crawl-analytics sketch that replaces
     exact per-host distinct counting at 10^10 urls. Fixture plants
-    duplicate urls (doc_id % 150) so distinct ≠ count; p=4 puts every
+    duplicate urls (doc_id % 50 under a % 7 host — lcm 350 < 500,
+    so repeats genuinely occur) and distinct ≠ count; p=4 puts every
     host in the raw harmonic branch (n ≈ 70 ≫ 2.5·m = 40). The
     harmonic sum is a sum of dyadic rationals — exactly
     order-independent in float64 — so the oracle recomputes buckets,
@@ -638,10 +639,31 @@ def q_a_hll_host_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("h"), (d % 7).cast("string")).alias("host"),
         F.concat(
             F.lit("https://h"), (d % 7).cast("string"),
-            F.lit(".ex/p/"), (d % 150).cast("string"),
+            F.lit(".ex/p/"), (d % 50).cast("string"),
         ).alias("url"),
     )
     return hll_count_distinct(k, "url", p=4, group_cols=["host"])
+
+
+def q_a_cms_url_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL frequency estimation by count-min sketch
+    (operators/sketches.py): the never-undercounting counter table
+    that replaces exact per-key counting at 10^10 urls. Same
+    duplicate-url fixture as the HLL entry (doc_id % 50 under a % 7
+    host); width 64 « the ~350 distinct keys forces real collisions,
+    so the entry exercises genuine over-counts — identical in both
+    engines because everything is exact integer arithmetic."""
+    from wos_crawler_spark.operators.sketches import cms_lookup, cms_table
+
+    d = F.col("doc_id")
+    k = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"), (d % 7).cast("string"),
+            F.lit(".ex/p/"), (d % 50).cast("string"),
+        ).alias("url")
+    )
+    t = cms_table(k, "url", depth=3, width=64)
+    return cms_lookup(t, k.distinct(), "url", depth=3, width=64)
 
 
 def q_pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1973,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "pipeline_curation_v3": q_pipeline_curation_v3,
         "a_hll_host_cardinality": q_a_hll_host_cardinality,
+        "a_cms_url_frequency": q_a_cms_url_frequency,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
@@ -3015,6 +3038,36 @@ def oracle_sql() -> dict[str, str]:
         "sim_pq_topk": _pq_oracle_sql(),
         "sim_ivfpq_topk": _pq_oracle_sql(candidates=True),
         "pipeline_curation_v3": _curation_v3_oracle_sql(),
+        "a_cms_url_frequency": """
+            -- count-min from scratch: row-salted md5 buckets, exact
+            -- integer counters, min over depth rows — no floats.
+            WITH k AS (
+                SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR)
+                         || '.ex/p/' || CAST(doc_id % 50 AS VARCHAR)
+                         AS url
+                FROM documents
+            ),
+            pairs AS (
+                SELECT r,
+                       ('0x' || substr(md5(url || 'cms' || r), 1, 8))
+                         ::BIGINT % 64 AS bucket
+                FROM k, unnest([0, 1, 2]) t(r)
+            ),
+            tab AS (
+                SELECT r, bucket, count(*)::BIGINT AS c
+                FROM pairs GROUP BY r, bucket
+            ),
+            probes AS (SELECT DISTINCT url FROM k)
+            SELECT p.url,
+                   CAST(min(coalesce(t.c, 0)) AS BIGINT) AS est
+            FROM probes p
+            CROSS JOIN unnest([0, 1, 2]) rr(r)
+            LEFT JOIN tab t
+              ON t.r = rr.r
+             AND t.bucket = ('0x' || substr(
+                     md5(p.url || 'cms' || rr.r), 1, 8))::BIGINT % 64
+            GROUP BY p.url
+        """,
         "a_hll_host_cardinality": f"""
             -- HLL from scratch: md5 buckets, bin-length rhos (no
             -- float log), max registers, the identical estimate tree
@@ -3023,7 +3076,7 @@ def oracle_sql() -> dict[str, str]:
             WITH k AS (
                 SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
                        'https://h' || CAST(doc_id % 7 AS VARCHAR)
-                         || '.ex/p/' || CAST(doc_id % 150 AS VARCHAR)
+                         || '.ex/p/' || CAST(doc_id % 50 AS VARCHAR)
                          AS url
                 FROM documents
             ),

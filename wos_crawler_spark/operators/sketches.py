@@ -151,3 +151,109 @@ def hll_count_distinct(
     return hll_estimate(
         hll_registers(df, key_col, p, group_cols, salt), p, group_cols
     )
+
+
+# ---------------------------------------------------- count-min sketch
+#
+# Cormode & Muthukrishnan 2005 — the frequency twin of the HLL
+# cardinality sketch: "how often has THIS url/host/shape been seen"
+# from a (depth × width) counter table instead of an exact
+# per-key count (a full key-space shuffle at 10^10 urls). Estimates
+# NEVER undercount; overcount is bounded by ε·N with probability
+# 1−δ at width=⌈e/ε⌉, depth=⌈ln 1/δ⌉. Merging sketches of disjoint
+# streams is counter-wise addition. Everything is exact integer
+# arithmetic — the oracle recomputes buckets, counters and the min
+# reduction from scratch with no float protocol at all.
+
+
+def cms_bucket(key: Column, row: int, width: int, salt: str = "cms") -> Column:
+    """Row-salted md5 bucket — depth independent hash functions from
+    one digest family."""
+    k = F.concat(key.cast("string"), F.lit(f"{salt}{row}"))
+    return F.pmod(
+        F.conv(F.substring(F.md5(k), 1, 8), 16, 10).cast("long"),
+        F.lit(width),
+    )
+
+
+def cms_table(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+    salt: str = "cms",
+) -> DataFrame:
+    """``(row, bucket, c)`` — the sketch state. One exploded
+    projection (depth rows per input row, map-side) and one partial-
+    aggregated exchange capped at depth·width rows. ``weight_col``
+    counts weighted occurrences (e.g. bytes per url) instead of 1."""
+    if depth < 1 or width < 2:
+        raise ValueError("need depth >= 1 and width >= 2")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        cms_bucket(
+                            F.col(key_col), r, width, salt
+                        ).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_rb"),
+        w.alias("_w"),
+    )
+    return (
+        rows.select("_rb.row", "_rb.bucket", "_w")
+        .groupBy("row", "bucket")
+        .agg(F.sum("_w").alias("c"))
+    )
+
+
+def cms_merge(*tables: DataFrame) -> DataFrame:
+    """Counter-wise addition — sketches of disjoint streams combine
+    exactly (CM is a linear sketch)."""
+    it = iter(tables)
+    u = next(it)
+    for t in it:
+        u = u.unionByName(t)
+    return u.groupBy("row", "bucket").agg(F.sum("c").alias("c"))
+
+
+def cms_lookup(
+    table: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """``(key, est)`` — min over the depth row counters (absent
+    counter = 0). The sketch side broadcasts (≤ depth·width rows);
+    the keys side never shuffles."""
+    probes = keys.select(
+        F.col(key_col),
+        *[
+            cms_bucket(F.col(key_col), r, width, salt).alias(f"_b{r}")
+            for r in range(depth)
+        ],
+    )
+    out = probes
+    for r in range(depth):
+        side = table.filter(F.col("row") == r).select(
+            F.col("bucket").alias(f"_b{r}"),
+            F.col("c").alias(f"_c{r}"),
+        )
+        out = out.join(F.broadcast(side), f"_b{r}", "left")
+    est = F.least(
+        *[F.coalesce(F.col(f"_c{r}"), F.lit(0)) for r in range(depth)]
+    )
+    return out.select(F.col(key_col), est.alias("est"))
