@@ -194,3 +194,72 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
     }
     assert got == batch and len(got) > 0
     assert all(v[1] >= 1 and "<EMAIL>" in v[2] for v in got.values())
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """The HLL register table lifts onto readStream unchanged (it is
+    a groupBy-max — update-mode streaming state), so per-host
+    distinct-URL sketches can be maintained live during a crawl and
+    the final registers equal the batch sketch of the same rows."""
+    from wos_crawler_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    src = str(tmp_path / "url_stream")
+    rows = [
+        (f"h{i % 3}", f"https://h{i % 3}.ex/p/{i % 40}")
+        for i in range(600)
+    ]
+    schema = "host string, url string"
+    # two micro-batch files so state genuinely carries across batches
+    spark.createDataFrame(rows[:300], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(rows[300:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    regs = hll_registers(stream, "url", p=8, group_cols=["host"])
+    from wos_crawler_spark.streaming.ingest import run_stream_to_memory
+
+    q = run_stream_to_memory(regs, "hll_regs", mode="update")
+    try:
+        q.processAllAvailable()
+        # update mode re-emits rows per batch: latest value per key
+        got_rows = spark.sql(
+            "select host, bucket, max(rho) as rho from hll_regs "
+            "group by host, bucket"
+        ).collect()
+    finally:
+        q.stop()
+    got = sorted((r["host"], r["bucket"], r["rho"]) for r in got_rows)
+    batch_df = spark.createDataFrame(rows, schema)
+    expect = sorted(
+        map(
+            tuple,
+            hll_registers(
+                batch_df, "url", p=8, group_cols=["host"]
+            ).collect(),
+        )
+    )
+    assert got == expect and len(got) > 0
+    # and the estimates from those registers are sane per host
+    est = {
+        r["host"]: r["est"]
+        for r in hll_estimate(
+            spark.createDataFrame(
+                got, "host string, bucket long, rho int"
+            ),
+            p=8,
+            group_cols=["host"],
+        ).collect()
+    }
+    for h in ("h0", "h1", "h2"):
+        truth = len({u for hh, u in rows if hh == h})
+        assert abs(est[h] - truth) / truth < 0.25, (h, est[h], truth)
