@@ -556,6 +556,19 @@ def q_dedup_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_jaccard_exact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join via prefix filtering
+    (textdedup.prefix_jaccard_pairs — Vernica/Carey/Li 2010): every
+    word-trigram-shingle pair with Jaccard ≥ 1/2, found exactly (the
+    engine runs df-ordered prefix candidates + integer verification;
+    the oracle is a brute-force all-pairs recomputation that never
+    sees a prefix — a genuinely independent completeness check)."""
+    from wos_crawler_spark.operators.textdedup import prefix_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return prefix_jaccard_pairs(docs, shingle_n=3, t_num=1, t_den=2)
+
+
 def q_f_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution (operators/redirects.py, path
     doubling — ceil(log2(max_hops)) self-joins instead of per-chain
@@ -1988,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_spans": q_dedup_spans,
         "dedup_spans_apply": q_dedup_spans_apply,
+        "dedup_jaccard_exact_join": q_dedup_jaccard_exact_join,
         "f_resolve_redirects": q_f_resolve_redirects,
         "s_wet_roundtrip": q_s_wet_roundtrip,
         "text_lm_perplexity": q_text_lm_perplexity,
@@ -3161,6 +3175,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(en) AS INT) AS span_end,
                    CAST(max(en) - min(st) AS INT) AS n_tokens
             FROM g2 GROUP BY doc_id, grp
+        """,
+        "dedup_jaccard_exact_join": f"""
+            -- brute-force all-pairs recomputation: no prefixes, no
+            -- df ordering — an independent completeness oracle for
+            -- the prefix-filtered join. Short docs emit ONE shingle
+            -- (the whole word array joined), mirroring
+            -- shingles_from_words' greatest(1, n-2) convention.
+            WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct([
+                           array_to_string(ws[i : i + 2], ' ')
+                           FOR i IN range(1,
+                               greatest(len(ws) - 2, 1) + 1)
+                       ]) AS s
+                FROM w
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.s, b.s)) AS BIGINT)
+                     AS n_inter,
+                   CAST(len(a.s) + len(b.s)
+                        - len(list_intersect(a.s, b.s)) AS BIGINT)
+                     AS n_union
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s)) * 2
+                  >= (len(a.s) + len(b.s)
+                      - len(list_intersect(a.s, b.s))) * 1
         """,
         "dedup_ngram_jaccard": f"""
             WITH sh AS (

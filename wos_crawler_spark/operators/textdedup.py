@@ -798,3 +798,120 @@ def span_dedup_apply(
         F.array_join(kept, " ").alias("dedup_text"),
         F.size(kept).alias("n_tokens_kept"),
     )
+
+
+# ------------------------------------ exact set-similarity join (VJ)
+#
+# Vernica, Carey & Li 2010 ("Efficient Parallel Set-Similarity Joins
+# Using MapReduce") / the AllPairs-ppjoin family — the EXACT
+# counterpart to MinHash-LSH: every pair with Jaccard ≥ t is found
+# (no probabilistic recall), yet the candidate join touches only
+# PREFIX tokens. Tokens get a global rarest-first total order
+# (document frequency asc, token asc); a record of n tokens emits its
+# first n − ⌈t·n⌉ + 1 ordered tokens. Completeness: if J(a,b) ≥ t,
+# the globally-smallest shared token is provably inside BOTH
+# prefixes (any prefix missing it would bound |∩| ≤ ⌈t·n⌉ − 1,
+# contradicting |∩| ≥ t·|∪| ≥ t·n) — so the prefix-token equi join
+# cannot miss a qualifying pair. Thresholds are RATIONAL
+# (t = t_num / t_den): prefix lengths, length pruning and the final
+# verification are all integer cross-multiplications — no float
+# boundary anywhere, so the all-pairs DuckDB oracle is exact.
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """``(id_a, id_b, n_inter, n_union)`` — ALL pairs with word-
+    ``shingle_n``-gram Jaccard ≥ t_num/t_den, exactly.
+
+    Scale shape: (1) shingle-df counts — one exchange capped at
+    vocabulary size by partial aggregation; (2) the rarest-first
+    re-sort — one shingle-keyed join + one per-doc regroup; (3) the
+    candidate join keyed by PREFIX shingles only (rare tokens by
+    construction → small, well-spread buckets; the frequent-token
+    explosion AllPairs suffers is exactly what the df-ordering
+    avoids); (4) verification re-reads the compact (id, set) table
+    for candidate ids only. Nothing quadratic materializes unless
+    the data is genuinely all-near-duplicate."""
+    if not (0 < t_num <= t_den):
+        raise ValueError("need 0 < t_num <= t_den")
+    w = df.select(F.col(id_col).alias("_id"), words_of(F.col(text_col)).alias("_w"))
+    sets_ = w.select(
+        "_id", shingles_from_words(F.col("_w"), shingle_n).alias("_s")
+    ).select("_id", "_s", F.size("_s").alias("_n"))
+
+    tok = sets_.select("_id", "_n", F.explode("_s").alias("_t"))
+    dfreq = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    # rarest-first total order: (df asc, token asc) via array_sort
+    # over structs (field-lexicographic)
+    ordered = (
+        tok.join(dfreq, "_t")
+        .groupBy("_id", "_n")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_df", F.col("_t").alias("_tk")))
+            ).alias("_ord")
+        )
+    )
+    # prefix length = n − ceil(t·n) + 1, all-integer ceil division
+    plen = (
+        F.col("_n")
+        - F.expr(f"(({t_num} * _n + {t_den} - 1) div {t_den})")
+        + F.lit(1)
+    ).cast("int")
+    prefix = ordered.select(
+        "_id",
+        "_n",
+        F.explode(
+            F.transform(
+                F.slice("_ord", 1, plen), lambda s: s["_tk"]
+            )
+        ).alias("_t"),
+    )
+    a = prefix.select(
+        F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "_t"
+    )
+    b = prefix.select(
+        F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "_t"
+    )
+    cand = (
+        a.join(b, "_t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length pruning (exact integer form): J ≥ t needs
+        # min·t_den ≥ max·t_num
+        .filter(
+            (F.col("_na") * t_den >= F.col("_nb") * t_num)
+            & (F.col("_nb") * t_den >= F.col("_na") * t_num)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets_.select(
+        F.col("_id").alias("id_a"),
+        F.col("_s").alias("_sa"),
+        F.col("_n").alias("_na"),
+    )
+    sb = sets_.select(
+        F.col("_id").alias("id_b"),
+        F.col("_s").alias("_sb"),
+        F.col("_n").alias("_nb"),
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_inter", inter)
+        .withColumn("n_union", F.col("_na") + F.col("_nb") - inter)
+        .filter(F.col("n_inter") * t_den >= F.col("n_union") * t_num)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.col("n_union").cast("long").alias("n_union"),
+        )
+    )
