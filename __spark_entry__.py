@@ -556,6 +556,27 @@ def q_dedup_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-AND retrieval (bm25.containment_join): docs whose
+    distinct token set contains EVERY token of the query — the
+    strict form of benchmark-leak forensics next to BM25's ranked
+    OR. Queries are the first-5-token prefixes of docs 0-2 (each
+    guaranteed at least its self-match). The oracle restates
+    containment independently via list_has_all over the same
+    normalized token sets."""
+    from wos_crawler_spark.operators.bm25 import containment_join
+    from wos_crawler_spark.operators.textdedup import words_of
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("q_id"),
+        F.concat_ws(" ", F.slice(words_of(F.col("text")), 1, 5)).alias(
+            "q_text"
+        ),
+    )
+    return containment_join(docs, queries)
+
+
 def q_dedup_jaccard_exact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact set-similarity self-join via prefix filtering
     (textdedup.prefix_jaccard_pairs — Vernica/Carey/Li 2010): every
@@ -2002,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "dedup_spans_apply": q_dedup_spans_apply,
         "dedup_jaccard_exact_join": q_dedup_jaccard_exact_join,
+        "text_containment_join": q_text_containment_join,
         "f_resolve_redirects": q_f_resolve_redirects,
         "s_wet_roundtrip": q_s_wet_roundtrip,
         "text_lm_perplexity": q_text_lm_perplexity,
@@ -3175,6 +3197,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(en) AS INT) AS span_end,
                    CAST(max(en) - min(st) AS INT) AS n_tokens
             FROM g2 GROUP BY doc_id, grp
+        """,
+        "text_containment_join": f"""
+            -- containment restated independently: list_has_all over
+            -- the same normalized distinct token sets (the engine
+            -- never computes list_has_all — it counts matched terms)
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(list_distinct({_WORDS}),
+                                   x -> x <> '') AS s
+                FROM documents
+            ),
+            raw AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            q AS (
+                SELECT doc_id AS q_id,
+                       list_filter(list_distinct(ws[1 : 5]),
+                                   x -> x <> '') AS qs
+                FROM raw WHERE doc_id < 3
+            )
+            SELECT q.q_id, w.doc_id
+            FROM w CROSS JOIN q
+            WHERE len(q.qs) >= 1 AND list_has_all(w.s, q.qs)
         """,
         "dedup_jaccard_exact_join": f"""
             -- brute-force all-pairs recomputation: no prefixes, no

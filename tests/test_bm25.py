@@ -125,3 +125,49 @@ def test_postings_and_lengths(spark):
     assert posts[(3, "cat")] == 4 and posts[(1, "the")] == 2
     dls = {r["doc_id"]: r["dl"] for r in doc_lengths(docs).collect()}
     assert dls[1] == 6 and dls[6] == 0 and dls[7] == 0
+
+
+def test_containment_join_exact_and_edges(spark):
+    """Boolean-AND retrieval: brute-force parity over a planted
+    corpus; duplicate query tokens collapse; empty queries match
+    nothing; partitioning invariance."""
+    from wos_crawler_spark.operators.bm25 import containment_join
+
+    docs = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta"),
+        (2, "beta gamma alpha zz alpha"),  # dup tokens in doc
+        (3, "unrelated words entirely"),
+        (4, ""),
+    ]
+    queries = [
+        (10, "alpha beta"),          # ⊆ docs 0, 1, 2
+        (11, "alpha alpha beta"),    # dup q tokens collapse → same
+        (12, "gamma delta"),         # ⊆ doc 0 only
+        (13, "alpha zz zz"),         # ⊆ doc 2 only
+        (14, ""),                    # empty → nothing
+        (15, "   "),                 # whitespace → nothing
+        (16, "absent token"),        # no match
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string").repartition(3)
+    q = spark.createDataFrame(queries, "q_id long, q_text string")
+    got = sorted(
+        (r["q_id"], r["doc_id"])
+        for r in containment_join(d, q).collect()
+    )
+    expect = []
+    for qid, qt in queries:
+        qs = set(qt.lower().split())
+        if not qs:
+            continue
+        for did, dt in docs:
+            if qs <= set(dt.lower().split()):
+                expect.append((qid, did))
+    assert got == sorted(expect)
+    assert (10, 0) in got and (11, 1) in got and (13, 2) in got
+    assert not any(q_ in (14, 15, 16) for q_, _ in got)
+    again = sorted(
+        (r["q_id"], r["doc_id"])
+        for r in containment_join(d.repartition(11), q).collect()
+    )
+    assert again == got

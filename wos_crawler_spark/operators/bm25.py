@@ -163,3 +163,61 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "doc_id", "n_terms", "score_nano", "rank")
     )
+
+
+def containment_join(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    q_id_col: str = "q_id",
+    q_text_col: str = "q_text",
+) -> DataFrame:
+    """Boolean-AND retrieval — ``(q_id, doc_id)`` for every document
+    whose distinct token set CONTAINS every distinct query token
+    (q ⊆ d). The exact complement to :func:`bm25_topk`'s ranked-OR:
+    "which training docs contain ALL of this eval question's tokens"
+    is the strict form of benchmark-leak forensics, and the all-
+    integer contract (match counts vs query sizes) needs no float
+    protocol at all.
+
+    Scale shape (the bm25 move): the corpus side explodes to
+    DISTINCT (doc, term) pairs and is immediately semi-joined to the
+    broadcast query-term set, so the only corpus-wide exchange
+    carries query-term postings — never the vocabulary; matches then
+    collapse per (q, doc) and a doc qualifies iff its matched-term
+    count equals the query's token count. Empty/whitespace queries
+    match NOTHING (a vacuous ⊆ would return the whole corpus —
+    refused by contract)."""
+    qtok = (
+        queries.select(
+            F.col(q_id_col).alias("q_id"),
+            F.explode(
+                F.array_distinct(words_of(F.col(q_text_col)))
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    qn = qtok.groupBy("q_id").agg(F.count(F.lit(1)).alias("_nq"))
+    dterms = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(words_of(F.col(text_col)))
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .join(
+            F.broadcast(qtok.select("term").distinct()),
+            "term",
+            "left_semi",
+        )
+    )
+    return (
+        dterms.join(F.broadcast(qtok), "term")
+        .groupBy("q_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_nh"))
+        .join(F.broadcast(qn), "q_id")
+        .filter(F.col("_nh") == F.col("_nq"))
+        .select("q_id", "doc_id")
+    )
