@@ -1068,6 +1068,32 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(docs, "stratum", "doc_id", alpha=0.5)
 
 
+def q_sample_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fractional UPsampling — the other half of the
+    mixing recipe (sample_mixture can only thin): high-value sources
+    repeat (wiki ×3, books ×2.5) per the Pile/LLaMA epoch tables,
+    each copy stamped with a 0-based epoch, the fractional extra copy
+    decided by the md5 draw. One map-side explode — the corpus never
+    shuffles, output multiplicity is exact floor(rate)+Bernoulli(frac)
+    per key, reproducible under any partitioning. Oracle recomputes
+    copy counts and unrolls them with generate_series."""
+    from wos_crawler_spark.operators.sampling import stratified_upsample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 100 < 80, "web")
+        .when(F.col("doc_id") % 100 < 95, "news")
+        .when(F.col("doc_id") % 100 < 99, "books")
+        .otherwise("wiki")
+        .alias("stratum"),
+    )
+    return stratified_upsample(
+        docs, "doc_id", "stratum",
+        rates={"wiki": 3.0, "books": 2.5, "news": 1.0, "web": 0.25},
+        default_rate=1.0,
+    )
+
+
 def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation pipeline — the LLM-corpus
     composition the individual operators exist for, as ONE lazy plan
@@ -2066,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,
         "sample_mixture": q_sample_mixture,
+        "sample_upsample": q_sample_upsample,
         "pipeline_curation": q_pipeline_curation,
         "pipeline_curation_v2": q_pipeline_curation_v2,
         "text_lang_id": q_text_lang_id,
@@ -3647,6 +3674,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
                                       || 'mix'), 1, 8))::BIGINT
                   / 4294967296.0 < rate
+        """,
+        "sample_upsample": """
+            -- fractional repetition: n = floor(rate) + (draw < frac);
+            -- epochs unrolled by generate_series (empty when n = 0)
+            WITH strat AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 100 < 80 THEN 'web'
+                            WHEN doc_id % 100 < 95 THEN 'news'
+                            WHEN doc_id % 100 < 99 THEN 'books'
+                            ELSE 'wiki' END AS stratum
+                FROM documents
+            ),
+            base AS (
+                SELECT doc_id, stratum,
+                       CASE stratum WHEN 'wiki' THEN 3 WHEN 'books' THEN 2
+                                    WHEN 'news' THEN 1 WHEN 'web' THEN 0
+                                    ELSE 1 END
+                       + CASE WHEN ('0x' || substr(md5(doc_id || 'rep'),
+                                                   1, 8))::BIGINT
+                                   / 4294967296.0
+                                   < CASE stratum WHEN 'books' THEN 0.5
+                                                  WHEN 'web' THEN 0.25
+                                                  ELSE 0.0 END
+                              THEN 1 ELSE 0 END AS n_copies
+                FROM strat
+            )
+            SELECT doc_id, stratum,
+                   unnest(range(n_copies::BIGINT))::BIGINT AS epoch
+            FROM base
         """,
         "pipeline_curation": f"""
             WITH base AS (

@@ -155,3 +155,110 @@ def test_mixture_sample_deterministic_and_flattening(spark):
     assert set(kept.columns) == {"doc_id", "source"}
     with _pytest.raises(ValueError):
         mixture_sample(df, "source", "doc_id", alpha=0.0)
+
+
+# ---------------------------------------------------------------- upsampling
+
+
+def _py_draw(key, salt):
+    import hashlib
+
+    return int(hashlib.md5(f"{key}{salt}".encode()).hexdigest()[:8], 16) / 2**32
+
+
+def _py_copies(key, rate, salt="rep"):
+    n_full = int(rate)
+    frac = float(rate) - n_full
+    return n_full + (1 if _py_draw(key, salt) < frac else 0)
+
+
+def test_upsample_matches_python_twin_and_is_partitioning_invariant(spark):
+    from wos_crawler_spark.operators.sampling import upsample_with_repetition
+
+    df = _docs(spark, 500)
+    got = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in upsample_with_repetition(df.repartition(7), "doc_id", 2.3).collect()
+    )
+    got17 = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in upsample_with_repetition(df.repartition(17), "doc_id", 2.3).collect()
+    )
+    assert got == got17
+    want = sorted(
+        (i, e) for i in range(500) for e in range(_py_copies(i, 2.3))
+    )
+    assert got == want
+    # realized multiplicity lands near the nominal rate
+    assert 2.15 < len(got) / 500 < 2.45
+
+
+def test_upsample_integral_rate_and_epoch_prefix_monotonicity(spark):
+    from wos_crawler_spark.operators.sampling import upsample_with_repetition
+
+    df = _docs(spark, 300)
+    # integral rate: exactly 3 copies per row, epochs 0..2
+    r3 = upsample_with_repetition(df, "doc_id", 3.0)
+    per = {
+        r["doc_id"]: r["n"]
+        for r in r3.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(per.values()) == {3} and len(per) == 300
+    # epoch sets are prefixes: rate r corpus ⊆ rate r+1 corpus
+    lo = {(r["doc_id"], r["epoch"]) for r in upsample_with_repetition(df, "doc_id", 1.4).collect()}
+    hi = {(r["doc_id"], r["epoch"]) for r in upsample_with_repetition(df, "doc_id", 2.4).collect()}
+    assert lo <= hi
+
+
+def test_upsample_subunit_rate_equals_deterministic_sample(spark):
+    from wos_crawler_spark.operators.sampling import (
+        deterministic_sample,
+        upsample_with_repetition,
+    )
+
+    df = _docs(spark, 800)
+    up = upsample_with_repetition(df, "doc_id", 0.3, salt="s")
+    assert {r["epoch"] for r in up.collect()} == {0}
+    assert {r["doc_id"] for r in up.collect()} == {
+        r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.3, salt="s").collect()
+    }
+
+
+def test_upsample_null_key_block_and_negative_rate_raise(spark):
+    import pytest as _pytest
+
+    from wos_crawler_spark.operators.sampling import upsample_with_repetition
+
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (1, "c")], "k int, v string"
+    )
+    out = upsample_with_repetition(df, "k", 2.7).collect()
+    # NULL keys share one sentinel draw: both NULL rows get the SAME count
+    counts = {}
+    for r in out:
+        counts.setdefault((r["k"], r["v"]), 0)
+        counts[(r["k"], r["v"])] += 1
+    assert counts[(None, "a")] == counts[(None, "b")] >= 2
+    with _pytest.raises(ValueError):
+        upsample_with_repetition(df, "k", -0.1)
+
+
+def test_stratified_upsample_rates_table(spark):
+    from wos_crawler_spark.operators.sampling import stratified_upsample
+
+    df = _docs(spark, 400)  # lang cycles en/zh/de/es
+    out = stratified_upsample(
+        df, "doc_id", "lang",
+        rates={"en": 3.0, "zh": 0.5}, default_rate=1.0,
+    )
+    per_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_lang["en"] == 300  # 100 en rows x exactly 3
+    assert per_lang["de"] == 100 and per_lang["es"] == 100  # default x1
+    assert 25 < per_lang["zh"] < 75  # ~half kept
+    # python twin for the fractional stratum
+    zh_ids = {r["doc_id"] for r in out.filter(F.col("lang") == "zh").collect()}
+    want = {i for i in range(400) if i % 4 == 1 and _py_draw(i, "rep") < 0.5}
+    assert zh_ids == want

@@ -83,6 +83,99 @@ def split_train_holdout(
     return df.filter(h >= holdout_rate), df.filter(h < holdout_rate)
 
 
+def _copies_expr(key: Column, rate: float, salt: str) -> Column:
+    """Copy count for one row under fractional repetition ``rate``:
+    ``floor(rate)`` guaranteed copies plus one extra iff the row's md5
+    draw clears the fractional part. The floor/frac split happens
+    driver-side in python, so both engines compare the SAME double
+    literal against the SAME dyadic draw — no float boundary can
+    disagree. ``rate < 1`` degenerates to :func:`deterministic_sample`
+    (0 or 1 copies), so upsampling strictly generalizes thinning."""
+    if rate < 0:
+        raise ValueError("rate must be >= 0")
+    n_full = int(rate)  # floor for non-negative floats
+    frac = float(rate) - n_full
+    extra = F.when(
+        sample_hash(key, salt) < F.lit(frac), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (F.lit(n_full) + extra).cast("int")
+
+
+def upsample_with_repetition(
+    df: DataFrame,
+    key_col: str,
+    rate: float,
+    salt: str = "rep",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic fractional UPsampling — the missing half of the
+    mixing recipe. :func:`mixture_sample` can only thin (rate ≤ 1);
+    real pretraining mixes REPEAT high-value sources (Wikipedia ×3,
+    books ×2.5 — the Pile/LLaMA epoch tables). Each row is emitted
+    ``floor(rate)`` times plus one extra copy iff its md5 draw clears
+    ``frac(rate)``, each copy stamped with a 0-based ``epoch`` index,
+    so expected multiplicity is exactly ``rate`` and the realized
+    corpus is reproducible on any cluster, any partitioning, any day.
+
+    Scale shape: one map-side ``explode(sequence(...))`` projection —
+    the corpus never shuffles and output size is rate·n by
+    construction. Properties (all tested):
+
+    - epoch sets are PREFIXES: the rate=r corpus is a sub-multiset of
+      the rate=r+1 corpus (copy k exists iff k < n_copies);
+    - rate < 1 reproduces ``deterministic_sample`` with epoch 0;
+    - NULL keys share the sentinel draw-block like every sampler here.
+
+    The guard ``when(n > 0, sequence(0, n-1))`` matters: Spark's
+    ``sequence(0, -1)`` DESCENDS (yielding [0, -1]) instead of being
+    empty — the same trap the LM gate hit — so zero-copy rows must
+    drop via NULL, never via an empty-looking sequence."""
+    n = _copies_expr(F.col(key_col), rate, salt)
+    # generators can't be wrapped in expressions — build the sequence
+    # in the target element type instead of casting explode's output
+    seq = F.when(
+        n > 0, F.sequence(F.lit(0).cast("long"), (n - F.lit(1)).cast("long"))
+    )
+    return df.withColumn(epoch_col, F.explode(seq))
+
+
+def stratified_upsample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "rep",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Per-stratum repetition rates (source → epochs) — the Pile-style
+    mixing table as one deterministic plan. The floor/frac split is
+    computed per stratum driver-side and compiled into two inline CASE
+    expressions (rates are a small driver-known map — no join, no
+    shuffle); strata absent from ``rates`` repeat at ``default_rate``.
+    NULL strata take ``default_rate`` via the CASE fallthrough."""
+    for v in list(rates.values()) + [default_rate]:
+        if v < 0:
+            raise ValueError("rates must be >= 0")
+    n_full = F.lit(int(default_rate))
+    frac = F.lit(float(default_rate) - int(default_rate))
+    for value, r in sorted(rates.items()):
+        n_full = F.when(
+            F.col(stratum_col) == value, F.lit(int(r))
+        ).otherwise(n_full)
+        frac = F.when(
+            F.col(stratum_col) == value, F.lit(float(r) - int(r))
+        ).otherwise(frac)
+    extra = F.when(
+        sample_hash(F.col(key_col), salt) < frac, F.lit(1)
+    ).otherwise(F.lit(0))
+    n = (n_full + extra).cast("int")
+    seq = F.when(
+        n > 0, F.sequence(F.lit(0).cast("long"), (n - F.lit(1)).cast("long"))
+    )
+    return df.withColumn(epoch_col, F.explode(seq))
+
+
 def mixture_rates(
     df: DataFrame, stratum_col: str, alpha: float
 ) -> DataFrame:
