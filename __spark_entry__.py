@@ -1094,6 +1094,29 @@ def q_sample_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the RefinedWeb rule: one SEO farm must
+    not dominate the corpus): at most k=10 docs per host under a
+    deterministic total order (longest first, doc_id tie-break). Runs
+    the SALTED two-phase path — the hot-host sort splits across 4 hash
+    buckets before the global top-k — which is provably identical to
+    the plain window the oracle recomputes."""
+    from wos_crawler_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias(
+            "host"
+        ),
+        "n_chars",
+    )
+    return cap_per_group(
+        docs, "host", 10,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        salt_key="doc_id", salt_buckets=4,
+    )
+
+
 def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation pipeline — the LLM-corpus
     composition the individual operators exist for, as ONE lazy plan
@@ -2093,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "sample_mixture": q_sample_mixture,
         "sample_upsample": q_sample_upsample,
+        "sample_host_cap": q_sample_host_cap,
         "pipeline_curation": q_pipeline_curation,
         "pipeline_curation_v2": q_pipeline_curation_v2,
         "text_lang_id": q_text_lang_id,
@@ -3703,6 +3727,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, stratum,
                    unnest(range(n_copies::BIGINT))::BIGINT AS epoch
             FROM base
+        """,
+        "sample_host_cap": """
+            -- the salted two-phase cap must equal this plain window
+            WITH d AS (
+                SELECT doc_id, 'h' || (doc_id % 7) AS host, n_chars
+                FROM documents
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY host
+                    ORDER BY n_chars DESC, doc_id ASC
+                ) AS rn
+                FROM d
+            )
+            SELECT doc_id, host, n_chars FROM r WHERE rn <= 10
         """,
         "pipeline_curation": f"""
             WITH base AS (

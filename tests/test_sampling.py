@@ -262,3 +262,82 @@ def test_stratified_upsample_rates_table(spark):
     zh_ids = {r["doc_id"] for r in out.filter(F.col("lang") == "zh").collect()}
     want = {i for i in range(400) if i % 4 == 1 and _py_draw(i, "rep") < 0.5}
     assert zh_ids == want
+
+
+# ------------------------------------------------------------ per-group cap
+
+
+def _capped_fixture(spark):
+    # skewed: host h0 gets 300 docs, h1..h4 get 25 each; n_chars collides
+    # on purpose (i % 13) so the doc_id tie-break is load-bearing
+    return spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 300, "h0")
+        .otherwise(F.concat(F.lit("h"), ((F.col("id") - 300) % 4 + 1)))
+        .alias("host"),
+        (F.col("id") % 13).alias("n_chars"),
+    )
+
+
+def test_cap_per_group_matches_python_twin(spark):
+    from wos_crawler_spark.operators.sampling import cap_per_group
+
+    df = _capped_fixture(spark)
+    out = cap_per_group(
+        df, "host", 10,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+    got = sorted((r["host"], r["doc_id"]) for r in out.collect())
+    rows = [(r["doc_id"], r["host"], r["n_chars"]) for r in df.collect()]
+    want = []
+    for h in {r[1] for r in rows}:
+        grp = sorted(
+            (r for r in rows if r[1] == h), key=lambda r: (-r[2], r[0])
+        )[:10]
+        want += [(h, r[0]) for r in grp]
+    assert got == sorted(want)
+    # cap enforced on the hot group, small groups kept whole? h1..h4 have
+    # 25 rows each — also capped to 10 here
+    per = {}
+    for h, _ in got:
+        per[h] = per.get(h, 0) + 1
+    assert per == {"h0": 10, "h1": 10, "h2": 10, "h3": 10, "h4": 10}
+
+
+def test_cap_per_group_salted_two_phase_identical(spark):
+    from wos_crawler_spark.operators.sampling import cap_per_group
+
+    df = _capped_fixture(spark)
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    plain = sorted(
+        (r["host"], r["doc_id"])
+        for r in cap_per_group(df, "host", 7, order).collect()
+    )
+    for s in (2, 5, 16):
+        salted = sorted(
+            (r["host"], r["doc_id"])
+            for r in cap_per_group(
+                df.repartition(11), "host", 7, order,
+                salt_key="doc_id", salt_buckets=s,
+            ).collect()
+        )
+        assert salted == plain, f"salt_buckets={s}"
+
+
+def test_cap_per_group_small_groups_and_guards(spark):
+    import pytest as _pytest
+
+    from wos_crawler_spark.operators.sampling import cap_per_group
+
+    df = _capped_fixture(spark)
+    # k larger than every group: identity
+    out = cap_per_group(
+        df, "host", 1000, [F.col("doc_id").asc()], salt_key="doc_id",
+        salt_buckets=4,
+    )
+    assert out.count() == 400
+    assert set(out.columns) == {"doc_id", "host", "n_chars"}
+    with _pytest.raises(ValueError):
+        cap_per_group(df, "host", 0, [F.col("doc_id")])
+    with _pytest.raises(ValueError):
+        cap_per_group(df, "host", 5, [F.col("doc_id")], salt_buckets=3)

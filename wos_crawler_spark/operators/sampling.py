@@ -19,7 +19,7 @@ independent samples from the same keys (train/held-out splits).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _DENOM = float(1 << 32)
@@ -81,6 +81,53 @@ def split_train_holdout(
     hash draw (no row is lost or duplicated under retries)."""
     h = sample_hash(F.col(key_col), salt)
     return df.filter(h >= holdout_rate), df.filter(h < holdout_rate)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    order_cols: list[Column],
+    salt_key: str | None = None,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group under a deterministic total
+    order — the RefinedWeb-style per-registrable-domain document cap
+    (one SEO farm must not become 4% of the corpus). ``order_cols``
+    define which rows SURVIVE (e.g. longest first); the caller must
+    make the order total — end it with a unique key, or ties make
+    ``row_number`` partitioning-dependent and the kept set
+    irreproducible.
+
+    Scale shape: one exchange on the group key and a per-group sort.
+    The hot-group hazard (a single domain with 10^8 pages sorts inside
+    ONE task) has a salted two-phase path: with ``salt_buckets = S``
+    and a ``salt_key`` row-identity column, phase 1 takes the top-k
+    within each of the group's S hash buckets (hot group's sort splits
+    S ways), phase 2 takes the global top-k of the ≤ S·k survivors.
+    Provably identical to the single-phase result: every global top-k
+    row ranks ≤ k inside its own bucket (restriction of a total order
+    can only improve rank), so phase 1 never drops a final survivor.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    out_cols = df.columns
+    if salt_buckets > 1:
+        if not salt_key:
+            raise ValueError("salted two-phase capping needs salt_key")
+        bucket = F.pmod(F.xxhash64(F.col(salt_key)), F.lit(salt_buckets))
+        w1 = Window.partitionBy(F.col(group_col), bucket).orderBy(*order_cols)
+        df = (
+            df.withColumn("_rn1", F.row_number().over(w1))
+            .filter(F.col("_rn1") <= k)
+            .drop("_rn1")
+        )
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(*out_cols)
+    )
 
 
 def _copies_expr(key: Column, rate: float, salt: str) -> Column:
