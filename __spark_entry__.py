@@ -1117,6 +1117,19 @@ def q_sample_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced training-shard assignment: serpentine rank over
+    (size DESC, doc_id) — the distributed stand-in for sequential LPT
+    bin-packing. Global rank via the two-phase prefix pattern (range
+    repartition + broadcast counts), never a one-task global window;
+    the oracle recomputes the plain single-node rank + snake
+    arithmetic, which the distributed rank must equal exactly."""
+    from wos_crawler_spark.operators.packing import assign_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_shards(docs, 8, tokens_col="n_chars")
+
+
 def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation pipeline — the LLM-corpus
     composition the individual operators exist for, as ONE lazy plan
@@ -2117,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": q_sample_mixture,
         "sample_upsample": q_sample_upsample,
         "sample_host_cap": q_sample_host_cap,
+        "pack_shards": q_pack_shards,
         "pipeline_curation": q_pipeline_curation,
         "pipeline_curation_v2": q_pipeline_curation_v2,
         "text_lang_id": q_text_lang_id,
@@ -3727,6 +3741,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, stratum,
                    unnest(range(n_copies::BIGINT))::BIGINT AS epoch
             FROM base
+        """,
+        "pack_shards": """
+            -- the distributed two-phase rank must equal this plain
+            -- single-node rank; snake arithmetic is all-integer
+            WITH r AS (
+                SELECT doc_id,
+                       coalesce(n_chars, 0)::BIGINT AS n_tokens,
+                       row_number() OVER (
+                           ORDER BY coalesce(n_chars, 0) DESC, doc_id ASC
+                       ) - 1 AS rnk
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   (CASE WHEN (rnk // 8) % 2 = 0 THEN rnk % 8
+                         ELSE 7 - (rnk % 8) END)::INTEGER AS shard
+            FROM r
         """,
         "sample_host_cap": """
             -- the salted two-phase cap must equal this plain window

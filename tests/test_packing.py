@@ -94,3 +94,62 @@ def test_gather_blocks_with_separator_slots(spark):
 def test_block_size_validation(spark, docs_df):
     with pytest.raises(ValueError):
         pack_manifest(docs_df, 0)
+
+
+# ------------------------------------------------------------ shard packing
+
+
+def _py_serpentine(sizes, s):
+    # sizes: list of (doc_id, n_tokens); returns {doc_id: shard}
+    ranked = sorted(sizes, key=lambda t: (-t[1], t[0]))
+    out = {}
+    for r, (i, _) in enumerate(ranked):
+        q, m = divmod(r, s)
+        out[i] = m if q % 2 == 0 else s - 1 - m
+    return out
+
+
+def test_assign_shards_matches_python_twin_and_partition_invariance(spark):
+    from wos_crawler_spark.operators.packing import assign_shards
+
+    # heavy ties (sizes collide mod 17) make the doc_id tie-break
+    # load-bearing; a power-law head stresses balance
+    rows = [(i, (1000 if i < 5 else (i * 7) % 17 + 1)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    want = _py_serpentine(rows, 8)
+    for parts in (2, 7):
+        got = {
+            r["doc_id"]: r["shard"]
+            for r in assign_shards(
+                df.repartition(5), 8, num_partitions=parts
+            ).collect()
+        }
+        assert got == want, f"num_partitions={parts}"
+
+
+def test_assign_shards_balance_and_exhaustiveness(spark):
+    from pyspark.sql import functions as F
+
+    from wos_crawler_spark.operators.packing import assign_shards, shard_stats
+
+    rows = [(i, (i * 13) % 97 + 3) for i in range(1000)] + [(1000, None)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    a = assign_shards(df, 8)
+    # exhaustive: every doc sharded exactly once, NULL tokens kept as 0
+    assert a.count() == 1001
+    assert a.filter(F.col("doc_id") == 1000).first()["n_tokens"] == 0
+    st = {r["shard"]: r["tokens_total"] for r in shard_stats(a).collect()}
+    assert set(st) == set(range(8))
+    # serpentine balance: spread within one max item of perfect
+    assert max(st.values()) - min(st.values()) <= 100
+
+
+def test_assign_shards_guard_and_single_shard(spark):
+    import pytest as _pytest
+
+    from wos_crawler_spark.operators.packing import assign_shards
+
+    df = spark.createDataFrame([(1, 5), (2, 3)], "doc_id long, n_tokens long")
+    assert {r["shard"] for r in assign_shards(df, 1).collect()} == {0}
+    with _pytest.raises(ValueError):
+        assign_shards(df, 0)

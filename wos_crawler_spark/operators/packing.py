@@ -107,6 +107,73 @@ def pack_manifest(
     )
 
 
+def assign_shards(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Token-balanced output sharding — the training-shard writer's
+    assignment step: ``(doc_id, n_tokens, shard)`` such that per-shard
+    token totals are near-equal. Greedy LPT bin-packing is inherently
+    sequential (each placement depends on all previous bin loads), so
+    the distributed restatement is SERPENTINE rank assignment: sort by
+    (n_tokens DESC, doc_id) — a total order — take the 0-based global
+    rank r, and snake through the shards: round q = r DIV S, shard =
+    r mod S on even rounds, S-1-(r mod S) on odd rounds. Each down-up
+    round pair hands every shard exactly one larger-half and one
+    smaller-half item, so imbalance is bounded by per-round item decay
+    instead of accumulating — and unlike LPT the result is a pure
+    function of the sorted order, reproducible anywhere.
+
+    The global rank reuses :func:`pack_manifest`'s two-phase prefix
+    pattern (range repartition on the sort key, per-partition
+    row_number, broadcast #partitions-row exclusive counts) because a
+    bare ``Window.orderBy`` cumrank would serialize the corpus through
+    one task. Rank arithmetic is all-integer; the sampled range
+    boundaries cannot perturb the result (counts are exact and the
+    composite sort key is unique). NULL token counts shard as 0-token
+    docs rather than vanishing — sharding must be exhaustive."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)).alias(
+            "n_tokens"
+        ),
+    )
+    parts = num_partitions or d.sparkSession.sparkContext.defaultParallelism
+    order = [F.col("n_tokens").desc(), F.col("doc_id").asc()]
+    ranged = d.repartitionByRange(parts, *order).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("pid").orderBy(*order)
+    local = ranged.withColumn("lrn", F.row_number().over(w_local))
+    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("pc"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("pc").over(w_off), F.lit(0)).alias("poff")
+    )
+    g = local.join(F.broadcast(offsets), "pid").withColumn(
+        "rnk", F.col("poff") + F.col("lrn") - 1
+    )
+    s = F.lit(n_shards).cast("long")
+    m = F.pmod(F.col("rnk"), s)
+    q = F.expr(f"rnk DIV {n_shards}")
+    shard = F.when(q % 2 == 0, m).otherwise(s - 1 - m)
+    return g.select("doc_id", "n_tokens", shard.cast("int").alias("shard"))
+
+
+def shard_stats(assignments: DataFrame) -> DataFrame:
+    """Per-shard ``(shard, n_docs, tokens_total)`` — the balance
+    monitor for :func:`assign_shards` (one tiny S-row aggregation)."""
+    return assignments.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_total"),
+    )
+
+
 def pack_stats(manifest: DataFrame, block_size: int) -> DataFrame:
     """``(n_blocks, non_last_fill_defect, fill_last)`` — one row;
     every non-last block must be exactly full (defect 0 is the
