@@ -590,6 +590,25 @@ def q_dedup_jaccard_exact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_jaccard_pairs(docs, shingle_n=3, t_num=1, t_den=2)
 
 
+def q_dedup_jaccard_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact set-similarity join
+    (textdedup.prefix_jaccard_join): 'which of today's crawl docs are
+    near-duplicates of anything already in the training set' — A×B,
+    never (A∪B)², with both sides' prefixes under ONE shared
+    (union-df, token) total order. Fixture splits documents on doc_id
+    parity so the planted near-dup pairs straddle the split (12 cross
+    pairs at sf0.01); the oracle is a brute-force A×B recomputation
+    that never sees a prefix."""
+    from wos_crawler_spark.operators.textdedup import prefix_jaccard_join
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return prefix_jaccard_join(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        shingle_n=3, t_num=1, t_den=2,
+    )
+
+
 def q_f_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution (operators/redirects.py, path
     doubling — ceil(log2(max_hops)) self-joins instead of per-chain
@@ -2085,6 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "dedup_spans_apply": q_dedup_spans_apply,
         "dedup_jaccard_exact_join": q_dedup_jaccard_exact_join,
+        "dedup_jaccard_cross_join": q_dedup_jaccard_cross_join,
         "text_containment_join": q_text_containment_join,
         "f_resolve_redirects": q_f_resolve_redirects,
         "s_wet_roundtrip": q_s_wet_roundtrip,
@@ -3307,6 +3327,32 @@ def oracle_sql() -> dict[str, str]:
                         - len(list_intersect(a.s, b.s)) AS BIGINT)
                      AS n_union
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s)) * 2
+                  >= (len(a.s) + len(b.s)
+                      - len(list_intersect(a.s, b.s))) * 1
+        """,
+        "dedup_jaccard_cross_join": f"""
+            -- brute-force A×B recomputation (no prefixes, no shared
+            -- union-df order) — independent completeness oracle for
+            -- the cross-corpus prefix join
+            WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct([
+                           array_to_string(ws[i : i + 2], ' ')
+                           FOR i IN range(1,
+                               greatest(len(ws) - 2, 1) + 1)
+                       ]) AS s
+                FROM w
+            )
+            SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+                   CAST(len(list_intersect(a.s, b.s)) AS BIGINT)
+                     AS n_inter,
+                   CAST(len(a.s) + len(b.s)
+                        - len(list_intersect(a.s, b.s)) AS BIGINT)
+                     AS n_union
+            FROM sh a JOIN sh b
+              ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
             WHERE len(list_intersect(a.s, b.s)) * 2
                   >= (len(a.s) + len(b.s)
                       - len(list_intersect(a.s, b.s))) * 1

@@ -818,6 +818,141 @@ def span_dedup_apply(
 # boundary anywhere, so the all-pairs DuckDB oracle is exact.
 
 
+def _shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """``(_id, _s, _n)`` — distinct word-shingle set + its size."""
+    w = df.select(
+        F.col(id_col).alias("_id"), words_of(F.col(text_col)).alias("_w")
+    )
+    return w.select(
+        "_id", shingles_from_words(F.col("_w"), shingle_n).alias("_s")
+    ).select("_id", "_s", F.size("_s").alias("_n"))
+
+
+def _prefix_tokens(
+    sets_: DataFrame, dfreq: DataFrame, t_num: int, t_den: int
+) -> DataFrame:
+    """``(_id, _n, _t)`` — each record's prefix tokens under the
+    shared rarest-first (df asc, token asc) total order; prefix
+    length = n − ⌈t·n⌉ + 1 by integer ceil division."""
+    tok = sets_.select("_id", "_n", F.explode("_s").alias("_t"))
+    ordered = (
+        tok.join(dfreq, "_t")
+        .groupBy("_id", "_n")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_df", F.col("_t").alias("_tk")))
+            ).alias("_ord")
+        )
+    )
+    plen = (
+        F.col("_n")
+        - F.expr(f"(({t_num} * _n + {t_den} - 1) div {t_den})")
+        + F.lit(1)
+    ).cast("int")
+    return ordered.select(
+        "_id",
+        "_n",
+        F.explode(
+            F.transform(F.slice("_ord", 1, plen), lambda s: s["_tk"])
+        ).alias("_t"),
+    )
+
+
+def prefix_jaccard_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """Cross-corpus exact set-similarity join — ``(id_l, id_r,
+    n_inter, n_union)`` for EVERY left×right pair with word-shingle
+    Jaccard ≥ t_num/t_den. The incremental-pipeline primitive the
+    self-join can't express: "which of today's crawl docs are
+    near-duplicates of anything already in the training set" (then
+    :func:`anti_join_near_dups` drops them) — run A×B, never
+    (A∪B)², so the standing corpus is never self-paired again.
+
+    Same completeness argument as :func:`prefix_jaccard_pairs`, with
+    one extra requirement the cross form makes explicit: both sides'
+    prefixes must be computed under ONE shared total order, so
+    document frequency is counted over the UNION of the two corpora
+    (the theorem needs any common total order; union-df additionally
+    keeps candidate buckets rare-token-keyed across both sides).
+    All thresholds remain integer cross-multiplications — the
+    brute-force A×B DuckDB oracle never sees a prefix."""
+    if not (0 < t_num <= t_den):
+        raise ValueError("need 0 < t_num <= t_den")
+    sets_l = _shingle_sets(left, id_col, text_col, shingle_n)
+    sets_r = _shingle_sets(right, id_col, text_col, shingle_n)
+    both = sets_l.select(F.explode("_s").alias("_t")).unionAll(
+        sets_r.select(F.explode("_s").alias("_t"))
+    )
+    dfreq = both.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    pl = _prefix_tokens(sets_l, dfreq, t_num, t_den).select(
+        F.col("_id").alias("id_l"), F.col("_n").alias("_nl"), "_t"
+    )
+    pr = _prefix_tokens(sets_r, dfreq, t_num, t_den).select(
+        F.col("_id").alias("id_r"), F.col("_n").alias("_nr"), "_t"
+    )
+    cand = (
+        pl.join(pr, "_t")
+        .filter(
+            (F.col("_nl") * t_den >= F.col("_nr") * t_num)
+            & (F.col("_nr") * t_den >= F.col("_nl") * t_num)
+        )
+        .select("id_l", "id_r")
+        .distinct()
+    )
+    sl = sets_l.select(
+        F.col("_id").alias("id_l"),
+        F.col("_s").alias("_sl"),
+        F.col("_n").alias("_nl"),
+    )
+    sr = sets_r.select(
+        F.col("_id").alias("id_r"),
+        F.col("_s").alias("_sr"),
+        F.col("_n").alias("_nr"),
+    )
+    inter = F.size(F.array_intersect("_sl", "_sr"))
+    return (
+        cand.join(sl, "id_l")
+        .join(sr, "id_r")
+        .withColumn("n_inter", inter)
+        .withColumn("n_union", F.col("_nl") + F.col("_nr") - inter)
+        .filter(F.col("n_inter") * t_den >= F.col("n_union") * t_num)
+        .select(
+            "id_l",
+            "id_r",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.col("n_union").cast("long").alias("n_union"),
+        )
+    )
+
+
+def anti_join_near_dups(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """Left rows that are NOT a near-duplicate (Jaccard ≥ t) of ANY
+    right row — the admission gate for incremental corpus growth.
+    One left-anti join on the matched id set; left columns pass
+    through untouched."""
+    matched = prefix_jaccard_join(
+        left, right, id_col, text_col, shingle_n, t_num, t_den
+    ).select(F.col("id_l").alias(id_col)).distinct()
+    return left.join(matched, id_col, "left_anti")
+
+
 def prefix_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -840,39 +975,10 @@ def prefix_jaccard_pairs(
     the data is genuinely all-near-duplicate."""
     if not (0 < t_num <= t_den):
         raise ValueError("need 0 < t_num <= t_den")
-    w = df.select(F.col(id_col).alias("_id"), words_of(F.col(text_col)).alias("_w"))
-    sets_ = w.select(
-        "_id", shingles_from_words(F.col("_w"), shingle_n).alias("_s")
-    ).select("_id", "_s", F.size("_s").alias("_n"))
-
+    sets_ = _shingle_sets(df, id_col, text_col, shingle_n)
     tok = sets_.select("_id", "_n", F.explode("_s").alias("_t"))
     dfreq = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
-    # rarest-first total order: (df asc, token asc) via array_sort
-    # over structs (field-lexicographic)
-    ordered = (
-        tok.join(dfreq, "_t")
-        .groupBy("_id", "_n")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("_df", F.col("_t").alias("_tk")))
-            ).alias("_ord")
-        )
-    )
-    # prefix length = n − ceil(t·n) + 1, all-integer ceil division
-    plen = (
-        F.col("_n")
-        - F.expr(f"(({t_num} * _n + {t_den} - 1) div {t_den})")
-        + F.lit(1)
-    ).cast("int")
-    prefix = ordered.select(
-        "_id",
-        "_n",
-        F.explode(
-            F.transform(
-                F.slice("_ord", 1, plen), lambda s: s["_tk"]
-            )
-        ).alias("_t"),
-    )
+    prefix = _prefix_tokens(sets_, dfreq, t_num, t_den)
     a = prefix.select(
         F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "_t"
     )
