@@ -1713,6 +1713,22 @@ def q_f_extract_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("src_url", "dst_url", "anchor_text")
 
 
+def q_f_anchor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text aggregation (htmllinks.anchor_text_corpus)
+    over the extracted anchors: n_refs, distinct referring HOSTS (the
+    spam-resistant popularity signal), and the sorted-distinct capped
+    anchor digest. The oracle restates the extracted links from doc_id
+    arithmetic (the f_extract_anchor_text contract, independently
+    verified) and re-runs the aggregation from scratch."""
+    from wos_crawler_spark.operators.htmllinks import (
+        anchor_text_corpus,
+        extract_links_with_anchors,
+    )
+
+    links = extract_links_with_anchors(_linkful_pages(spark, sf_dir))
+    return anchor_text_corpus(links)
+
+
 def q_f_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML → text extraction (operators/htmltext.py): pages-shaped
     html synthesized around each doc's text (title/style/script
@@ -2130,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_content_sniff": q_f_content_sniff,
         "f_extract_links": q_f_extract_links,
         "f_extract_anchor_text": q_f_extract_anchor_text,
+        "f_anchor_corpus": q_f_anchor_corpus,
         "f_html_to_text": q_f_html_to_text,
         "f_trap_guard": q_f_trap_guard,
         "text_bm25_topk": q_text_bm25_topk,
@@ -3459,6 +3476,61 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT src_url, 'HTTP://Up.example.org/U' || (doc_id % 2), 'u'
             FROM src
+        """,
+        "f_anchor_corpus": """
+            -- restate the extracted links from doc_id arithmetic
+            -- (the f_extract_anchor_text contract), then recompute
+            -- the aggregation from scratch
+            WITH src AS (
+                SELECT doc_id,
+                       'host' || (doc_id % 7) || '.example.com' AS h
+                FROM documents
+            ),
+            l AS (
+                SELECT doc_id, h,
+                       'https://ext' || (doc_id % 5) || '.example.org/p/'
+                           || doc_id AS dst_url, 'x' AS a
+                FROM src
+                UNION ALL
+                SELECT doc_id, h,
+                       'https://cdn' || (doc_id % 3) || '.example.net/lib',
+                       'y'
+                FROM src
+                UNION ALL
+                SELECT doc_id, h,
+                       'https://host' || (doc_id % 7) || '.example.com/r/'
+                           || (doc_id % 11), 'z'
+                FROM src
+                UNION ALL
+                SELECT doc_id, h,
+                       'https://host' || (doc_id % 7) ||
+                           '.example.com/dir/next' || doc_id || '.html', 'n'
+                FROM src
+                UNION ALL
+                SELECT doc_id, h,
+                       'HTTP://Up.example.org/U' || (doc_id % 2), 'u'
+                FROM src
+            ),
+            counts AS (
+                SELECT dst_url, count(*)::BIGINT AS n_refs,
+                       count(DISTINCT h)::BIGINT AS n_src_hosts
+                FROM l GROUP BY dst_url
+            ),
+            da AS (SELECT DISTINCT dst_url, a FROM l WHERE a <> ''),
+            capped AS (
+                SELECT dst_url, a FROM (
+                    SELECT dst_url, a, row_number() OVER (
+                        PARTITION BY dst_url ORDER BY a
+                    ) AS rn FROM da
+                ) WHERE rn <= 64
+            ),
+            ag AS (
+                SELECT dst_url, string_agg(a, ' | ' ORDER BY a) AS anchors
+                FROM capped GROUP BY dst_url
+            )
+            SELECT c.dst_url, c.n_refs, c.n_src_hosts,
+                   coalesce(ag.anchors, '') AS anchors
+            FROM counts c LEFT JOIN ag USING (dst_url)
         """,
         "f3_robots_wildcards": """
             -- independent restatement of the RFC-9309 verdicts:

@@ -170,3 +170,59 @@ def test_crawl_parity_derived_vs_stored_links(spark):
     seen_d = {r["url_hash"] for r in derived.seen.collect()}
     assert seen_d == seen_s
     pages.unpersist()
+
+
+# ------------------------------------------------------ anchor-text corpus
+
+
+def test_anchor_text_corpus_aggregation(spark):
+    from wos_crawler_spark.operators.htmllinks import anchor_text_corpus
+
+    rows = [
+        # hot dst D: 3 refs from 2 hosts; messy whitespace collapses,
+        # duplicate normalized anchors dedup
+        ("https://a.com/1", "https://d.org/p", "Click\t here "),
+        ("https://a.com/2", "https://d.org/p", "Click here"),
+        ("https://b.com/1", "https://d.org/p", "zebra link"),
+        # dst E: anchors empty/NULL only -> anchors '' but refs counted
+        ("https://a.com/1", "https://e.org/q", "   "),
+        ("https://b.com/1", "https://e.org/q", None),
+        # dst F: single ref, port stripped + host lowercased for
+        # the distinct-host count
+        ("https://A.COM:443/x", "https://f.org/r", "one"),
+    ]
+    df = spark.createDataFrame(
+        rows, "src_url string, dst_url string, anchor_text string"
+    )
+    out = {r["dst_url"]: r for r in anchor_text_corpus(df).collect()}
+    d = out["https://d.org/p"]
+    assert d["n_refs"] == 3 and d["n_src_hosts"] == 2
+    assert d["anchors"] == "Click here | zebra link"
+    e = out["https://e.org/q"]
+    assert e["n_refs"] == 2 and e["n_src_hosts"] == 2 and e["anchors"] == ""
+    f = out["https://f.org/r"]
+    assert f["n_refs"] == 1 and f["n_src_hosts"] == 1 and f["anchors"] == "one"
+
+
+def test_anchor_text_corpus_cap_is_lexicographic_and_bounding(spark):
+    from pyspark.sql import functions as F
+
+    from wos_crawler_spark.operators.htmllinks import anchor_text_corpus
+
+    df = spark.range(100).select(
+        F.concat(F.lit("https://s"), (F.col("id") % 9).cast("string"),
+                 F.lit(".com/p")).alias("src_url"),
+        F.lit("https://hub.org/").alias("dst_url"),
+        F.format_string("a%03d", F.col("id")).alias("anchor_text"),
+    )
+    out = anchor_text_corpus(df, max_anchors=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_refs"] == 100 and r["n_src_hosts"] == 9
+    assert r["anchors"] == "a000 | a001 | a002 | a003 | a004"
+    # partitioning invariance of the capped aggregate
+    out2 = anchor_text_corpus(df.repartition(13), max_anchors=5).collect()
+    assert out2[0]["anchors"] == r["anchors"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        anchor_text_corpus(df, max_anchors=0)

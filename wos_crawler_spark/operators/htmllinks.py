@@ -200,3 +200,65 @@ def extract_links_with_anchors(
     ).filter(F.col("dst_url").isNotNull()).select(
         "src_url", "href_raw", "dst_url", "anchor_text"
     )
+
+
+def anchor_text_corpus(
+    links: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    anchor_col: str = "anchor_text",
+    max_anchors: int = 64,
+) -> DataFrame:
+    """Per-target anchor-text aggregation — the classic web-graph
+    document signal (how the REST of the web describes a page; search
+    engines index it, LLM pipelines mine it as query-like text):
+    ``(dst_url, n_refs, n_src_hosts, anchors)`` where ``n_src_hosts``
+    counts distinct REFERRING HOSTS (the spam-resistant popularity
+    signal — a million anchors from one SEO farm is one host) and
+    ``anchors`` is the sorted-distinct, whitespace-normalized,
+    non-empty anchor texts joined by ``" | "``, capped at
+    ``max_anchors`` lexicographically.
+
+    Scale shape: normalization is map-side; the aggregation is one
+    exchange keyed by dst_url. The hub hazard (a homepage linked from
+    10^8 pages) is capped BEFORE the list aggregation — distinct
+    (dst, anchor) rows first, then a row_number window keeps at most
+    ``max_anchors`` per dst, so the final ``collect_list`` can never
+    materialize more than the cap in one task. The whitespace class is
+    the Java∩RE2 explicit set (no ``\\s``), so a DuckDB oracle
+    re-runs normalization byte-identically."""
+    if max_anchors < 1:
+        raise ValueError("max_anchors must be >= 1")
+    from pyspark.sql import Window
+
+    from wos_crawler_spark.functions.urlnorm import url_host
+
+    a_norm = F.trim(
+        F.regexp_replace(F.col(anchor_col), "[ \\t\\r\\n\\f]+", " ")
+    )
+    base = links.select(
+        F.col(dst_col).alias("dst_url"),
+        url_host(F.col(src_col)).alias("_h"),
+        a_norm.alias("_a"),
+    )
+    counts = base.groupBy("dst_url").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.countDistinct("_h").alias("n_src_hosts"),
+    )
+    da = (
+        base.filter(F.col("_a").isNotNull() & (F.col("_a") != ""))
+        .select("dst_url", "_a")
+        .distinct()
+    )
+    w = Window.partitionBy("dst_url").orderBy("_a")
+    capped = da.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= max_anchors
+    )
+    ag = capped.groupBy("dst_url").agg(
+        F.array_join(F.array_sort(F.collect_list("_a")), " | ").alias(
+            "anchors"
+        )
+    )
+    return counts.join(ag, "dst_url", "left").withColumn(
+        "anchors", F.coalesce(F.col("anchors"), F.lit(""))
+    )
