@@ -1136,6 +1136,19 @@ def q_sample_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sliding-window chunk manifest (packing.
+    chunk_manifest, window 256 / stride 192 — 25% overlap): the
+    RAG/context-split complement to pack_sequences. Zero shuffles —
+    a map-side projection + explode; chunking stops once a chunk
+    reaches the doc end (no redundant contained tails). Oracle
+    recomputes the count formula + unrolls with unnest(range())."""
+    from wos_crawler_spark.operators.packing import chunk_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_manifest(docs, 256, 192, tokens_col="n_chars")
+
+
 def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-balanced training-shard assignment: serpentine rank over
     (size DESC, doc_id) — the distributed stand-in for sequential LPT
@@ -2168,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_upsample": q_sample_upsample,
         "sample_host_cap": q_sample_host_cap,
         "pack_shards": q_pack_shards,
+        "chunk_sliding_windows": q_chunk_sliding_windows,
         "pipeline_curation": q_pipeline_curation,
         "pipeline_curation_v2": q_pipeline_curation_v2,
         "text_lang_id": q_text_lang_id,
@@ -3859,6 +3873,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, stratum,
                    unnest(range(n_copies::BIGINT))::BIGINT AS epoch
             FROM base
+        """,
+        "chunk_sliding_windows": """
+            -- n_chunks = 1 if n <= w else 1 + ceil((n-w)/s); all-integer
+            WITH d AS (
+                SELECT doc_id, n_chars::BIGINT AS n FROM documents
+                WHERE coalesce(n_chars, 0) > 0
+            ),
+            c AS (
+                SELECT doc_id, n,
+                       CASE WHEN n <= 256 THEN 1
+                            ELSE 1 + (n - 256 + 191) // 192 END AS k
+                FROM d
+            ),
+            e AS (
+                SELECT doc_id, n,
+                       unnest(range(k))::BIGINT AS chunk_id
+                FROM c
+            )
+            SELECT doc_id, chunk_id,
+                   (chunk_id * 192)::BIGINT AS start,
+                   least(256, n - chunk_id * 192)::BIGINT AS piece_len
+            FROM e
         """,
         "pack_shards": """
             -- the distributed two-phase rank must equal this plain

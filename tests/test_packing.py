@@ -153,3 +153,78 @@ def test_assign_shards_guard_and_single_shard(spark):
     assert {r["shard"] for r in assign_shards(df, 1).collect()} == {0}
     with _pytest.raises(ValueError):
         assign_shards(df, 0)
+
+
+# ------------------------------------------------------- sliding chunks
+
+
+def _py_chunks(n, w, s):
+    if n <= 0:
+        return []
+    k = 1 if n <= w else 1 + -(-(n - w) // s)
+    return [(c, c * s, min(w, n - c * s)) for c in range(k)]
+
+
+def test_chunk_manifest_matches_python_twin(spark):
+    from wos_crawler_spark.operators.packing import chunk_manifest
+
+    rows = [(i, n) for i, n in enumerate([1, 7, 8, 9, 16, 17, 100, 0, None])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    for w, s in [(8, 4), (8, 8), (4, 6)]:  # overlap, tiling, gaps
+        got = sorted(
+            (r["doc_id"], r["chunk_id"], r["start"], r["piece_len"])
+            for r in chunk_manifest(df, w, s).collect()
+        )
+        want = sorted(
+            (i, c, st, ln)
+            for i, n in rows
+            if n
+            for c, st, ln in _py_chunks(n, w, s)
+        )
+        assert got == want, (w, s)
+    # no chunk is ever empty, none overruns its doc
+    m = chunk_manifest(df, 8, 4)
+    from pyspark.sql import functions as F
+    bad = m.filter(
+        (F.col("piece_len") <= 0) | (F.col("start") < 0)
+    ).count()
+    assert bad == 0
+
+
+def test_chunk_manifest_no_redundant_tail_and_coverage(spark):
+    from pyspark.sql import functions as F
+
+    from wos_crawler_spark.operators.packing import chunk_manifest
+
+    # n=10, w=8, s=4: chunk 0 covers [0,8), chunk 1 covers [4,10) and
+    # REACHES the end — a chunk 2 at start 8 would be fully contained
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
+    got = [
+        (r["chunk_id"], r["start"], r["piece_len"])
+        for r in chunk_manifest(df, 8, 4).orderBy("chunk_id").collect()
+    ]
+    assert got == [(0, 0, 8), (1, 4, 6)]
+    # with stride < window every token position is covered
+    df2 = spark.createDataFrame([(1, 37)], "doc_id long, n_tokens long")
+    m = chunk_manifest(df2, 8, 5)
+    covered = set()
+    for r in m.collect():
+        covered |= set(range(r["start"], r["start"] + r["piece_len"]))
+    assert covered == set(range(37))
+
+
+def test_gather_chunks_slices(spark):
+    from pyspark.sql import functions as F
+
+    from wos_crawler_spark.operators.packing import chunk_manifest, gather_chunks
+
+    docs = spark.createDataFrame([(1, list(range(10)))], "doc_id long, tokens array<int>")
+    sized = docs.select("doc_id", F.size("tokens").cast("long").alias("n_tokens"))
+    out = {
+        r["chunk_id"]: r["tokens"]
+        for r in gather_chunks(chunk_manifest(sized, 8, 4), docs).collect()
+    }
+    assert out == {0: list(range(8)), 1: list(range(4, 10))}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_manifest(sized, 0, 4)

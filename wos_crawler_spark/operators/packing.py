@@ -107,6 +107,77 @@ def pack_manifest(
     )
 
 
+def chunk_manifest(
+    docs: DataFrame,
+    window: int,
+    stride: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Per-document sliding-window chunking — the RAG/context-split
+    complement to :func:`pack_manifest` (which concatenates ACROSS
+    docs; this slices WITHIN them, docs never mix):
+    ``(doc_id, chunk_id, start, piece_len)`` with chunk k starting at
+    ``k·stride``. The chunk count is the standard formula — one chunk
+    if the doc fits the window, else ``1 + ⌈(n − window)/stride⌉`` —
+    so chunking STOPS once a chunk reaches the document end (no
+    redundant fully-contained tail chunks), the final chunk may be
+    shorter than ``window``, and ``stride < window`` yields overlap
+    while ``stride > window`` yields gap-sampling. All-integer
+    arithmetic (ceil by DIV); docs with NULL/non-positive token counts
+    drop, matching :func:`pack_manifest`. Pure map-side projection +
+    explode — zero shuffles, the corpus text never moves."""
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(tokens_col).cast("long").alias("n"),
+    ).filter(F.col("n") > 0)
+    k = F.when(F.col("n") <= window, F.lit(1).cast("long")).otherwise(
+        F.lit(1) + F.expr(f"(n - {window} + {stride} - 1) DIV {stride}")
+    )
+    e = d.withColumn(
+        "chunk_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), k - F.lit(1))),
+    )
+    start = F.col("chunk_id") * stride
+    return e.select(
+        "doc_id",
+        "chunk_id",
+        start.alias("start"),
+        F.least(F.lit(window).cast("long"), F.col("n") - start).alias(
+            "piece_len"
+        ),
+    )
+
+
+def gather_chunks(
+    manifest: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_arr_col: str = "tokens",
+) -> DataFrame:
+    """Demo assembly for :func:`chunk_manifest`: slice each chunk's
+    token run out of an array column — one co-keyed join plus a
+    map-side ``slice`` (1-based), no aggregation needed since chunks
+    never span documents."""
+    return manifest.join(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(tokens_arr_col).alias("_toks"),
+        ),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.slice(
+            F.col("_toks"),
+            (F.col("start") + 1).cast("int"),
+            F.col("piece_len").cast("int"),
+        ).alias("tokens"),
+    )
+
+
 def assign_shards(
     docs: DataFrame,
     n_shards: int,
