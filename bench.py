@@ -61,6 +61,9 @@ ENTRY_QUERIES = [
     "dedup_spans",
     "text_lm_perplexity",
     "pipeline_curation_v3",
+    "text_containment_join",
+    "dedup_jaccard_cross_join",
+    "pack_shards",
 ]
 
 
