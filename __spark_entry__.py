@@ -590,6 +590,29 @@ def q_dedup_jaccard_exact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_jaccard_pairs(docs, shingle_n=3, t_num=1, t_den=2)
 
 
+def q_dedup_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted MinHash dedup index (operators/dedupindex.py): the
+    standing corpus (even doc_ids) is banded ONCE; the increment (odd
+    doc_ids) probes the stored band table — broadcast, so the index
+    never shuffles — and verification is exact hashed-shingle Jaccard
+    with an integer threshold. Same banding params as the pinned LSH
+    snapshot, so the oracle reuses minhash_bands_sf001 with a parity
+    filter and recomputes the verification from the live documents."""
+    from wos_crawler_spark.operators.dedupindex import (
+        dedup_index_build,
+        dedup_index_query,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = dedup_index_build(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        shingle_n=1, k=32, n_bands=8,
+    )
+    return dedup_index_query(
+        idx, docs.filter(F.col("doc_id") % 2 == 1), t_num=1, t_den=2
+    )
+
+
 def q_dedup_jaccard_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus exact set-similarity join
     (textdedup.prefix_jaccard_join): 'which of today's crawl docs are
@@ -2134,6 +2157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans_apply": q_dedup_spans_apply,
         "dedup_jaccard_exact_join": q_dedup_jaccard_exact_join,
         "dedup_jaccard_cross_join": q_dedup_jaccard_cross_join,
+        "dedup_index_query": q_dedup_index_query,
         "text_containment_join": q_text_containment_join,
         "f_resolve_redirects": q_f_resolve_redirects,
         "s_wet_roundtrip": q_s_wet_roundtrip,
@@ -3362,6 +3386,35 @@ def oracle_sql() -> dict[str, str]:
                   >= (len(a.s) + len(b.s)
                       - len(list_intersect(a.s, b.s))) * 1
         """,
+        "dedup_index_query": f"""
+            -- candidates from the pinned LSH band snapshot (parity
+            -- split: odd = increment, even = standing index);
+            -- verification recomputed from the live documents as
+            -- STRING-set Jaccard — a fixture xxhash collision in the
+            -- engine's hashed-set counts would hash-fail here
+            WITH cand AS (
+                SELECT DISTINCT q.doc_id AS id_new, x.doc_id AS id_idx
+                FROM {{snap}} q
+                JOIN {{snap}} x
+                  ON q.band_id = x.band_id AND q.band_hash = x.band_hash
+                WHERE q.doc_id % 2 = 1 AND x.doc_id % 2 = 0
+            ),
+            sh AS (
+                SELECT doc_id, list_distinct({_WORDS}) AS s FROM documents
+            )
+            SELECT c.id_new, c.id_idx,
+                   CAST(len(list_intersect(a.s, b.s)) AS BIGINT)
+                     AS n_inter,
+                   CAST(len(a.s) + len(b.s)
+                        - len(list_intersect(a.s, b.s)) AS BIGINT)
+                     AS n_union
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.id_new
+            JOIN sh b ON b.doc_id = c.id_idx
+            WHERE len(list_intersect(a.s, b.s)) * 2
+                  >= (len(a.s) + len(b.s)
+                      - len(list_intersect(a.s, b.s))) * 1
+        """.replace("{snap}", _snap("minhash_bands_sf001")),
         "dedup_jaccard_cross_join": f"""
             -- brute-force A×B recomputation (no prefixes, no shared
             -- union-df order) — independent completeness oracle for
