@@ -1110,6 +1110,22 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(docs, "stratum", "doc_id", alpha=0.5)
 
 
+def q_stats_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length quantiles (operators/stats.py) by
+    VALUE COUNTING — the scale-correct exact algorithm: the ordering
+    window runs over per-stratum distinct values, never corpus rows,
+    and the target rank is all-integer ceil division (percentile_disc
+    semantics). percentile_approx would be sketch-dependent and
+    unverifiable; this is recomputed from scratch by the oracle."""
+    from wos_crawler_spark.operators.stats import value_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return value_quantiles(
+        docs, "lang", "n_chars",
+        [(1, 10), (1, 4), (1, 2), (3, 4), (9, 10), (1, 1)],
+    )
+
+
 def q_sample_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fractional UPsampling — the other half of the
     mixing recipe (sample_mixture can only thin): high-value sources
@@ -2203,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "sample_mixture": q_sample_mixture,
         "sample_upsample": q_sample_upsample,
+        "stats_length_quantiles": q_stats_length_quantiles,
         "sample_host_cap": q_sample_host_cap,
         "pack_shards": q_pack_shards,
         "chunk_sliding_windows": q_chunk_sliding_windows,
@@ -3897,6 +3914,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
                                       || 'mix'), 1, 8))::BIGINT
                   / 4294967296.0 < rate
+        """,
+        "stats_length_quantiles": """
+            -- exact type-1 (inverse-ECDF) quantiles recomputed from
+            -- scratch: value counts -> cumulative -> smallest value
+            -- reaching rank ceil(p*n); all-integer
+            WITH vc AS (
+                SELECT lang AS stratum, n_chars AS v,
+                       count(*)::BIGINT AS c
+                FROM documents WHERE n_chars IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT stratum, v,
+                       sum(c) OVER (PARTITION BY stratum ORDER BY v)
+                         AS cumc,
+                       sum(c) OVER (PARTITION BY stratum) AS n
+                FROM vc
+            ),
+            p(p_num, p_den) AS (
+                VALUES (1, 10), (1, 4), (1, 2), (3, 4), (9, 10), (1, 1)
+            ),
+            e AS (
+                SELECT stratum, v, cumc, n,
+                       p_num::BIGINT AS p_num, p_den::BIGINT AS p_den
+                FROM cum CROSS JOIN p
+            )
+            SELECT stratum, max(n)::BIGINT AS n, p_num, p_den,
+                   min(v) AS q
+            FROM e
+            WHERE cumc >= (p_num * n + p_den - 1) // p_den
+            GROUP BY stratum, p_num, p_den
         """,
         "sample_upsample": """
             -- fractional repetition: n = floor(rate) + (draw < frac);
