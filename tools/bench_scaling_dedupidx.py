@@ -1,0 +1,283 @@
+"""Two-parallelism scaling protocol for the round-3c operators —
+the same N vs 4N evidence the north rule demands (crawl/parse:
+tools/bench_scaling.py; span dedup/LM gate:
+tools/bench_scaling_textops.py), applied to the two newest shapes:
+
+  * dedup_index_probe — the persisted-MinHash-index query path: the
+    standing corpus (0.9M docs) is banded+saved ONCE during prep;
+    each measured run loads the parquet index and probes it with a
+    0.1M-doc increment (broadcast bands → BHJ, exact hashed-shingle
+    verify). Every increment doc is a planted near-dup of a standing
+    doc (the generator's every-5th-replays rule), so the verify join
+    carries real weight, not an empty candidate set.
+  * shard_assign — the two-phase distributed prefix-rank: range
+    repartition on (size DESC, id), per-partition row_number,
+    broadcast exclusive counts, serpentine arithmetic — over 8M rows
+    (pure manifest stubs; the operator never reads text).
+
+Protocol identical to the sibling tools: input generated ONCE to
+tmpfs; levels run in interleaved pairs; efficiency = median over
+pairs of (thr_hi / thr_lo) / (hi/lo); fixed-work CPU probe flags
+co-tenant storms. Result invariants (match counts / per-shard token
+totals) are asserted identical across levels — the scaling run
+doubles as a partitioning-invariance test at 1000× pytest scale.
+
+Usage: python tools/bench_scaling_dedupidx.py [--n 1000000] [--pairs 2]
+Writes BENCH/SCALING_DEDUPIDX_r03.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from tools.bench_scaling import (  # noqa: E402
+    CORE_LEVELS,
+    _cpu_probe,
+    _fresh_spark,
+    _warm_python_workers,
+)
+INPUT = "/dev/shm/wcs-scaling-dedupidx-docs"
+IDX = "/dev/shm/wcs-scaling-dedupidx"
+SHARD_ROWS_FACTOR = 8  # shard_assign runs over 8× the doc count
+
+
+def prepare_input(n: int) -> None:
+    """Own generator (NOT the textops one): the textops corpus draws
+    tokens from an arithmetic progression mod a 50k vocabulary, so
+    unrelated docs whose bases align mod the step share long token
+    runs — accidental J ≥ 1/2 pairs grow QUADRATICALLY with corpus
+    size (measured: 15k accidental pairs from a 2k×18k cross at
+    n=20k — fine for span dedup, an explosion for a pair-verifying
+    index probe). Here each token is an avalanche-mixed hash of
+    (doc, position) over a 500k vocabulary: expected shared tokens
+    between unrelated docs ≈ 52²/500k ≈ 0.005, so the ONLY near-dups
+    are the planted every-5th-replays-its-predecessor pairs."""
+    shutil.rmtree(INPUT, ignore_errors=True)
+    spark = _fresh_spark(32)
+
+    def _gen(batches):
+        import pandas as pd
+
+        def tok(i: int, j: int) -> int:
+            v = (i * 2654435761 + j * 1013904223) & 0xFFFFFFFF
+            v ^= v >> 16
+            v = (v * 2246822519) & 0xFFFFFFFF
+            v ^= v >> 13
+            return v % 500000
+
+        def toks(i: int) -> list[str]:
+            return [f"w{tok(i, j)}" for j in range(52)]
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            texts = []
+            for i in ids:
+                t = toks(int(i))
+                if i % 5 == 0 and i > 0:
+                    t = toks(int(i) - 1) + t[:10]
+                texts.append(" ".join(t))
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    spark.range(n, numPartitions=64).mapInPandas(
+        _gen, "doc_id long, text string"
+    ).write.parquet(INPUT)
+    spark.stop()
+
+
+def prepare_index() -> None:
+    """Band + hash the standing corpus ONCE (prep, not measured —
+    the index's point is that queries never repeat this)."""
+    from pyspark.sql import functions as F
+
+    from wos_crawler_spark.operators.dedupindex import (
+        dedup_index_build,
+        dedup_index_save,
+    )
+
+    shutil.rmtree(IDX, ignore_errors=True)
+    spark = _fresh_spark(32)
+    docs = spark.read.parquet(INPUT)
+    standing = docs.filter(F.col("doc_id") % 10 != 0)
+    idx = dedup_index_build(standing, shingle_n=1, k=32, n_bands=8)
+    dedup_index_save(idx, IDX)
+    spark.stop()
+
+
+def run_index_probe(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from wos_crawler_spark.operators.dedupindex import (
+        dedup_index_load,
+        dedup_index_query,
+    )
+
+    increment = spark.read.parquet(INPUT).filter(F.col("doc_id") % 10 == 0)
+    n_inc = increment.count()
+    t0 = time.time()
+    idx = dedup_index_load(spark, IDX)
+    hits = dedup_index_query(idx, increment, t_num=1, t_den=2)
+    row = hits.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.sum("n_inter").alias("inter_sum"),
+    ).first()
+    dt = time.time() - t0
+    return {
+        "sec": round(dt, 3),
+        "docs_per_sec": round(n_inc / dt, 1),
+        "pairs": int(row["pairs"]),
+        "inter_sum": int(row["inter_sum"]),
+        "n_docs": n_inc,
+    }
+
+
+def run_shard_assign(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from wos_crawler_spark.operators.packing import assign_shards, shard_stats
+
+    n = spark.read.parquet(INPUT).count() * SHARD_ROWS_FACTOR
+    rows = spark.range(n, numPartitions=64).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 13) % 1000 + 1).alias("n_tokens"),
+    )
+    t0 = time.time()
+    a = assign_shards(rows, 64)
+    st = shard_stats(a).agg(
+        F.max("tokens_total").alias("mx"),
+        F.min("tokens_total").alias("mn"),
+        F.sum("tokens_total").alias("tot"),
+    ).first()
+    dt = time.time() - t0
+    return {
+        "sec": round(dt, 3),
+        "docs_per_sec": round(n / dt, 1),
+        "spread": int(st["mx"] - st["mn"]),
+        "tokens_total": int(st["tot"]),
+        "n_docs": n,
+    }
+
+
+WORKLOADS = {
+    "dedup_index_probe": run_index_probe,
+    "shard_assign": run_shard_assign,
+}
+INVARIANTS = {
+    "dedup_index_probe": ("pairs", "inter_sum"),
+    "shard_assign": ("spread", "tokens_total"),
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--pairs", type=int, default=2)
+    ap.add_argument("--levels", type=int, nargs=2, default=list(CORE_LEVELS))
+    ap.add_argument("--reuse-input", action="store_true")
+    args = ap.parse_args()
+    lo, hi = args.levels
+    factor = hi / lo
+
+    if not args.reuse_input:
+        print(f"generating {args.n} docs → {INPUT}", flush=True)
+        prepare_input(args.n)
+    print(f"building standing index → {IDX}", flush=True)
+    prepare_index()
+
+    runs: dict[str, dict[int, list[dict]]] = {
+        w: {lo: [], hi: []} for w in WORKLOADS
+    }
+    best_probe = float("inf")
+    for pair in range(args.pairs):
+        for cores in (lo, hi):
+            spark = _fresh_spark(cores)
+            _warm_python_workers(spark, cores)
+            for w, fn in WORKLOADS.items():
+                probe = _cpu_probe()
+                best_probe = min(best_probe, probe)
+                r = fn(spark)
+                r["probe"] = round(probe, 3)
+                r["pair"] = pair
+                runs[w][cores].append(r)
+                print(json.dumps({"workload": w, "cores": cores, **r}),
+                      flush=True)
+            spark.stop()
+
+    # result invariants must be identical at every level
+    for w, keys in INVARIANTS.items():
+        vals = {
+            tuple(r[k] for k in keys)
+            for lvl in (lo, hi)
+            for r in runs[w][lvl]
+        }
+        assert len(vals) == 1, f"{w} results differ across levels: {vals}"
+
+    lines = [
+        "# Scaling — round-3c operators (persisted dedup index probe, "
+        "shard assignment)",
+        "",
+        f"Protocol: tools/bench_scaling_dedupidx.py — {args.n} docs "
+        f"(textops generator: every 5th doc replays its predecessor, "
+        f"so every increment doc near-dups a standing doc); standing "
+        f"index (90%) built once to tmpfs; measured job = load index "
+        f"+ probe with the 10% increment. shard_assign ranks "
+        f"{args.n * SHARD_ROWS_FACTOR} manifest stubs into 64 shards. "
+        f"Interleaved pairs at local[{lo}] vs local[{hi}]; efficiency "
+        f"= median over pairs of (thr_{hi}/thr_{lo})/{factor:.0f}. "
+        f"CPU probe best {best_probe:.3f}s.",
+        "",
+        "| workload | cores | run | sec | docs/s | probe |",
+        "|---|---|---|---|---|---|",
+    ]
+    summary = {}
+    for w in WORKLOADS:
+        effs = []
+        for pair in range(args.pairs):
+            a = runs[w][lo][pair]
+            b = runs[w][hi][pair]
+            effs.append((b["docs_per_sec"] / a["docs_per_sec"]) / factor)
+        for cores in (lo, hi):
+            for r in runs[w][cores]:
+                storm = " ⚠" if r["probe"] > 1.5 * best_probe else ""
+                lines.append(
+                    f"| {w} | {cores} | {r['pair']} | {r['sec']} "
+                    f"| {r['docs_per_sec']} | {r['probe']}{storm} |"
+                )
+        med = statistics.median(effs)
+        summary[w] = {
+            "median_efficiency": round(med, 3),
+            "per_pair": [round(e, 3) for e in effs],
+            "best_thr_lo": max(r["docs_per_sec"] for r in runs[w][lo]),
+            "best_thr_hi": max(r["docs_per_sec"] for r in runs[w][hi]),
+        }
+        lines.append(
+            f"| {w} | — | — | — | **efficiency {med:.3f}** (pairs: "
+            + ", ".join(f"{e:.3f}" for e in effs) + ") | |"
+        )
+    lines += [
+        "",
+        "Criterion: ≥ 0.8 (BASELINE.json north_rule). Result "
+        "invariants (pair/intersection sums; shard spread/token "
+        "totals) asserted identical across levels — the run doubles "
+        "as a partitioning-invariance check at this scale.",
+        "",
+        "```json",
+        json.dumps(summary, indent=2),
+        "```",
+        "",
+    ]
+    out = Path(__file__).resolve().parents[1] / "BENCH"
+    out.mkdir(exist_ok=True)
+    (out / "SCALING_DEDUPIDX_r03.md").write_text("\n".join(lines))
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
