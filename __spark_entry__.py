@@ -1110,6 +1110,20 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(docs, "stratum", "doc_id", alpha=0.5)
 
 
+def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc TF-IDF top-3 keywords (bm25.tfidf_topk_terms) with the
+    boilerplate cut at df/N ≤ 1/2 — the corpus-statistics text-
+    analysis op next to BM25 retrieval. Single per-(doc,term) product
+    of exact integers floor-quantized to nanos (no sum exists — not
+    even ordering can flap); the one inherent vocabulary-keyed
+    exchange is documented in the operator. Oracle recomputes
+    postings, df, N, idf and the ranking from scratch."""
+    from wos_crawler_spark.operators.bm25 import tfidf_topk_terms
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_topk_terms(docs, k=3, max_df_num=1, max_df_den=2)
+
+
 def q_stats_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-language length quantiles (operators/stats.py) by
     VALUE COUNTING — the scale-correct exact algorithm: the ordering
@@ -2220,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": q_sample_mixture,
         "sample_upsample": q_sample_upsample,
         "stats_length_quantiles": q_stats_length_quantiles,
+        "text_tfidf_keywords": q_text_tfidf_keywords,
         "sample_host_cap": q_sample_host_cap,
         "pack_shards": q_pack_shards,
         "chunk_sliding_windows": q_chunk_sliding_windows,
@@ -3914,6 +3929,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
                                       || 'mix'), 1, 8))::BIGINT
                   / 4294967296.0 < rate
+        """,
+        "text_tfidf_keywords": f"""
+            -- postings, df, N, sklearn-smooth idf and the ranking
+            -- recomputed from scratch; score = floor(tf * (ln((1+N)/
+            -- (1+df)) + 1) * 1e9) — a single product of exact
+            -- integers, identical IEEE tree in both engines
+            WITH post AS (
+                SELECT doc_id, t.term, count(*)::BIGINT AS tf
+                FROM (SELECT doc_id, unnest({_WORDS}) AS term
+                      FROM documents) t
+                WHERE t.term <> ''
+                GROUP BY doc_id, t.term
+            ),
+            dfc AS (
+                SELECT term, count(*)::BIGINT AS df FROM post
+                GROUP BY term
+            ),
+            nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM post),
+            scored AS (
+                SELECT p.doc_id, p.term, p.tf, d.df,
+                       floor(p.tf * (ln((1.0 + nd.n) / (1.0 + d.df))
+                                     + 1.0) * 1e9)::BIGINT AS score_nano
+                FROM post p JOIN dfc d USING (term) CROSS JOIN nd
+                WHERE d.df * 2 <= nd.n * 1
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score_nano DESC, term ASC
+                )::INTEGER AS rank
+                FROM scored
+            )
+            SELECT doc_id, term, tf, df, score_nano, rank
+            FROM ranked WHERE rank <= 3
         """,
         "stats_length_quantiles": """
             -- exact type-1 (inverse-ECDF) quantiles recomputed from

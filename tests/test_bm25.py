@@ -171,3 +171,70 @@ def test_containment_join_exact_and_edges(spark):
         for r in containment_join(d.repartition(11), q).collect()
     )
     assert again == got
+
+
+# ---------------------------------------------------------------- TF-IDF
+
+
+def test_tfidf_topk_matches_python_twin(spark):
+    import math
+
+    from wos_crawler_spark.operators.bm25 import tfidf_topk_terms
+
+    rows = [
+        (1, "apple banana apple cherry common common"),
+        (2, "banana date common common date date"),
+        (3, "elder common fig fig"),
+        (4, ""),  # no postings, no keywords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["rank"], r["term"], r["tf"], r["df"], r["score_nano"])
+        for r in tfidf_topk_terms(df, k=2).collect()
+    )
+    # python twin
+    import collections
+    tf = {i: collections.Counter(t.split()) for i, t in rows}
+    docs_with = collections.Counter(
+        w for i, t in rows for w in set(t.split())
+    )
+    n = len([i for i, t in rows if t.split()])
+    want = []
+    for i, c in tf.items():
+        scored = sorted(
+            (
+                -math.floor(c[w] * (math.log((1 + n) / (1 + docs_with[w])) + 1.0) * 1e9),
+                w,
+            )
+            for w in c
+        )
+        for r, (neg, w) in enumerate(scored[:2], start=1):
+            want.append((i, r, w, c[w], docs_with[w], -neg))
+    assert got == sorted(want)
+    # doc 4 emits nothing
+    assert not any(g[0] == 4 for g in got)
+
+
+def test_tfidf_max_df_drops_boilerplate_and_guards(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from wos_crawler_spark.operators.bm25 import tfidf_topk_terms
+
+    rows = [
+        (1, "boiler rare1 x y"),
+        (2, "boiler rare2 x z"),
+        (3, "boiler rare3 w v"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # boiler is in 3/3 docs; max_df 2/3 drops it before ranking
+    out = tfidf_topk_terms(df, k=10, max_df_num=2, max_df_den=3)
+    assert "boiler" not in {r["term"] for r in out.collect()}
+    # partitioning invariance
+    a = sorted(map(tuple, tfidf_topk_terms(df.repartition(1), k=2).collect()))
+    b = sorted(map(tuple, tfidf_topk_terms(df.repartition(7), k=2).collect()))
+    assert a == b
+    with _pytest.raises(ValueError):
+        tfidf_topk_terms(df, k=0)
+    with _pytest.raises(ValueError):
+        tfidf_topk_terms(df, min_df=0)

@@ -221,3 +221,69 @@ def containment_join(
         .filter(F.col("_nh") == F.col("_nq"))
         .select("q_id", "doc_id")
     )
+
+
+def tfidf_topk_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df_num: int | None = None,
+    max_df_den: int = 1,
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction — the corpus-statistics
+    text-analysis op next to BM25's query-time retrieval:
+    ``(doc_id, term, tf, df, score_nano, rank)`` for each doc's top-k
+    terms under the sklearn-smooth idf ``ln((1+N)/(1+df)) + 1`` (never
+    zero, defined at df = N). Same determinism protocol as BM25: the
+    score is a single per-(doc, term) product of exact integers
+    through an identical IEEE expression tree in both engines,
+    floor-quantized to nano-units — no sum exists here at all, so not
+    even ordering can flap; rank ties break on term ascending.
+
+    Scale note — and why this op's plan differs from BM25's: keyword
+    extraction needs df for EVERY term of every doc (the rare terms
+    ARE the keywords), so the vocabulary-keyed exchange BM25 engineers
+    away is inherent here: one (doc, term) postings exchange, one
+    partial-aggregated df exchange capped at vocabulary size, one
+    term-keyed join, then the per-doc top-k window. ``max_df_num /
+    max_df_den`` (rational, integer cross-multiplied) drops corpus-
+    boilerplate terms BEFORE the window — at web scale always set it:
+    it prunes exactly the terms with the largest join fan-out."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    post = corpus_postings(docs, id_col, text_col)
+    dfc = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = post.agg(F.countDistinct("doc_id").alias("_N"))
+    j = post.join(dfc, "term").crossJoin(F.broadcast(nd)).filter(
+        F.col("df") >= min_df
+    )
+    if max_df_num is not None:
+        # keep iff df/N <= max_df_num/max_df_den, all-integer
+        j = j.filter(
+            F.col("df") * max_df_den <= F.col("_N") * max_df_num
+        )
+    idf = F.ln(
+        (F.lit(1.0) + F.col("_N")) / (F.lit(1.0) + F.col("df"))
+    ) + F.lit(1.0)
+    scored = j.withColumn(
+        "score_nano",
+        F.floor(F.col("tf") * idf * F.lit(_QUANTUM)).cast("long"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_nano").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id", "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score_nano",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
