@@ -1110,6 +1110,37 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(docs, "stratum", "doc_id", alpha=0.5)
 
 
+def q_f_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection (operators/mirrors.py): content-set
+    CONTAINMENT ≥ 1/2 (not Jaccard — a small full mirror of a big
+    site IS a mirror), integer cross-multiplied, md5 digests so the
+    oracle recomputes from scratch. Fixture: h0..h4 hold the corpus
+    by doc_id%5; m0..m4 mirror the doc_id%3==0 slice (m_k ⊂ h_k →
+    containment 1); a banner page on all 10 hosts exercises the
+    boilerplate cut (10 > cap 5 → dropped before pairing, but
+    denominators stay uncut)."""
+    from wos_crawler_spark.operators.mirrors import mirror_host_pairs
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    base = docs.select(
+        F.concat(F.lit("h"), (d % 5).cast("string")).alias("host"), "text"
+    )
+    mirr = docs.filter(d % 3 == 0).select(
+        F.concat(F.lit("m"), (d % 5).cast("string")).alias("host"), "text"
+    )
+    banner = spark.createDataFrame(
+        [(f"{p}{i}", "banner") for p in ("h", "m") for i in range(5)],
+        "host string, text string",
+    )
+    pages = base.unionAll(mirr).unionAll(banner)
+    return mirror_host_pairs(
+        pages, t_num=1, t_den=2, max_hosts_per_digest=5
+    )
+
+
 def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc TF-IDF top-3 keywords (bm25.tfidf_topk_terms) with the
     boilerplate cut at df/N ≤ 1/2 — the corpus-statistics text-
@@ -2235,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_upsample": q_sample_upsample,
         "stats_length_quantiles": q_stats_length_quantiles,
         "text_tfidf_keywords": q_text_tfidf_keywords,
+        "f_mirror_hosts": q_f_mirror_hosts,
         "sample_host_cap": q_sample_host_cap,
         "pack_shards": q_pack_shards,
         "chunk_sliding_windows": q_chunk_sliding_windows,
@@ -3929,6 +3961,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
                                       || 'mix'), 1, 8))::BIGINT
                   / 4294967296.0 < rate
+        """,
+        "f_mirror_hosts": """
+            -- same construction, every step recomputed from scratch:
+            -- distinct (host, md5) -> uncut sizes -> boilerplate cut
+            -- -> digest self-join -> integer containment test
+            WITH pages AS (
+                SELECT 'h' || (doc_id % 5) AS host,
+                       coalesce(text, '') AS text
+                FROM documents
+                UNION ALL
+                SELECT 'm' || (doc_id % 5), coalesce(text, '')
+                FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT h, 'banner' FROM (
+                    SELECT unnest(['h0','h1','h2','h3','h4',
+                                   'm0','m1','m2','m3','m4']) AS h
+                )
+            ),
+            d AS (SELECT DISTINCT host, md5(text) AS dg FROM pages),
+            sizes AS (
+                SELECT host, count(*)::BIGINT AS n FROM d GROUP BY host
+            ),
+            spread AS (SELECT dg, count(*) AS hn FROM d GROUP BY dg),
+            kept AS (
+                SELECT d.host, d.dg FROM d JOIN spread USING (dg)
+                WHERE hn <= 5
+            ),
+            pairs AS (
+                SELECT a.host AS host_a, b.host AS host_b,
+                       count(*)::BIGINT AS n_shared
+                FROM kept a JOIN kept b USING (dg)
+                WHERE a.host < b.host
+                GROUP BY 1, 2
+            )
+            SELECT host_a, host_b, n_shared,
+                   sa.n AS n_a, sb.n AS n_b
+            FROM pairs
+            JOIN sizes sa ON sa.host = host_a
+            JOIN sizes sb ON sb.host = host_b
+            WHERE n_shared * 2 >= least(sa.n, sb.n) * 1
         """,
         "text_tfidf_keywords": f"""
             -- postings, df, N, sklearn-smooth idf and the ranking
