@@ -697,6 +697,54 @@ def q_s_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC response-record round trip (sources/wet.py): documents →
+    synthesized html bytes wrapped in full HTTP envelopes → one WARC
+    blob per source → parsed back through the real reader path. The
+    raw sibling of s_wet_roundtrip: this is how the input_hint's
+    html:binary column actually arrives from a crawl. Oracle is the
+    identity — status, content-type, byte-exact body (md5), octet
+    length, epoch ts — so a framing defect in either direction
+    hash-fails."""
+    from wos_crawler_spark.sources.wet import (
+        parse_warc,
+        serialize_warc,
+        with_warc_ts,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://ex.com/warc/"), d.cast("string")).alias(
+            "url"
+        ),
+        F.date_format(
+            F.timestamp_seconds(d * 3600), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        ).alias("warc_date"),
+        F.when(d % 10 == 0, 404).otherwise(200).cast("int").alias("status"),
+        F.when(d % 7 == 0, "text/plain").otherwise("text/html").alias(
+            "content_type"
+        ),
+        F.encode(
+            F.concat(
+                F.lit("<html><body>"),
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit("</body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        "source",
+    )
+    parsed = with_warc_ts(parse_warc(serialize_warc(docs, "source"), "warc"))
+    return parsed.select(
+        "url",
+        F.col("warc_ts").cast("long").alias("warc_epoch"),
+        "status",
+        "content_type",
+        F.md5(F.col("html")).alias("html_md5"),
+        "n_bytes",
+    )
+
+
 def q_a_hll_host_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host distinct-URL cardinality by HyperLogLog
     (operators/sketches.py): the crawl-analytics sketch that replaces
@@ -2222,6 +2270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_containment_join": q_text_containment_join,
         "f_resolve_redirects": q_f_resolve_redirects,
         "s_wet_roundtrip": q_s_wet_roundtrip,
+        "s_warc_roundtrip": q_s_warc_roundtrip,
         "text_lm_perplexity": q_text_lm_perplexity,
         "sim_pq_topk": q_sim_pq_topk,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
@@ -3184,6 +3233,24 @@ def oracle_sql() -> dict[str, str]:
                      AS n_paras_kept,
                    coalesce(k.dedup_text, '') AS dedup_text
             FROM combo c LEFT JOIN k USING (doc_id)
+        """,
+        "s_warc_roundtrip": """
+            -- the identity the WARC serialize->parse round trip must
+            -- reproduce: status/ctype from doc_id arithmetic,
+            -- byte-exact body md5, octet length, epoch ts
+            SELECT 'https://ex.com/warc/' || CAST(doc_id AS VARCHAR)
+                     AS url,
+                   CAST(doc_id * 3600 AS BIGINT) AS warc_epoch,
+                   (CASE WHEN doc_id % 10 = 0 THEN 404
+                         ELSE 200 END)::INTEGER AS status,
+                   CASE WHEN doc_id % 7 = 0 THEN 'text/plain'
+                        ELSE 'text/html' END AS content_type,
+                   md5('<html><body>' || coalesce(text, '')
+                       || '</body></html>') AS html_md5,
+                   CAST(octet_length(encode('<html><body>'
+                       || coalesce(text, '') || '</body></html>'))
+                        AS BIGINT) AS n_bytes
+            FROM documents
         """,
         "s_wet_roundtrip": """
             -- the identity the WET serialize->parse round trip must

@@ -143,3 +143,113 @@ def test_fuzz_roundtrip_byte_exact(spark):
     assert len(got) == 500
     for _, u, _, t in rows:
         assert got[u] == (t, len(t.encode("utf-8"))), u
+
+
+# ------------------------------------------------------- WARC responses
+
+
+def test_warc_roundtrip_binary_exact(spark):
+    from wos_crawler_spark.sources.wet import (
+        parse_warc,
+        serialize_warc,
+        with_warc_ts,
+    )
+
+    rows = [
+        # body containing the record magic AND an HTTP-looking line —
+        # must survive (Content-Length framing is the only authority)
+        ("https://a.com/1", "2024-01-01T00:00:00Z", 200, "text/html",
+         b"<html>WARC/1.0\r\nHTTP/1.1 500 fake</html>"),
+        ("https://a.com/2", "2024-01-01T01:00:00Z", 404, "text/html",
+         b""),
+        # binary body with invalid utf-8 — html is binary, never decoded
+        ("https://a.com/3", "2024-01-01T02:00:00Z", 200,
+         "application/pdf", bytes([0xFF, 0xFE, 0x00, 0x89, 0x50])),
+    ]
+    df = spark.createDataFrame(
+        [(u, d, s, c, b, "g") for u, d, s, c, b in rows],
+        "url string, warc_date string, status int, content_type string,"
+        " html binary, g string",
+    )
+    parsed = with_warc_ts(parse_warc(serialize_warc(df, "g"), "warc"))
+    got = {
+        r["url"]: (
+            r["status"], r["content_type"], bytes(r["html"]),
+            r["n_bytes"], r["warc_ts"] is not None,
+        )
+        for r in parsed.collect()
+    }
+    assert got == {
+        u: (s, c, b, len(b), True) for u, d, s, c, b in rows
+    }
+
+
+def test_warc_lenient_http_envelope_and_resync():
+    from wos_crawler_spark.sources.wet import (
+        _MAGIC,
+        parse_warc_bytes,
+        warc_file_bytes,
+        warc_response_record_bytes,
+    )
+
+    good = warc_response_record_bytes(
+        "https://x/1", "2024-01-01T00:00:00Z", 200, "text/html", b"ok"
+    )
+    # payload with NO http header terminator: whole payload becomes
+    # the body, status/ctype None — the page is never dropped
+    raw = b"RAWBYTES-NO-HTTP-HEAD"
+    mangled = (
+        _MAGIC
+        + (
+            "WARC-Type: response\r\n"
+            "WARC-Target-URI: https://x/2\r\n"
+            "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            f"Content-Length: {len(raw)}\r\n"
+        ).encode()
+        + b"\r\n" + raw + b"\r\n\r\n"
+    )
+    # record with a LYING Content-Length (overruns file) resyncs and
+    # the following good record still parses
+    truncated = (
+        _MAGIC
+        + b"WARC-Type: response\r\nWARC-Target-URI: https://x/3\r\n"
+        + b"Content-Length: 999999\r\n\r\nshort"
+    )
+    out = list(parse_warc_bytes(mangled + truncated + good))
+    assert [(r[0], r[2], r[4]) for r in out] == [
+        ("https://x/2", None, raw),
+        ("https://x/1", 200, b"ok"),
+    ]
+    # a full file leads with warcinfo, which must not be emitted
+    f = warc_file_bytes(
+        [("https://x/4", "2024-01-01T00:00:00Z", 301, "text/html", b"x")]
+    )
+    recs = list(parse_warc_bytes(f))
+    assert len(recs) == 1 and recs[0][2] == 301
+
+
+def test_read_warc_feeds_html_pipeline(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from wos_crawler_spark.operators.htmllinks import links_from_pages
+    from wos_crawler_spark.sources.wet import read_warc, serialize_warc
+
+    html = b'<html><a href="/next">n</a><a href="https://e.org/p">e</a></html>'
+    df = spark.createDataFrame(
+        [("https://a.com/x", "2024-01-01T00:00:00Z", 200, "text/html",
+          html, "g")],
+        "url string, warc_date string, status int, content_type string,"
+        " html binary, g string",
+    )
+    d = str(tmp_path / "warc")
+    # write the blob as a real file the binaryFile source can read
+    blob = serialize_warc(df, "g").first()["warc"]
+    import pathlib
+    pathlib.Path(d).mkdir()
+    pathlib.Path(d, "part-0.warc").write_bytes(bytes(blob))
+    pages = read_warc(spark, d)
+    links = links_from_pages(pages)
+    assert {r["dst_url"] for r in links.collect()} == {
+        "https://a.com/next", "https://e.org/p"
+    }
+    assert pages.first()["status"] == 200

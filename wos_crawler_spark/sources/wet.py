@@ -212,3 +212,203 @@ def serialize_wet(
     return df.groupBy(group_col).applyInPandas(
         _build, f"{gname} {gtype}, wet binary"
     )
+
+
+# ------------------------------------------- WARC response records
+#
+# The raw sibling of WET: ``WARC-Type: response`` records carry the
+# full HTTP response (status line, headers, blank line, body bytes) as
+# the Content-Length-framed payload. This is how the input_hint's
+# ``html:binary`` column actually arrives from a crawl — WET delivers
+# the text side, this delivers the raw side that htmltext/htmllinks
+# consume. Same framing walk, same resync-on-malformed discipline;
+# the HTTP body is NEVER decoded (html is binary by contract —
+# make_valid_utf8 happens downstream, per htmllinks' rules).
+
+
+def warc_response_record_bytes(
+    url: str, date: str, status: int, ctype: str, body: bytes
+) -> bytes:
+    """One ``response`` record wrapping an HTTP/1.1 response. The
+    WARC Content-Length frames the WHOLE HTTP message (status line +
+    headers + CRLFCRLF + body) — the spec's block, and the classic
+    off-by-headers bug when people frame only the body."""
+    http_head = (
+        f"HTTP/1.1 {status} X\r\n"
+        f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n"
+    ).encode("utf-8")
+    http = http_head + b"\r\n" + body
+    head = (
+        f"WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"Content-Type: application/http;msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n"
+    ).encode("utf-8")
+    return _MAGIC + head + b"\r\n" + http + b"\r\n\r\n"
+
+
+def warc_file_bytes(
+    records: Iterable[tuple[str, str, int, str, bytes]],
+) -> bytes:
+    """A whole WARC file: warcinfo, then one ``response`` record per
+    ``(url, date, status, content_type, body_bytes)``."""
+    info_body = b"software: wos_crawler_spark\r\nformat: WARC\r\n"
+    info = (
+        _MAGIC
+        + (
+            f"WARC-Type: warcinfo\r\n"
+            f"Content-Type: application/warc-fields\r\n"
+            f"Content-Length: {len(info_body)}\r\n"
+        ).encode("utf-8")
+        + b"\r\n"
+        + info_body
+        + b"\r\n\r\n"
+    )
+    return info + b"".join(
+        warc_response_record_bytes(u, d, s, c, b)
+        for (u, d, s, c, b) in records
+    )
+
+
+def parse_warc_bytes(
+    blob: bytes,
+) -> Iterator[tuple[str, str, object, object, bytes, int]]:
+    """Walk one WARC blob by Content-Length, yielding ``(url,
+    warc_date, status, content_type, html, n_bytes)`` for every
+    ``response`` record. The HTTP envelope is parsed leniently: a
+    payload with no header terminator or an unparseable status line
+    yields (None, None, whole payload) — a fetched page is never
+    dropped for a mangled envelope, mirroring the crawl loop's
+    never-lose-a-fetch contract; only record-level malformation
+    (bad/missing WARC Content-Length, truncation) resyncs."""
+    pos = 0
+    n = len(blob)
+    while True:
+        pos = blob.find(_MAGIC, pos)
+        if pos < 0:
+            return
+        hdr_start = pos + len(_MAGIC)
+        hdr_end = blob.find(_HDR_END, hdr_start)
+        if hdr_end < 0:
+            return
+        try:
+            headers = {}
+            for line in blob[hdr_start:hdr_end].decode("utf-8").split(
+                "\r\n"
+            ):
+                k, _, v = line.partition(":")
+                headers[k.strip().lower()] = v.strip()
+            length = int(headers["content-length"])
+            if length < 0:
+                raise ValueError(length)
+        except (KeyError, ValueError, UnicodeDecodeError):
+            pos = hdr_start
+            continue
+        body_start = hdr_end + len(_HDR_END)
+        body_end = body_start + length
+        if body_end > n:
+            pos = hdr_start
+            continue
+        if headers.get("warc-type") == "response":
+            payload = blob[body_start:body_end]
+            status: object = None
+            ctype: object = None
+            body = payload
+            he = payload.find(_HDR_END)
+            if he >= 0:
+                body = payload[he + len(_HDR_END):]
+                try:
+                    lines = payload[:he].decode("latin-1").split("\r\n")
+                    parts = lines[0].split(" ")
+                    if parts[0].startswith("HTTP/") and len(parts) >= 2:
+                        status = int(parts[1])
+                    for line in lines[1:]:
+                        k, _, v = line.partition(":")
+                        if k.strip().lower() == "content-type":
+                            ctype = v.strip()
+                except (ValueError, IndexError):
+                    status = None
+            yield (
+                headers.get("warc-target-uri", ""),
+                headers.get("warc-date", ""),
+                status,
+                ctype,
+                body,
+                len(body),
+            )
+        pos = body_end
+
+
+_WARC_SCHEMA = (
+    "url string, warc_date string, status int, content_type string, "
+    "html binary, n_bytes long"
+)
+
+
+def parse_warc(df: DataFrame, bytes_col: str = "content") -> DataFrame:
+    """Binary WARC-blob column → response records; one Arrow pass,
+    zero shuffles, html stays binary."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "url": [], "warc_date": [], "status": [],
+                "content_type": [], "html": [], "n_bytes": [],
+            }
+            for blob in pdf[bytes_col]:
+                if blob is None:
+                    continue
+                for u, d, s, c, b, nb in parse_warc_bytes(bytes(blob)):
+                    cols["url"].append(u)
+                    cols["warc_date"].append(d)
+                    cols["status"].append(s)
+                    cols["content_type"].append(c)
+                    cols["html"].append(b)
+                    cols["n_bytes"].append(nb)
+            yield pd.DataFrame(cols)
+
+    return df.mapInPandas(_parse, _WARC_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC directory → raw page table ``(url, warc_ts, status,
+    content_type, html, n_bytes)`` — the input_hint shape with html
+    binary. One task per file."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+    return with_warc_ts(parse_warc(files)).select(
+        "url", "warc_ts", "status", "content_type", "html", "n_bytes"
+    )
+
+
+def serialize_warc(
+    df: DataFrame,
+    group_col: str,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    status_col: str = "status",
+    ctype_col: str = "content_type",
+    html_col: str = "html",
+) -> DataFrame:
+    """Inverse plumbing / fixture builder: one WARC blob per group,
+    records url-sorted for partitioning-invariant bytes."""
+    gname = group_col
+
+    def _build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(url_col, kind="mergesort")
+        blob = warc_file_bytes(
+            zip(
+                pdf[url_col],
+                pdf[date_col],
+                pdf[status_col],
+                pdf[ctype_col],
+                (bytes(b) if b is not None else b"" for b in pdf[html_col]),
+            )
+        )
+        return pd.DataFrame({gname: [key[0]], "warc": [blob]})
+
+    gtype = df.schema[group_col].dataType.simpleString()
+    return df.groupBy(group_col).applyInPandas(
+        _build, f"{gname} {gtype}, warc binary"
+    )
