@@ -1158,6 +1158,44 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(docs, "stratum", "doc_id", alpha=0.5)
 
 
+def q_f_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level quality gate (operators/urlgate.py) — the pre-fetch
+    filter (RefinedWeb runs it FIRST: every URL dropped here saves a
+    network round trip). Fixture cycles six URL shapes through the
+    rules: good, too-deep, query-heavy, asset extension
+    (case-insensitive), digit-saturated path, banned word — plus an
+    over-length tail on every 5th good URL. The oracle re-runs the
+    entire feature extraction (shared RE2-safe path regex, splits,
+    digit strip, substring counts) from scratch in DuckDB."""
+    from wos_crawler_spark.operators.urlgate import url_quality_gate
+
+    d = F.col("doc_id")
+    s = d.cast("string")
+    tail = (
+        F.when(d % 5 == 0, F.concat(F.lit("a"), F.repeat(F.lit("x"), 2100)))
+        .otherwise(F.lit("a.html"))
+    )
+    path = (
+        F.when(d % 6 == 0, F.concat(F.lit("/articles/"), s, F.lit("/"), tail))
+        .when(d % 6 == 1,
+              F.concat(F.lit("/a/b/c/d/e/f/g/h/i/j/k/l/m/"), s))
+        .when(d % 6 == 2,
+              F.concat(F.lit("/p"), s,
+                       F.lit("?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9")))
+        .when(d % 6 == 3, F.concat(F.lit("/img/"), s, F.lit(".PNG")))
+        .when(d % 6 == 4, F.concat(F.lit("/"), s, F.lit("0123456789012345")))
+        .otherwise(F.concat(F.lit("/casino/"), s))
+    )
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (d % 7).cast("string"),
+            F.lit(".example.com"), path,
+        ).alias("url"),
+    )
+    return url_quality_gate(urls, banned_words=["casino", "poker"])
+
+
 def q_f_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mirror-host detection (operators/mirrors.py): content-set
     CONTAINMENT ≥ 1/2 (not Jaccard — a small full mirror of a big
@@ -2316,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_length_quantiles": q_stats_length_quantiles,
         "text_tfidf_keywords": q_text_tfidf_keywords,
         "f_mirror_hosts": q_f_mirror_hosts,
+        "f_url_gate": q_f_url_gate,
         "sample_host_cap": q_sample_host_cap,
         "pack_shards": q_pack_shards,
         "chunk_sliding_windows": q_chunk_sliding_windows,
@@ -4028,6 +4067,79 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
                                       || 'mix'), 1, 8))::BIGINT
                   / 4294967296.0 < rate
+        """,
+        "f_url_gate": """
+            -- full from-scratch recompute: same url construction,
+            -- same RE2-safe path regex, splits, digit strip,
+            -- substring counts, integer thresholds
+            WITH u AS (
+                SELECT doc_id,
+                       'https://h' || (doc_id % 7) || '.example.com' ||
+                       CASE doc_id % 6
+                         WHEN 0 THEN '/articles/' || doc_id || '/' ||
+                           CASE WHEN doc_id % 5 = 0
+                                THEN 'a' || repeat('x', 2100)
+                                ELSE 'a.html' END
+                         WHEN 1 THEN '/a/b/c/d/e/f/g/h/i/j/k/l/m/'
+                           || doc_id
+                         WHEN 2 THEN '/p' || doc_id ||
+                           '?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9'
+                         WHEN 3 THEN '/img/' || doc_id || '.PNG'
+                         WHEN 4 THEN '/' || doc_id || '0123456789012345'
+                         ELSE '/casino/' || doc_id
+                       END AS url
+                FROM documents
+            ),
+            f AS (
+                SELECT doc_id, url,
+                       length(url) AS url_len,
+                       regexp_extract(url,
+                         '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path
+                FROM u
+            ),
+            g AS (
+                SELECT *,
+                       len(list_filter(string_split(path, '/'),
+                                       x -> x <> '')) AS depth,
+                       length(regexp_replace(path, '[^0-9]', '', 'g'))
+                         AS digits,
+                       string_split(path, '/')[-1] AS leaf,
+                       CASE WHEN contains(url, '?')
+                            THEN len(string_split(
+                                regexp_extract(url, '\\?([^#]*)', 1),
+                                '&'))
+                            ELSE 0 END AS nq,
+                       contains(lower(url), 'casino')::INTEGER
+                       + contains(lower(url), 'poker')::INTEGER
+                         AS n_banned
+                FROM f
+            ),
+            h AS (
+                SELECT *,
+                       CASE WHEN contains(leaf, '.')
+                            THEN lower(string_split(leaf, '.')[-1])
+                            ELSE '' END AS ext
+                FROM g
+            )
+            SELECT doc_id, url,
+                   url_len <= 2048 AS url_ok_len,
+                   depth <= 12 AS url_ok_depth,
+                   nq <= 8 AS url_ok_query,
+                   digits * 2 <= length(path) * 1 AS url_ok_digits,
+                   NOT list_contains(
+                     ['css','js','png','jpg','jpeg','gif','svg','ico',
+                      'webp','mp3','mp4','avi','mov','zip','gz','tar',
+                      'rar','exe','woff','woff2','ttf','pdf'], ext)
+                     AS url_ok_ext,
+                   n_banned AS url_n_banned,
+                   (url_len <= 2048 AND depth <= 12 AND nq <= 8
+                    AND digits * 2 <= length(path)
+                    AND NOT list_contains(
+                      ['css','js','png','jpg','jpeg','gif','svg','ico',
+                       'webp','mp3','mp4','avi','mov','zip','gz','tar',
+                       'rar','exe','woff','woff2','ttf','pdf'], ext)
+                    AND n_banned <= 0) AS url_keep
+            FROM h
         """,
         "f_mirror_hosts": """
             -- same construction, every step recomputed from scratch:
