@@ -1158,6 +1158,36 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(docs, "stratum", "doc_id", alpha=0.5)
 
 
+def q_f_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 extraction (blocklist.registrable_domain) — the unit
+    per-site policy should key on: subdomain farms collapse to one
+    registrant for caps/budgets/mirror detection. Five host shapes
+    cycle the PSL algorithm's branches: plain TLD, multi-label
+    suffix, site suffix (github.io), unknown-TLD implicit rule, and
+    a bare public suffix (NULL — nothing is registered). The oracle
+    states every expected domain independently from doc_id
+    arithmetic — no list logic is re-run."""
+    from wos_crawler_spark.operators.blocklist import registrable_domain
+
+    d = F.col("doc_id")
+    s = d.cast("string")
+    host = (
+        F.when(d % 5 == 0, F.concat(F.lit("a"), s, F.lit(".b.example.com")))
+        .when(d % 5 == 1,
+              F.concat(F.lit("shop"), (d % 3).cast("string"),
+                       F.lit(".example"), s, F.lit(".co.uk")))
+        .when(d % 5 == 2, F.concat(F.lit("u"), s, F.lit(".github.io")))
+        .when(d % 5 == 3,
+              F.concat(F.lit("weird"), s, F.lit(".host"), s, F.lit(".zz")))
+        .otherwise(F.lit("co.uk"))
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", host.alias("host"))
+        .withColumn("rd", registrable_domain(F.col("host")))
+    )
+
+
 def q_f_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level quality gate (operators/urlgate.py) — the pre-fetch
     filter (RefinedWeb runs it FIRST: every URL dropped here saves a
@@ -2355,6 +2385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_keywords": q_text_tfidf_keywords,
         "f_mirror_hosts": q_f_mirror_hosts,
         "f_url_gate": q_f_url_gate,
+        "f_registrable_domain": q_f_registrable_domain,
         "sample_host_cap": q_sample_host_cap,
         "pack_shards": q_pack_shards,
         "chunk_sliding_windows": q_chunk_sliding_windows,
@@ -4067,6 +4098,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
                                       || 'mix'), 1, 8))::BIGINT
                   / 4294967296.0 < rate
+        """,
+        "f_registrable_domain": """
+            -- independent restatement: the expected eTLD+1 for each
+            -- host shape from doc_id arithmetic alone — the engine's
+            -- suffix-list logic is never re-run here
+            SELECT doc_id,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'a' || doc_id || '.b.example.com'
+                     WHEN 1 THEN 'shop' || (doc_id % 3) || '.example'
+                       || doc_id || '.co.uk'
+                     WHEN 2 THEN 'u' || doc_id || '.github.io'
+                     WHEN 3 THEN 'weird' || doc_id || '.host'
+                       || doc_id || '.zz'
+                     ELSE 'co.uk'
+                   END AS host,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'example.com'
+                     WHEN 1 THEN 'example' || doc_id || '.co.uk'
+                     WHEN 2 THEN 'u' || doc_id || '.github.io'
+                     WHEN 3 THEN 'host' || doc_id || '.zz'
+                     ELSE NULL
+                   END AS rd
+            FROM documents
         """,
         "f_url_gate": """
             -- full from-scratch recompute: same url construction,

@@ -71,3 +71,38 @@ def test_blocked_ids_distinct(spark, blocked):
         [("example.com",), ("x.example.com",)], "domain string"
     )
     assert blocked_ids(f, bl, id_col="id").count() == 1
+
+
+# ------------------------------------------------------ registrable domain
+
+
+def test_registrable_domain_psl_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from wos_crawler_spark.operators.blocklist import registrable_domain
+
+    cases = {
+        "blog.shop.example.co.uk": "example.co.uk",  # multi-label suffix
+        "www.example.co.uk": "example.co.uk",        # same registrant
+        "example.com": "example.com",
+        "a.b.example.com": "example.com",
+        "user1.github.io": "user1.github.io",        # site suffix: each
+        "x.user1.github.io": "user1.github.io",      # user is a registrant
+        "weird.host.zz": "host.zz",                  # unknown TLD: implicit
+        "com": None,                                 # a bare public suffix
+        "co.uk": None,                               # has no registrant
+        "EXAMPLE.Com": "example.com",                # case-folded
+        "localhost": None,                           # single label
+    }
+    df = spark.createDataFrame(
+        [(h,) for h in cases], "host string"
+    ).withColumn("rd", registrable_domain(F.col("host")))
+    got = {r["host"]: r["rd"] for r in df.collect()}
+    assert got == cases
+    # NULL host → NULL
+    nrow = (
+        spark.createDataFrame([(None,)], "host string")
+        .select(registrable_domain(F.col("host")).alias("rd"))
+        .first()
+    )
+    assert nrow["rd"] is None

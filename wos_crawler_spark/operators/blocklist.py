@@ -97,3 +97,60 @@ def blocklist_filter(
         ids = F.broadcast(ids)
     how = "left_anti" if mode == "block" else "semi"
     return df.join(ids, id_col, how)
+
+
+#: common public suffixes for the expr-flavor eTLD+1 extraction —
+#: deliberately a SUBSET of the real Public Suffix List (exact
+#: suffixes only; wildcard `*.ck` and exception `!www.ck` rules are
+#: out of the documented contract). Ship the full PSL through the
+#: same parameter when needed; unknown TLDs fall back to the PSL's
+#: implicit rule (last label is the public suffix).
+DEFAULT_PUBLIC_SUFFIXES = (
+    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
+    "io", "ai", "dev", "app", "co",
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+    "github.io", "gitlab.io", "blogspot.com", "s3.amazonaws.com",
+)
+
+
+def registrable_domain(
+    host: Column,
+    public_suffixes: tuple[str, ...] = DEFAULT_PUBLIC_SUFFIXES,
+) -> Column:
+    """eTLD+1 — the unit per-site policy should actually key on:
+    ``blog.shop.example.co.uk`` and ``www.example.co.uk`` are ONE
+    registrant, and a per-host document cap or politeness budget that
+    treats them as separate hands a subdomain farm exactly the
+    multiplier it wants. Host-keyed operators (cap_per_group, mirror
+    detection, blocklists, per-host budgets) should group by this
+    instead of the raw host wherever registrant identity is the
+    point.
+
+    Semantics (PSL algorithm over an exact-suffix list): the public
+    suffix is the host's LONGEST suffix in the list (host_suffixes
+    emits longest-first, so the first match IS the answer); unknown
+    TLDs use the PSL's implicit rule (last label); the registrable
+    domain is the public suffix plus one more label, NULL when the
+    host IS a public suffix (nothing is registered) or is NULL. Pure
+    map-side expressions — the suffix list rides the plan as a
+    literal array (fine for the subset; a 9k-rule full PSL should
+    switch to the blocklist module's broadcast-join pattern)."""
+    h = F.lower(host)
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    psl_arr = F.array(*[F.lit(s) for s in public_suffixes])
+    matched = F.filter(
+        host_suffixes(h, min_labels=1),
+        lambda s: F.array_contains(psl_arr, s),
+    )
+    psl = F.when(F.size(matched) > 0, F.element_at(matched, 1)).otherwise(
+        F.element_at(labels, -1)
+    )
+    np = F.size(F.split(psl, r"\."))
+    return F.when(
+        n >= np + 1,
+        F.concat_ws(".", F.slice(labels, n - np, np + 1)),
+    )
