@@ -263,3 +263,44 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
     for h in ("h0", "h1", "h2"):
         truth = len({u for hh, u in rows if hh == h})
         assert abs(est[h] - truth) / truth < 0.25, (h, est[h], truth)
+
+
+def test_streaming_url_gate_matches_batch(spark, tmp_path):
+    """url_quality_gate is a pure projection, so it lifts onto a
+    frontier stream unchanged — the pre-fetch gate can run live on
+    discovered URLs before they ever reach the scheduler."""
+    from wos_crawler_spark.operators.urlgate import url_quality_gate
+
+    src = str(tmp_path / "frontier_urls")
+    urls = spark.createDataFrame(
+        [
+            ("https://a.com/articles/good.html",),
+            ("https://a.com/theme/style.css",),
+            ("https://a.com/" + "d/" * 20 + "deep",),
+            ("https://a.com/free-casino",),
+        ],
+        "url string",
+    )
+    urls.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = run_stream_to_memory(
+        url_quality_gate(stream, banned_words=["casino"]),
+        "gated", mode="append",
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["url"]: r["url_keep"]
+            for r in spark.sql("select * from gated").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        r["url"]: r["url_keep"]
+        for r in url_quality_gate(
+            spark.read.parquet(src), banned_words=["casino"]
+        ).collect()
+    }
+    assert got == batch and sum(got.values()) == 1
