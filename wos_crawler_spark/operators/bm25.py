@@ -257,7 +257,15 @@ def tfidf_topk_terms(
         raise ValueError("min_df must be >= 1")
     post = corpus_postings(docs, id_col, text_col)
     dfc = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    nd = post.agg(F.countDistinct("doc_id").alias("_N"))
+    # N = docs with ≥1 token, computed from the docs scan directly —
+    # a countDistinct over the postings would re-evaluate the whole
+    # explode/agg subtree and add an expand + distinct shuffle for
+    # the same single number
+    nd = (
+        docs.select(words_of(F.col(text_col)).alias("_w"))
+        .filter(F.size(F.filter(F.col("_w"), lambda t: t != "")) > 0)
+        .agg(F.count(F.lit(1)).alias("_N"))
+    )
     j = post.join(dfc, "term").crossJoin(F.broadcast(nd)).filter(
         F.col("df") >= min_df
     )

@@ -65,13 +65,24 @@ def mirror_host_pairs(
         .groupBy("host_a", "host_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+    # the sizes dim has one row per HOST — orders of magnitude below
+    # the pages/pairs tables by construction — so both denominator
+    # joins broadcast rather than dragging pairs through two SMJs
     return (
         pairs.join(
-            sizes.select(F.col("_h").alias("host_a"), F.col("_n").alias("n_a")),
+            F.broadcast(
+                sizes.select(
+                    F.col("_h").alias("host_a"), F.col("_n").alias("n_a")
+                )
+            ),
             "host_a",
         )
         .join(
-            sizes.select(F.col("_h").alias("host_b"), F.col("_n").alias("n_b")),
+            F.broadcast(
+                sizes.select(
+                    F.col("_h").alias("host_b"), F.col("_n").alias("n_b")
+                )
+            ),
             "host_b",
         )
         .filter(
