@@ -697,6 +697,53 @@ def q_s_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s_cdx_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDXJ index → frontier seeds (sources/cdx.py): two captures per
+    url serialized to real CDXJ lines, parsed back (split-by-position
+    so spaces inside the JSON can't shear it, F.get so short lines
+    degrade to NULLs), then latest-capture dedup with 404s and
+    non-html mimes gated out. Timestamps round-trip through the same
+    session timezone (date_format ∘ try_to_timestamp cancels), so
+    the oracle states seeds purely from doc_id arithmetic."""
+    from wos_crawler_spark.sources.cdx import (
+        cdx_frontier_seeds,
+        parse_cdxj_lines,
+        serialize_cdxj,
+    )
+
+    d = F.col("doc_id")
+    s = d.cast("string")
+    docs = _t(spark, sf_dir, "documents")
+
+    def capture(ts_sec, tag: str):
+        c = docs.select(
+            F.concat(F.lit("com,ex)/"), s).alias("urlkey"),
+            F.concat(F.lit("https://ex.com/cdx/"), s).alias("url"),
+            F.when(d % 10 == 0, 404).otherwise(200).cast("int").alias(
+                "status"
+            ),
+            F.when(d % 7 == 0, "image/png").otherwise("text/html").alias(
+                "mime"
+            ),
+            F.concat(F.lit("D"), s, F.lit(tag)).alias("digest"),
+            F.lit("f.warc.gz").alias("filename"),
+            d.alias("offset"),
+            F.lit(100).cast("long").alias("length"),
+            F.timestamp_seconds(ts_sec).alias("fetch_ts"),
+        )
+        return c.select(serialize_cdxj(c).alias("value"))
+
+    lines = capture(d * 7200, "-old").unionAll(
+        capture(d * 7200 + 31536000, "-new")
+    )
+    seeds = cdx_frontier_seeds(parse_cdxj_lines(lines))
+    return seeds.select(
+        "url",
+        F.col("fetch_ts").cast("long").alias("fetch_epoch"),
+        "digest",
+    )
+
+
 def q_s_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC response-record round trip (sources/wet.py): documents →
     synthesized html bytes wrapped in full HTTP envelopes → one WARC
@@ -2339,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_resolve_redirects": q_f_resolve_redirects,
         "s_wet_roundtrip": q_s_wet_roundtrip,
         "s_warc_roundtrip": q_s_warc_roundtrip,
+        "s_cdx_seeds": q_s_cdx_seeds,
         "text_lm_perplexity": q_text_lm_perplexity,
         "sim_pq_topk": q_sim_pq_topk,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
@@ -3303,6 +3351,18 @@ def oracle_sql() -> dict[str, str]:
                      AS n_paras_kept,
                    coalesce(k.dedup_text, '') AS dedup_text
             FROM combo c LEFT JOIN k USING (doc_id)
+        """,
+        "s_cdx_seeds": """
+            -- pure arithmetic restatement: the latest (year-offset)
+            -- capture of every 200/text-html url survives; the
+            -- serialize->parse round trip and the dedup window are
+            -- the engine's to get right
+            SELECT 'https://ex.com/cdx/' || doc_id AS url,
+                   CAST(doc_id * 7200 + 31536000 AS BIGINT)
+                     AS fetch_epoch,
+                   'D' || doc_id || '-new' AS digest
+            FROM documents
+            WHERE doc_id % 10 != 0 AND doc_id % 7 != 0
         """,
         "s_warc_roundtrip": """
             -- the identity the WARC serialize->parse round trip must

@@ -46,7 +46,11 @@ from tools.bench_scaling import (  # noqa: E402
 )
 INPUT = "/dev/shm/wcs-scaling-dedupidx-docs"
 IDX = "/dev/shm/wcs-scaling-dedupidx"
-SHARD_ROWS_FACTOR = 8  # shard_assign runs over 8× the doc count
+#: shard_assign row multiplier — 32× the doc count: at 8× (one early
+#: run) the local[8] job finished in ~3 s and fixed costs (session,
+#: range-sampling job) plus lo-level co-tenant variance dominated the
+#: ratio; 32 M rows keeps both levels compute-bound.
+SHARD_ROWS_FACTOR = 32
 
 
 def prepare_input(n: int) -> None:
