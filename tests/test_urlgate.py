@@ -84,3 +84,102 @@ def test_null_url_fails_totally_and_invariance(spark):
         key=str,
     )
     assert a == b
+
+
+def test_full_crawl_parity_with_simulator_under_url_gate(spark):
+    """CrawlConfig.url_gate wired through the wave loop: fetch-order
+    AND seen-set equality vs the python simulator under an active
+    gate. Poisoned link targets (.png assets + a banned word) enter
+    the frontier via normal expansion and must be culled identically
+    by url_keep_expr (engine) and url_gate_python (simulator). The
+    digit rule is neutralized via url_gate_kwargs because the synth
+    corpus's /rec/00000042 paths are digit-heavy by design — the
+    kwargs plumb to BOTH gates, which is itself under test."""
+    from wos_crawler_spark.fixtures import wosgen
+    from wos_crawler_spark.fixtures.synth import (
+        links_table,
+        pages_table,
+        robots_table,
+        seeds_table,
+    )
+    from wos_crawler_spark.functions.urlnorm import with_url_canon
+    from wos_crawler_spark.plans.crawl import CrawlConfig, run_crawl
+    from wos_crawler_spark.plans.simulator import simulate_crawl
+
+    n = 200
+    gate_kw = {
+        "max_digit_num": 1, "max_digit_den": 1,
+        "banned_words": ["casino"],
+    }
+    cfg_common = dict(
+        quota=5, max_waves=3, max_depth=2, max_retries=2,
+        rows_per_bucket=8,
+    )
+    pages = pages_table(spark, n, partitions=4)
+    poison = []
+    for i in range(0, n, 3):
+        h = wosgen.host_of(i)
+        poison.append((wosgen.url_of(i), f"https://{h}/img/banner{i}.png"))
+        poison.append((wosgen.url_of(i), f"https://{h}/casino/promo{i}"))
+    links = links_table(spark, n).unionByName(
+        spark.createDataFrame(poison, "src_url string, dst_url string")
+    )
+    eng = run_crawl(
+        spark, pages, seeds_table(spark), links, robots_table(spark),
+        CrawlConfig(
+            delay_s=1.0, parse=False, url_gate=True,
+            url_gate_kwargs=gate_kw, **cfg_common,
+        ),
+    )
+    urls = [wosgen.url_of(i) for i in range(n)] + [d for _, d in poison]
+    meta_rows = with_url_canon(
+        spark.createDataFrame([(u,) for u in set(urls)], "url string")
+    ).collect()
+    url_meta = {
+        r["url"]: (r["url_canon"], r["url_hash"], r["host"])
+        for r in meta_rows
+    }
+    page_texts = {
+        r["url"]: r["text"] for r in pages.select("url", "text").collect()
+    }
+    links_map = {}
+    for r in links.collect():
+        links_map.setdefault(r["src_url"], []).append(r["dst_url"])
+    robots_map = {}
+    for r in robots_table(spark).collect():
+        robots_map.setdefault(r["host"], []).append(
+            (r["rule_prefix"], r["allow"], r["rule_len"])
+        )
+    seed_list = [
+        (r["query_id"], r["term"], r["priority"])
+        for r in seeds_table(spark).collect()
+    ]
+    sim_kwargs = dict(
+        pages_urls=set(page_texts), page_texts=page_texts,
+        seeds=seed_list, links=links_map, robots=robots_map,
+        url_meta=url_meta, delay_s=1.0, **cfg_common,
+    )
+    sim = simulate_crawl(
+        url_gate=True, url_gate_kwargs=gate_kw, **sim_kwargs
+    )
+    rows = eng.fetch_log.select(
+        "wave", "url", "scheduled_ts", "host", "url_hash"
+    ).collect()
+    rows.sort(
+        key=lambda r: (r["wave"], r["scheduled_ts"], r["host"], r["url_hash"])
+    )
+    engine_order = [
+        (r["wave"], r["url"], round(r["scheduled_ts"], 6)) for r in rows
+    ]
+    assert len(engine_order) > 10
+    assert engine_order == sim.fetch_order
+    assert {r["url_hash"] for r in eng.seen.collect()} == sim.seen
+    # no gated url was ever fetched
+    fetched_urls = {u for _, u, _ in engine_order}
+    assert not any(
+        ".png" in u or "casino" in u for u in fetched_urls
+    )
+    # the gate actually bit: an ungated run fetches strictly more
+    ungated = simulate_crawl(**sim_kwargs)
+    assert len(ungated.fetch_order) > len(sim.fetch_order)
+    assert any("casino" in u for _, u, _ in ungated.fetch_order)

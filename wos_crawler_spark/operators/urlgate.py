@@ -86,6 +86,75 @@ def banned_substring_count(
     ).cast("int")
 
 
+def url_keep_expr(
+    url: Column,
+    max_url_len: int = 2048,
+    max_path_depth: int = 12,
+    max_query_params: int = 8,
+    max_digit_num: int = 1,
+    max_digit_den: int = 2,
+    blocked_extensions: tuple[str, ...] = DEFAULT_BLOCKED_EXTENSIONS,
+    banned_words: list[str] | None = None,
+    max_banned: int = 0,
+) -> Column:
+    """The conjoint keep verdict as ONE boolean column — what the
+    crawl loop's admission gate filters on (the full
+    :func:`url_quality_gate` keeps the per-rule booleans for
+    monitoring). NULL urls → false, never NULL."""
+    f = url_features(url)
+    keep = (
+        url.isNotNull()
+        & (f["url_len"] <= max_url_len)
+        & (f["path_depth"] <= max_path_depth)
+        & (f["n_query_params"] <= max_query_params)
+        & (f["path_digits"] * max_digit_den <= f["path_len"] * max_digit_num)
+        & ~f["ext"].isin(*[e.lower() for e in blocked_extensions])
+        & (banned_substring_count(url, banned_words or []) <= max_banned)
+    )
+    return F.coalesce(keep, F.lit(False))
+
+
+def url_gate_python(
+    url: str | None,
+    max_url_len: int = 2048,
+    max_path_depth: int = 12,
+    max_query_params: int = 8,
+    max_digit_num: int = 1,
+    max_digit_den: int = 2,
+    blocked_extensions: tuple[str, ...] = DEFAULT_BLOCKED_EXTENSIONS,
+    banned_words: tuple[str, ...] = (),
+    max_banned: int = 0,
+) -> bool:
+    """Pure-python twin of :func:`url_keep_expr` for the crawl
+    simulator — independent re-statement of the same rules (re module,
+    not Catalyst), kept in lockstep by the full-crawl parity test."""
+    import re as _re
+
+    if url is None:
+        return False
+    m = _re.match(r"^[^:/?#]+://[^/?#]*([^?#]*)", url)
+    path = m.group(1) if m else ""
+    depth = len([s for s in path.split("/") if s])
+    digits = len(_re.sub(r"[^0-9]", "", path))
+    leaf = path.split("/")[-1]
+    ext = leaf.rsplit(".", 1)[-1].lower() if "." in leaf else ""
+    if "?" in url:
+        q = _re.search(r"\?([^#]*)", url)
+        nq = len(q.group(1).split("&")) if q else 0
+    else:
+        nq = 0
+    lu = url.lower()
+    n_banned = sum(1 for w in banned_words if w.lower() in lu)
+    return (
+        len(url) <= max_url_len
+        and depth <= max_path_depth
+        and nq <= max_query_params
+        and digits * max_digit_den <= len(path) * max_digit_num
+        and ext not in {e.lower() for e in blocked_extensions}
+        and n_banned <= max_banned
+    )
+
+
 def url_quality_gate(
     frontier: DataFrame,
     url_col: str = "url",
@@ -114,10 +183,13 @@ def url_quality_gate(
     )
     ok_ext = ~f["ext"].isin(*[e.lower() for e in blocked_extensions])
     n_banned = banned_substring_count(u, banned_words or [])
-    ok_banned = n_banned <= max_banned
-    keep = (
-        u.isNotNull()
-        & ok_len & ok_depth & ok_query & ok_digits & ok_ext & ok_banned
+    # the conjoint verdict is the SHARED expression the crawl loop
+    # filters on — one definition, no way for monitor and gate to
+    # diverge
+    keep = url_keep_expr(
+        u, max_url_len, max_path_depth, max_query_params,
+        max_digit_num, max_digit_den, blocked_extensions,
+        banned_words, max_banned,
     )
     return frontier.select(
         "*",

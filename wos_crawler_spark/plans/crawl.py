@@ -106,6 +106,17 @@ class CrawlConfig:
     trap_cap: int | None = None
     #: kept sample per trap shape (None → trap_cap).
     trap_keep: int | None = None
+    #: F1h URL-level quality gate (operators/urlgate.py): the
+    #: pre-fetch filter — asset extensions, over-deep/over-long/
+    #: digit-saturated paths, banned substrings — applied to FRESH
+    #: candidates on their canonical url, next to the trap guard
+    #: (retries bypass, like F1). Pure map-side projection: enabling
+    #: it adds zero exchanges to the wave.
+    url_gate: bool = False
+    #: url_keep_expr keyword overrides (thresholds, banned_words,
+    #: blocked_extensions) — passed verbatim to the expr AND to the
+    #: simulator twin, so both gates are parameterized identically.
+    url_gate_kwargs: dict = field(default_factory=dict)
     #: Redirect-resolution hop cap (operators/redirects.py) used when
     #: run_crawl is given a ``redirects`` edge table: chains are
     #: resolved ONCE by path doubling before the wave loop, and every
@@ -395,6 +406,15 @@ def run_wave(
     # per wave instead of two.
     filtered = allowed.filter(~F.col("dont_filter"))
     bypass = allowed.filter(F.col("dont_filter"))
+    if cfg.url_gate:
+        # F1h: URL-level quality gate on fresh candidates (retries
+        # bypass — they already passed admission once). Map-side
+        # filter on the canonical url; zero added exchanges.
+        from wos_crawler_spark.operators.urlgate import url_keep_expr
+
+        filtered = filtered.filter(
+            url_keep_expr(F.col("url_canon"), **cfg.url_gate_kwargs)
+        )
     if cfg.trap_cap is not None:
         # F1g: per-(host, shape) explosion cap on FRESH candidates —
         # retries bypass (they already passed admission once).

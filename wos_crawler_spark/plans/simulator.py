@@ -100,6 +100,8 @@ def simulate_crawl(
     robots_wildcards: bool = False,
     trap_cap: int | None = None,
     trap_keep: int | None = None,
+    url_gate: bool = False,
+    url_gate_kwargs: dict | None = None,
     redirect_edges: dict[str, str] | None = None,
     redirect_max_hops: int = 8,
 ) -> SimResult:
@@ -172,6 +174,22 @@ def simulate_crawl(
         # dedup_intra), so the salt-count pool here keeps intra-wave
         # duplicate copies — S(host) derives from the pre-dedup
         # multiset, mirroring the engine exactly.
+        # F1h URL-level quality gate: fresh candidates only (retries
+        # bypass, like F1) — the python twin of url_keep_expr over
+        # the canonical url.
+        if url_gate:
+            from wos_crawler_spark.operators.urlgate import (
+                url_gate_python,
+            )
+
+            allowed = [
+                r
+                for r in allowed
+                if r["dont_filter"]
+                or url_gate_python(
+                    r["url_canon"], **(url_gate_kwargs or {})
+                )
+            ]
         # F1g trap guard: fresh candidates only (retries bypass, like
         # F1) — a shape with more than trap_cap distinct canon urls
         # keeps rows whose canon is among its trap_keep smallest.
