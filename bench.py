@@ -64,6 +64,9 @@ ENTRY_QUERIES = [
     "text_containment_join",
     "dedup_jaccard_cross_join",
     "pack_shards",
+    "dedup_index_query",
+    "text_tfidf_keywords",
+    "f_mirror_hosts",
 ]
 
 
