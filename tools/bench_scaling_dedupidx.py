@@ -153,7 +153,12 @@ def run_shard_assign(spark) -> dict:
         ((F.col("id") * 13) % 1000 + 1).alias("n_tokens"),
     )
     t0 = time.time()
-    a = assign_shards(rows, 64)
+    # num_partitions pinned at both levels: assign_shards defaults to
+    # defaultParallelism, which would make local[2] sort 16M-row
+    # partitions while local[8] sorts 4M-row ones — a different job,
+    # not a scaling measurement. A real cluster job fixes the
+    # partitioning and varies executors; so does this.
+    a = assign_shards(rows, 64, num_partitions=64)
     st = shard_stats(a).agg(
         F.max("tokens_total").alias("mx"),
         F.min("tokens_total").alias("mn"),
@@ -232,7 +237,12 @@ def main() -> None:
         f"so every increment doc near-dups a standing doc); standing "
         f"index (90%) built once to tmpfs; measured job = load index "
         f"+ probe with the 10% increment. shard_assign ranks "
-        f"{args.n * SHARD_ROWS_FACTOR} manifest stubs into 64 shards. "
+        f"{args.n * SHARD_ROWS_FACTOR} manifest stubs into 64 shards "
+        f"with num_partitions pinned to 64 at BOTH levels (the "
+        f"defaultParallelism default would give the lo level 4× "
+        f"larger per-partition sorts — a different job, not a "
+        f"scaling measurement; a cluster run fixes the plan and "
+        f"varies executors). "
         f"Interleaved pairs at local[{lo}] vs local[{hi}]; efficiency "
         f"= median over pairs of (thr_{hi}/thr_{lo})/{factor:.0f}. "
         f"CPU probe best {best_probe:.3f}s.",
