@@ -744,6 +744,90 @@ def q_s_cdx_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML → frontier seeds (sources/sitemaps.py): every doc
+    is listed in one of 16 urlset shards (lastmod = doc_id·3600,
+    changefreq/priority from doc_id arithmetic, every 5th loc carrying
+    ``?a=1&b=2`` so the entity escape/unescape path is on the line);
+    every 3rd doc is listed AGAIN in a dup shard with a year-newer
+    lastmod and no optional fields. The serialize→parse round trip
+    (XML entity escaping, W3C datetime, optional-field omission) and
+    the latest-lastmod seed dedup are entirely the engine's to get
+    right; lastmod round-trips through the session timezone
+    (to_utc_timestamp ∘ date_format ∘ try_to_timestamp cancels), so
+    the oracle states seeds purely from doc_id arithmetic."""
+    from wos_crawler_spark.sources.sitemaps import (
+        parse_sitemap_xml,
+        serialize_urlset,
+        sitemap_frontier_seeds,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    loc = F.concat(
+        F.lit("https://ex.com/rec/"),
+        d.cast("string"),
+        F.when(d % 5 == 0, F.lit("?a=1&b=2")).otherwise(F.lit("")),
+    )
+    old = docs.select(
+        F.concat(
+            F.lit("https://ex.com/sm/"), (d % 16).cast("string"),
+            F.lit(".xml"),
+        ).alias("sitemap_url"),
+        loc.alias("loc"),
+        F.timestamp_seconds(d * 3600).alias("lastmod"),
+        F.element_at(
+            F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly")),
+            (d % 3 + 1).cast("int"),
+        ).alias("changefreq"),
+        ((d % 10) / 10.0).alias("priority"),
+    )
+    fresh = docs.filter(d % 3 == 0).select(
+        F.concat(
+            F.lit("https://ex.com/dup/"), (d % 4).cast("string"),
+            F.lit(".xml"),
+        ).alias("sitemap_url"),
+        loc.alias("loc"),
+        F.timestamp_seconds(d * 3600 + 31536000).alias("lastmod"),
+        F.lit(None).cast("string").alias("changefreq"),
+        F.lit(None).cast("double").alias("priority"),
+    )
+    pages = serialize_urlset(old.unionByName(fresh))
+    seeds = sitemap_frontier_seeds(parse_sitemap_xml(pages))
+    return seeds.select(
+        "url",
+        F.col("lastmod").cast("long").alias("lastmod_epoch"),
+        "priority",
+        "changefreq",
+    )
+
+
+def q_s_sitemap_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemapindex → child shard fetch list (sources/sitemaps.py):
+    the 16 shard urls of s_sitemap_seeds serialized into one index
+    document, parsed back, deduped. The index↔urlset kind split and
+    the index round trip are the engine's to get right."""
+    from wos_crawler_spark.sources.sitemaps import (
+        parse_sitemap_xml,
+        serialize_sitemapindex,
+        sitemap_children,
+    )
+
+    d = F.col("doc_id")
+    kids = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.concat(
+                F.lit("https://ex.com/sm/"), (d % 16).cast("string"),
+                F.lit(".xml"),
+            ).alias("sitemap_url")
+        )
+        .distinct()
+    )
+    idx = serialize_sitemapindex(kids, index_url="https://ex.com/root.xml")
+    return sitemap_children(parse_sitemap_xml(idx)).select("sitemap_url")
+
+
 def q_s_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC response-record round trip (sources/wet.py): documents →
     synthesized html bytes wrapped in full HTTP envelopes → one WARC
@@ -2387,6 +2471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_wet_roundtrip": q_s_wet_roundtrip,
         "s_warc_roundtrip": q_s_warc_roundtrip,
         "s_cdx_seeds": q_s_cdx_seeds,
+        "s_sitemap_seeds": q_s_sitemap_seeds,
+        "s_sitemap_children": q_s_sitemap_children,
         "text_lm_perplexity": q_text_lm_perplexity,
         "sim_pq_topk": q_sim_pq_topk,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
@@ -3351,6 +3437,30 @@ def oracle_sql() -> dict[str, str]:
                      AS n_paras_kept,
                    coalesce(k.dedup_text, '') AS dedup_text
             FROM combo c LEFT JOIN k USING (doc_id)
+        """,
+        "s_sitemap_seeds": """
+            -- pure arithmetic restatement: every doc seeds once; the
+            -- year-newer dup-shard listing wins for doc_id % 3 = 0
+            -- (NULL optional fields ride from the WINNING entry); the
+            -- XML serialize->parse round trip, entity escaping and
+            -- the latest-lastmod window are the engine's to get right
+            SELECT 'https://ex.com/rec/' || doc_id ||
+                   (CASE WHEN doc_id % 5 = 0 THEN '?a=1&b=2'
+                         ELSE '' END) AS url,
+                   CAST(doc_id * 3600 +
+                        CASE WHEN doc_id % 3 = 0 THEN 31536000
+                             ELSE 0 END AS BIGINT) AS lastmod_epoch,
+                   CASE WHEN doc_id % 3 = 0 THEN NULL
+                        ELSE (doc_id % 10) / 10.0 END AS priority,
+                   CASE WHEN doc_id % 3 = 1 THEN 'weekly'
+                        WHEN doc_id % 3 = 2 THEN 'monthly'
+                        ELSE NULL END AS changefreq
+            FROM documents
+        """,
+        "s_sitemap_children": """
+            SELECT DISTINCT 'https://ex.com/sm/' || (doc_id % 16)
+                   || '.xml' AS sitemap_url
+            FROM documents
         """,
         "s_cdx_seeds": """
             -- pure arithmetic restatement: the latest (year-offset)
