@@ -2365,6 +2365,95 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Deterministic "dirty" suffix for the normalization entry: decomposed
+#: accent (e + U+0301), Angstrom singleton (U+212B), ZWSP, BOM, soft
+#: hyphen, and a C0 control — every class the operator handles.
+#: Escapes explicit in source; shared verbatim with the oracle via
+#: _duck_lit().
+_TEXTNORM_SUFFIX = " Café Å​z﻿­ end\x07."
+
+
+def _duck_lit(s: str) -> str:
+    """A DuckDB expression reproducing the python string ``s`` exactly:
+    printable-ASCII runs as quoted literals, everything else as
+    ``chr(codepoint)`` — so the oracle's injected bytes cannot drift
+    from the Spark side's."""
+    parts: list[str] = []
+    buf: list[str] = []
+    for ch in s:
+        if 0x20 <= ord(ch) < 0x7F and ch != "'":
+            buf.append(ch)
+        else:
+            if buf:
+                parts.append("'" + "".join(buf) + "'")
+                buf = []
+            parts.append(f"chr({ord(ch)})")
+    if buf:
+        parts.append("'" + "".join(buf) + "'")
+    return "(" + " || ".join(parts) + ")"
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization + control/invisible strip
+    (operators/textnorm.py — the CCNet/C4-style canonicalization pass
+    before dedup/hash). Every 3rd doc gets a deterministic dirty
+    suffix (decomposed accents, ZWSP/BOM/soft-hyphen, a C0 control);
+    the oracle recomputes normalization FROM SCRATCH with DuckDB's
+    nfc_normalize + the same RE2∩Java regex strip patterns —
+    byte-identical output, not a pin."""
+    from wos_crawler_spark.operators.textnorm import normalize_documents
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            d % 3 == 0, F.concat(F.col("text"), F.lit(_TEXTNORM_SUFFIX))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = normalize_documents(docs, out_col="clean")
+    return out.select(
+        "doc_id",
+        F.md5(F.col("clean")).alias("norm_md5"),
+        F.col("norm_changed").cast("long").alias("norm_changed"),
+        F.octet_length("text").cast("long").alias("bytes_before"),
+        F.octet_length("clean").cast("long").alias("bytes_after"),
+    )
+
+
+def _textnorm_oracle_sql() -> str:
+    """From-scratch recomputation: DuckDB nfc_normalize (same Unicode
+    NFC spec as python's unicodedata — verified bit-identical in
+    tests/test_textnorm.py) + the SAME strip pattern strings."""
+    from wos_crawler_spark.operators.textnorm import (
+        CONTROL_RE,
+        INVISIBLE_RE,
+    )
+
+    suffix = _duck_lit(_TEXTNORM_SUFFIX)
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN text || {suffix}
+                        ELSE text END AS t2
+            FROM documents
+        ), n AS (
+            SELECT doc_id, t2,
+                   regexp_replace(regexp_replace(nfc_normalize(t2),
+                       '{CONTROL_RE}', '', 'g'),
+                       '{INVISIBLE_RE}', '', 'g') AS clean
+            FROM d
+        )
+        SELECT doc_id,
+               md5(clean) AS norm_md5,
+               CAST(CASE WHEN t2 IS NULL THEN 0
+                         WHEN clean <> t2 THEN 1 ELSE 0 END
+                    AS BIGINT) AS norm_changed,
+               CAST(octet_length(encode(t2)) AS BIGINT) AS bytes_before,
+               CAST(octet_length(encode(clean)) AS BIGINT) AS bytes_after
+        FROM n
+    """
+
+
 def q_f_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain blocklist gate (Scrapy OffsiteMiddleware / UT1-style):
     subdomain-suffix matching via map-side suffix explode + broadcast
@@ -2531,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_quality": q_text_gopher_quality,
         "text_gopher_repetition": q_text_gopher_repetition,
         "text_fingerprint": q_text_fingerprint,
+        "text_normalize_nfc": q_text_normalize,
         # rows-only engine surfaces (non-SQL-expressible)
         "parse_wos_plaintext": q_parse_wos_plaintext,
         "parse_tab": q_parse_tab,
@@ -4163,6 +4253,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         "pii_redact": _pii_oracle_sql(),
+        "text_normalize_nfc": _textnorm_oracle_sql(),
         "f_html_to_text": _html_to_text_oracle_sql(),
         "f_trap_guard": _trap_guard_oracle_sql(),
         "dsir_select": _dsir_oracle_sql(),
