@@ -2454,6 +2454,180 @@ def _textnorm_oracle_sql() -> str:
     """
 
 
+#: Merge count for the BPE driver entries — bounded so the oracle's
+#: chained-CTE recomputation stays tractable while still exercising
+#: multi-level merges (merged symbols re-merging).
+_BPE_N_MERGES = 16
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training (Sennrich et al. 2016;
+    operators/bpe.py): corpus word count → iterative argmax-pair
+    merge. The oracle recomputes the ENTIRE training loop from scratch
+    in static SQL — one chained CTE triple per merge step, with the
+    wrap-encoded replace() trick standing in for the merge pass."""
+    from wos_crawler_spark.operators.bpe import (
+        bpe_train,
+        corpus_word_counts,
+        merges_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(corpus_word_counts(docs), _BPE_N_MERGES)
+    return merges_table(spark, merges).select(
+        F.col("step").cast("long").alias("step"),
+        "left",
+        "right",
+        "merged",
+        F.col("pair_n").cast("long").alias("pair_n"),
+    )
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE corpus tokenization with the learned merges: zero-shuffle
+    Arrow mapInPandas, per-batch word memoization. Oracle re-learns
+    the merges AND re-encodes every document from scratch via the
+    same replace chain applied to per-doc wrapped sequences."""
+    from wos_crawler_spark.operators.bpe import (
+        bpe_encode_documents,
+        bpe_train,
+        corpus_word_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(corpus_word_counts(docs), _BPE_N_MERGES)
+    enc = bpe_encode_documents(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.when(F.col("tokens").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.size("tokens").cast("long"))
+        .alias("n_tokens"),
+        F.when(F.col("tokens").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.md5(F.concat_ws(" ", F.col("tokens"))))
+        .alias("tokens_md5"),
+    )
+
+
+def _bpe_train_ctes(n_merges: int) -> str:
+    """The shared from-scratch training chain: word counts → wrapped
+    initial sequences → per-step (tokenize, pair-count, argmax,
+    replace-apply) CTE triples.
+
+    Wrap encoding: every token is wrapped in single spaces, so
+    internal token boundaries carry exactly two spaces. Then plain
+    ``replace(seq, ' a  b ', ' ab ')`` is EXACTLY one left-to-right
+    non-overlapping BPE merge pass: the trailing space of one match is
+    never consumed by the next (each match starts at the left wrapper
+    the previous match did not eat), and token-boundary safety is
+    structural (tokens never contain spaces). MATERIALIZED everywhere:
+    the argmax CTEs are referenced four times each and DuckDB would
+    otherwise inline them into an exponential re-evaluation."""
+    from wos_crawler_spark.operators.bpe import (
+        END_OF_WORD,
+        WORD_SPLIT_RE,
+    )
+
+    eow = END_OF_WORD
+    parts = [
+        f"""
+        words_lists AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text,
+                       '{WORD_SPLIT_RE}'), x -> x <> '') AS ws
+            FROM documents WHERE text IS NOT NULL
+        ),
+        wcnt AS MATERIALIZED (
+            SELECT w AS word, COUNT(*) AS n
+            FROM words_lists, unnest(ws) AS t(w) GROUP BY w
+        ),
+        w0 AS MATERIALIZED (
+            SELECT ' ' || array_to_string(
+                       [word[i] FOR i IN range(1, length(word)+1)]
+                       || ['{eow}'], '  ') || ' ' AS seq, n
+            FROM wcnt
+        )"""
+    ]
+    for k in range(1, n_merges + 1):
+        prev = f"w{k-1}"
+        parts.append(
+            f"""
+        t{k} AS MATERIALIZED (
+            SELECT string_split(trim(seq), '  ') AS ts, n FROM {prev}
+        ),
+        p{k} AS MATERIALIZED (
+            SELECT u.p.a AS a, u.p.b AS b, SUM(n) AS cnt
+            FROM t{k}, unnest([struct_pack(a := ts[i], b := ts[i+1])
+                               FOR i IN range(1, len(ts))]) AS u(p)
+            GROUP BY u.p.a, u.p.b
+        ),
+        m{k} AS MATERIALIZED (
+            SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
+        ),
+        w{k} AS MATERIALIZED (
+            SELECT replace(seq,
+                     ' ' || (SELECT a FROM m{k}) || '  '
+                         || (SELECT b FROM m{k}) || ' ',
+                     ' ' || (SELECT a FROM m{k})
+                         || (SELECT b FROM m{k}) || ' ') AS seq, n
+            FROM {prev}
+        )"""
+        )
+    return ",".join(parts)
+
+
+def _bpe_train_oracle_sql() -> str:
+    n = _BPE_N_MERGES
+    sel = " UNION ALL ".join(
+        f'SELECT {k} AS step, a AS "left", b AS "right",'
+        f" a || b AS merged, CAST(cnt AS BIGINT) AS pair_n FROM m{k}"
+        for k in range(1, n + 1)
+    )
+    return "WITH " + _bpe_train_ctes(n) + " " + sel
+
+
+def _bpe_encode_oracle_sql() -> str:
+    from wos_crawler_spark.operators.bpe import END_OF_WORD
+
+    n = _BPE_N_MERGES
+    eow = END_OF_WORD
+    chain = "seq"
+    for k in range(1, n + 1):
+        chain = (
+            f"replace({chain}, ' ' || (SELECT a FROM m{k}) || '  '"
+            f" || (SELECT b FROM m{k}) || ' ',"
+            f" ' ' || (SELECT a FROM m{k})"
+            f" || (SELECT b FROM m{k}) || ' ')"
+        )
+    return (
+        "WITH "
+        + _bpe_train_ctes(n)
+        + f""",
+        d0 AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN len(ws) = 0 THEN ''
+                        ELSE ' ' || array_to_string(
+                            flatten([[w[i] FOR i IN range(1, length(w)+1)]
+                                     || ['{eow}'] FOR w IN ws]),
+                            '  ') || ' ' END AS seq
+            FROM words_lists
+        ),
+        denc AS (
+            SELECT doc_id,
+                   CASE WHEN seq = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split(trim({chain}), '  ') END
+                       AS tokens
+            FROM d0
+        )
+        SELECT d.doc_id,
+               CAST(len(e.tokens) AS BIGINT) AS n_tokens,
+               CASE WHEN e.tokens IS NULL THEN NULL
+                    ELSE md5(coalesce(array_to_string(e.tokens, ' '),
+                                      '')) END AS tokens_md5
+        FROM documents d LEFT JOIN denc e USING (doc_id)
+    """
+    )
+
+
 def q_f_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain blocklist gate (Scrapy OffsiteMiddleware / UT1-style):
     subdomain-suffix matching via map-side suffix explode + broadcast
@@ -2621,6 +2795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_repetition": q_text_gopher_repetition,
         "text_fingerprint": q_text_fingerprint,
         "text_normalize_nfc": q_text_normalize,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         # rows-only engine surfaces (non-SQL-expressible)
         "parse_wos_plaintext": q_parse_wos_plaintext,
         "parse_tab": q_parse_tab,
@@ -4254,6 +4430,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_redact": _pii_oracle_sql(),
         "text_normalize_nfc": _textnorm_oracle_sql(),
+        "bpe_train": _bpe_train_oracle_sql(),
+        "bpe_encode": _bpe_encode_oracle_sql(),
         "f_html_to_text": _html_to_text_oracle_sql(),
         "f_trap_guard": _trap_guard_oracle_sql(),
         "dsir_select": _dsir_oracle_sql(),
