@@ -123,26 +123,89 @@ def commit_eviction(
     write_metrics(ckpt_dir, wave, metrics)
 
 
+def compact_dir(ckpt_dir: str, wave: int) -> str:
+    return os.path.join(ckpt_dir, f"compact={wave}")
+
+
+def latest_compaction(ckpt_dir: str, upto_wave: int) -> int | None:
+    """Highest committed compaction snapshot at wave K <= upto_wave,
+    or None. Snapshots NEWER than the resume point are ignored — a
+    resume from wave 10 must not read a wave-50 snapshot."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    waves = [
+        k
+        for name in os.listdir(ckpt_dir)
+        if name.startswith("compact=")
+        and (k := int(name.split("=", 1)[1])) <= upto_wave
+        and os.path.exists(os.path.join(ckpt_dir, name, "_COMMITTED"))
+    ]
+    return max(waves) if waves else None
+
+
+def compact_seen(
+    spark: SparkSession,
+    ckpt_dir: str,
+    upto_wave: int,
+    buckets: int = 32,
+) -> str:
+    """Fold waves 0..upto_wave of seen deltas (+evictions) into ONE
+    hash-bucketed snapshot — the small-files GC a 10^10-URL crawl
+    needs: without it, resume at wave N unions N delta directories
+    (each with per-partition files), an O(waves·files) listing+scan
+    that grows without bound; with it, resume reads one snapshot plus
+    the post-compaction tail. The production twin is Iceberg
+    ``rewrite_data_files`` / snapshot expiry; here it is an additive
+    parquet snapshot — wave dirs are NOT deleted (they still carry
+    frontier/metrics for historical resume), so compaction is purely
+    a fast path and crash-safe by the same marker-last protocol.
+
+    The snapshot stores ``(url_hash, wave)`` with wave = the key's
+    latest delta wave, so post-compaction evictions still CDC-cancel
+    base keys correctly. Bucketed+sorted by url_hash: co-located with
+    the seen-side join key, row-group-prunable."""
+    seen = read_seen(spark, ckpt_dir, upto_wave)
+    d = compact_dir(ckpt_dir, upto_wave)
+    (
+        seen.repartition(buckets, "url_hash")
+        .sortWithinPartitions("url_hash")
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "seen"))
+    )
+    with open(os.path.join(d, "_COMMITTED"), "w") as f:
+        f.write("")
+    return d
+
+
 def read_seen(spark: SparkSession, ckpt_dir: str, upto_wave: int) -> DataFrame:
     """Union of seen deltas for waves 0..upto_wave (in production: one
     Iceberg table appended per wave, partitioned by wave).
+
+    Starts from the latest committed compaction snapshot <= upto_wave
+    when one exists (see :func:`compact_seen`): the snapshot replaces
+    waves 0..K, and only the tail K+1..upto_wave is unioned on top.
 
     With eviction waves present (``seen_evict/``), membership is
     CDC-merged: a key is seen iff its latest delta wave is LATER than
     its latest evict wave — so an evicted-then-refetched URL is seen
     again, and an evicted-never-refetched URL is not. The merge is one
     groupBy over 8-byte keys, paid only on resume paths and only when
-    an eviction exists; the no-eviction path stays the cheap union."""
+    an eviction exists; the no-eviction path stays the cheap union.
+    Evictions at waves <= K are already folded into the snapshot."""
     from pyspark.sql import functions as F
 
+    base = latest_compaction(ckpt_dir, upto_wave)
+    start = 0 if base is None else base + 1
     paths = [
         os.path.join(wave_dir(ckpt_dir, w), "seen_delta")
-        for w in range(upto_wave + 1)
+        for w in range(start, upto_wave + 1)
     ]
+    if base is not None:
+        paths.insert(0, os.path.join(compact_dir(ckpt_dir, base), "seen"))
     deltas = spark.read.parquet(*paths)
     evict_paths = [
         p
-        for w in range(upto_wave + 1)
+        for w in range(start, upto_wave + 1)
         if os.path.isdir(p := os.path.join(wave_dir(ckpt_dir, w), "seen_evict"))
     ]
     if not evict_paths:
