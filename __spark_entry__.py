@@ -2628,6 +2628,24 @@ def _bpe_encode_oracle_sql() -> str:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters with exact candidate recount + the
+    in-band completeness certificate (operators/heavyhitters.py).
+    The key is deterministically skewed (floor(sqrt(user_id)): key v
+    covers 2v+1 users) so the top-10 is tie-stable at every SF; the
+    flat-key and m<distinct regimes are exercised in unit tests.
+    Oracle recomputes the exact top-k AND the certificate formula
+    from scratch — candidates provably cover the true top-k, so the
+    recounted result must equal the exact one."""
+    from wos_crawler_spark.operators.heavyhitters import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    keyed = ev.select(
+        F.floor(F.sqrt(F.col("user_id"))).cast("long").alias("key")
+    )
+    return heavy_hitters(keyed, "key", k=10, m=512, with_guarantee=True)
+
+
 def q_f_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain blocklist gate (Scrapy OffsiteMiddleware / UT1-style):
     subdomain-suffix matching via map-side suffix explode + broadcast
@@ -2797,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize_nfc": q_text_normalize,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "a_heavy_hitter_keys": q_heavy_hitters,
         # rows-only engine surfaces (non-SQL-expressible)
         "parse_wos_plaintext": q_parse_wos_plaintext,
         "parse_tab": q_parse_tab,
@@ -4432,6 +4451,21 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize_nfc": _textnorm_oracle_sql(),
         "bpe_train": _bpe_train_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
+        "a_heavy_hitter_keys": """
+            -- exact top-k + the same certificate formula, from scratch
+            WITH s AS (
+                SELECT CAST(floor(sqrt(user_id)) AS BIGINT) AS key
+                FROM events WHERE user_id IS NOT NULL
+            ), c AS (
+                SELECT key, COUNT(*) AS n FROM s GROUP BY key
+            ), top AS (
+                SELECT key, n FROM c ORDER BY n DESC, key LIMIT 10
+            )
+            SELECT key, n,
+                   (SELECT MIN(n) FROM top) * 513
+                     > (SELECT COUNT(*) FROM s) AS provably_complete
+            FROM top
+        """,
         "f_html_to_text": _html_to_text_oracle_sql(),
         "f_trap_guard": _trap_guard_oracle_sql(),
         "dsir_select": _dsir_oracle_sql(),
