@@ -304,3 +304,83 @@ def test_streaming_url_gate_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == batch and sum(got.values()) == 1
+
+
+def test_streaming_mg_summaries_match_batched_twin(spark, tmp_path):
+    """Live Misra-Gries heavy-hitter summaries: shard state carries
+    across micro-batches, final (max-version) summaries equal a
+    python twin folding the same per-batch value_counts per shard,
+    and recounting the streamed candidates recovers the exact top-k."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from wos_crawler_spark.operators.heavyhitters import _fold_counts
+    from wos_crawler_spark.streaming.ingest import (
+        run_stream_to_memory,
+        streaming_heavy_hitter_summaries,
+    )
+
+    # skewed key stream: host h{i} dominates in inverse-square counts
+    def mk(lo, hi):
+        rows = []
+        for i in range(lo, hi):
+            rows.append((i, f"h{min(i % 97, (i * i) % 13):02d}"))
+        return rows
+
+    b1, b2 = mk(0, 900), mk(900, 1800)
+    schema = "id long, host string"
+    src = str(tmp_path / "mg_stream")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    m, shards = 6, 4
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_heavy_hitter_summaries(stream, "host", m=m, shards=shards)
+    q = run_stream_to_memory(out, "mg_summ", mode="append")
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select * from mg_summ s where version = "
+            "(select max(version) from mg_summ t where t.shard = s.shard)"
+        ).collect()
+    finally:
+        q.stop()
+    got = {}
+    for r in rows:
+        got.setdefault(r.shard, {})[r.key] = r.mg
+
+    # shard assignment taken from the engine itself (xxhash64 twin
+    # for strings is out of scope — the twin tests the FOLD, not the hash)
+    all_rows = b1 + b2
+    keys = sorted({h for _, h in all_rows})
+    shard_of = {
+        r.key: r.shard
+        for r in spark.createDataFrame([(k,) for k in keys], "key string")
+        .select("key", F.pmod(F.xxhash64("key"), F.lit(shards)).cast("int").alias("shard"))
+        .collect()
+    }
+
+    want = {}
+    for batch in (b1, b2):
+        per_shard = {}
+        for _, h in batch:
+            per_shard.setdefault(shard_of[h], []).append(h)
+        for s, ks in per_shard.items():
+            want.setdefault(s, {})
+            _fold_counts(want[s], dict(Counter(ks)), m)
+    assert got == {s: d for s, d in want.items() if d}
+
+    # streamed candidates cover the exact top-3, recount agrees
+    truth = Counter(h for _, h in all_rows)
+    top3 = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    cand_keys = {k for d in got.values() for k in d}
+    assert {k for k, _ in top3} <= cand_keys

@@ -205,6 +205,75 @@ def streaming_politeness(
     )
 
 
+_MG_SCHEMA = "shard int, version long, key string, mg long"
+_MG_STATE_SCHEMA = "version long, keys array<string>, counts array<long>"
+
+
+def streaming_heavy_hitter_summaries(
+    stream: DataFrame,
+    key_col: str,
+    m: int = 64,
+    shards: int = 8,
+) -> DataFrame:
+    """Streaming twin of :mod:`operators.heavyhitters`: live
+    Misra-Gries summaries maintained across micro-batches — the
+    "which hosts dominate the crawl RIGHT NOW" monitor, O(shards·m)
+    state total.
+
+    Keys hash-shard across ``shards`` independent summaries (the
+    parallelism axis — one ``applyInPandasWithState`` group each);
+    because a key lands in exactly ONE shard, the union of shard
+    summaries is itself a mergeable MG summary, and any key whose
+    count within its shard exceeds N_shard/(m+1) is guaranteed
+    present. Each micro-batch folds its vectorized ``value_counts``
+    into the shard state by the same mergeable reduce as the batch
+    operator (shared ``_fold_counts``), then emits the full shard
+    summary stamped with a monotone ``version`` — downstream keeps
+    the max-version rows per shard (the memory-sink analog of an
+    update-mode upsert)."""
+    from wos_crawler_spark.operators.heavyhitters import _fold_counts
+
+    def _update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (shard,) = key
+        if state.exists:
+            version, keys, counts = state.get
+            summary = dict(zip(keys, counts))
+        else:
+            version, summary = 0, {}
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            return
+        _fold_counts(summary, batch["key"].value_counts().to_dict(), m)
+        version += 1
+        state.update((version, list(summary), [int(v) for v in summary.values()]))
+        yield pd.DataFrame(
+            {
+                "shard": shard,
+                "version": version,
+                "key": list(summary),
+                "mg": list(summary.values()),
+            }
+        )
+
+    keyed = stream.select(
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(shards))
+        .cast("int")
+        .alias("shard"),
+        F.col(key_col).cast("string").alias("key"),
+    ).where(F.col("key").isNotNull())
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _update,
+        outputStructType=_MG_SCHEMA,
+        stateStructType=_MG_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_curation(pages: DataFrame) -> DataFrame:
     """Streaming twin of the corpus-gate chain's STATELESS stages:
     language-ID gate, quality gate, PII count + redaction — all pure
