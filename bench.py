@@ -67,6 +67,9 @@ ENTRY_QUERIES = [
     "dedup_index_query",
     "text_tfidf_keywords",
     "f_mirror_hosts",
+    "text_normalize_nfc",
+    "bpe_encode",
+    "a_heavy_hitter_keys",
 ]
 
 

@@ -214,3 +214,38 @@ def test_guard(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bpe_train(corpus_word_counts(df), 0)
+
+
+def test_save_load_roundtrip(spark, toy, tmp_path):
+    from wos_crawler_spark.operators.bpe import load_bpe, save_bpe
+
+    docs, merges, _ = toy
+    p = str(tmp_path / "bpe_idx")
+    save_bpe(spark, merges, p)
+    loaded = load_bpe(spark, p)
+    assert loaded == merges
+    # encoding from the loaded artifact is identical
+    a = {r.doc_id: r.tokens for r in bpe_encode_documents(docs, merges).collect()}
+    b = {r.doc_id: r.tokens for r in bpe_encode_documents(docs, loaded).collect()}
+    assert a == b
+
+
+def test_load_guards(spark, toy, tmp_path):
+    import json
+    import os
+
+    from wos_crawler_spark.operators.bpe import load_bpe, save_bpe
+
+    _, merges, _ = toy
+    p = str(tmp_path / "bpe_bad")
+    save_bpe(spark, merges, p)
+    meta = json.load(open(os.path.join(p, "_meta.json")))
+    meta["end_of_word"] = "##"
+    json.dump(meta, open(os.path.join(p, "_meta.json"), "w"))
+    with pytest.raises(ValueError):
+        load_bpe(spark, p)
+    meta["end_of_word"] = END_OF_WORD
+    meta["kind"] = "ivf"
+    json.dump(meta, open(os.path.join(p, "_meta.json"), "w"))
+    with pytest.raises(ValueError):
+        load_bpe(spark, p)

@@ -192,6 +192,66 @@ def merges_table(
     )
 
 
+def save_bpe(
+    spark: SparkSession,
+    merges: list[tuple[str, str, int]],
+    path: str,
+) -> None:
+    """Persist the learned merge list as the pipeline artifact every
+    downstream job shares: ``<path>/merges`` parquet (step-ordered)
+    plus a ``_meta.json`` carrying the end-of-word marker and
+    pre-tokenizer so a drifted loader cannot silently mis-tokenize
+    (the :mod:`annindex` param-guard discipline)."""
+    import json
+    import os
+
+    merges_table(spark, merges).write.mode("overwrite").parquet(
+        os.path.join(path, "merges")
+    )
+    with open(os.path.join(path, "_meta.json"), "w") as fh:
+        json.dump(
+            {
+                "kind": "bpe",
+                "end_of_word": END_OF_WORD,
+                "word_split_re": WORD_SPLIT_RE,
+                "n_merges": len(merges),
+            },
+            fh,
+            sort_keys=True,
+        )
+
+
+def load_bpe(
+    spark: SparkSession, path: str
+) -> list[tuple[str, str, int]]:
+    """Step-ordered merge list from :func:`save_bpe`; raises on a
+    non-BPE artifact or a marker/pre-tokenizer mismatch with this
+    build of the engine."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as fh:
+        meta = json.load(fh)
+    if meta.get("kind") != "bpe":
+        raise ValueError(f"not a BPE artifact: {meta.get('kind')!r}")
+    if (
+        meta["end_of_word"] != END_OF_WORD
+        or meta["word_split_re"] != WORD_SPLIT_RE
+    ):
+        raise ValueError(
+            "BPE artifact was built with a different end-of-word "
+            "marker or pre-tokenizer than this engine build"
+        )
+    rows = (
+        spark.read.parquet(os.path.join(path, "merges"))
+        .orderBy("step")
+        .collect()
+    )
+    if meta["n_merges"] != len(rows):
+        raise ValueError("BPE artifact truncated: merge count mismatch")
+    return [(r.left, r.right, r.pair_n) for r in rows]
+
+
 def _encode_word(
     word: str, merges: list[tuple[str, str]]
 ) -> list[str]:
