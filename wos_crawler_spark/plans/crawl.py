@@ -117,6 +117,20 @@ class CrawlConfig:
     #: blocked_extensions) — passed verbatim to the expr AND to the
     #: simulator twin, so both gates are parameterized identically.
     url_gate_kwargs: dict = field(default_factory=dict)
+    #: Per-host adaptive backoff + circuit breaker
+    #: (operators/backoff.py): cumulative fetch-outcome stats per host
+    #: (bounded by hosts, folded per wave) drive two integer-threshold
+    #: rules — high-miss hosts get their base delay MULTIPLIED
+    #: (composing with the robots Crawl-delay dim), dead hosts get
+    #: quarantined (candidates dropped at wave admission — this
+    #: deliberately supersedes the retries-never-dropped contract;
+    #: quarantine IS the judgment that retrying is waste). The python
+    #: simulator implements identical rules; parity-tested.
+    backoff: bool = False
+    #: backoff_plan keyword overrides (min_fetches, err_pct, factor,
+    #: quarantine_pct) — passed verbatim to the engine plan AND the
+    #: simulator twin.
+    backoff_kwargs: dict = field(default_factory=dict)
     #: Redirect-resolution hop cap (operators/redirects.py) used when
     #: run_crawl is given a ``redirects`` edge table: chains are
     #: resolved ONCE by path doubling before the wave loop, and every
@@ -715,17 +729,47 @@ def run_crawl(
 
     fetch_logs = []
     parsed_frames = []
+    host_stats: DataFrame | None = None  # backoff: (host, sched, miss)
     for wave in range(start_wave, cfg.max_waves):
         if not frontier_n:
             break
         t_wave = time.time()
+        # Per-host backoff policy for THIS wave, derived from the
+        # cumulative stats of all prior waves (operators/backoff.py):
+        # quarantined hosts drop out of the frontier via a broadcast
+        # anti-join (map-side; fresh AND retries — see CrawlConfig),
+        # backed-off hosts ride the existing host_delays channel into
+        # schedule_wave. The inter-wave gap stays conservative under
+        # the escalated delays (one driver-scale max over the dim).
+        eff_delays, eff_gap = host_delays, inter_wave_gap
+        if cfg.backoff and host_stats is not None:
+            from wos_crawler_spark.operators.backoff import backoff_plan
+
+            bo = backoff_plan(
+                host_stats, cfg.delay_s, host_delays,
+                **cfg.backoff_kwargs,
+            ).cache()
+            quar = bo.filter(F.col("quarantined")).select("host")
+            frontier = frontier.join(F.broadcast(quar), "host", "left_anti")
+            eff_delays = bo.select("host", "crawl_delay")
+            max_eff = bo.agg(F.max("crawl_delay")).first()[0]
+            eff_gap = max(cfg.delay_s, float(max_eff or 0.0))
         res, next_frontier, seen_delta = run_wave(
             spark, wave, frontier, pages_kv, links_kv, robots, seen, bloom,
             cfg, wave_start,
-            host_delays=host_delays, inter_wave_gap_s=inter_wave_gap,
+            host_delays=eff_delays, inter_wave_gap_s=eff_gap,
             rmap=rmap,
         )
         out.waves.append(res)
+        if cfg.backoff:
+            from wos_crawler_spark.operators.backoff import fold_host_stats
+
+            probe = "_page_hit" if "_page_hit" in res.fetched.columns else (
+                "text" if "text" in res.fetched.columns else "warc_ts"
+            )
+            host_stats = fold_host_stats(
+                host_stats, res.fetched, probe
+            ).localCheckpoint(eager=True)
         if cfg.keep_wave_caches:
             fetch_logs.append(
                 res.fetched.select(

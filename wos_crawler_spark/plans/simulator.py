@@ -102,6 +102,8 @@ def simulate_crawl(
     trap_keep: int | None = None,
     url_gate: bool = False,
     url_gate_kwargs: dict | None = None,
+    backoff: bool = False,
+    backoff_kwargs: dict | None = None,
     redirect_edges: dict[str, str] | None = None,
     redirect_max_hops: int = 8,
 ) -> SimResult:
@@ -159,9 +161,24 @@ def simulate_crawl(
     ]
 
     wave_start = 0.0
+    host_stats: dict[str, list] = {}  # host -> [sched, miss]
     for wave in range(max_waves):
         if not frontier:
             break
+        # per-host backoff policy from cumulative prior-wave stats —
+        # the twin of run_crawl's backoff_plan application (identical
+        # integer rules via backoff_python): quarantined hosts drop
+        # at admission (fresh AND retries), backed-off hosts get
+        # delay x factor in the token bucket and the wave gap.
+        eff_delays = dict(host_delays or {})
+        if backoff and host_stats:
+            from wos_crawler_spark.operators.backoff import backoff_python
+
+            eff_delays, quarantined = backoff_python(
+                {h: tuple(v) for h, v in host_stats.items()},
+                delay_s, host_delays, **(backoff_kwargs or {}),
+            )
+            frontier = [r for r in frontier if r["host"] not in quarantined]
         # F3 robots
         allowed = []
         for r in frontier:
@@ -261,7 +278,7 @@ def simulate_crawl(
         this_wave: list[SimFetch] = []
         for host, hrows in by_host.items():
             S = n_buckets[host]
-            d = (host_delays or {}).get(host, delay_s)
+            d = eff_delays.get(host, delay_s)
             take = hrows if quota is None else hrows[:quota]
             buckets: dict[int, list] = {}
             for r in take:
@@ -278,10 +295,16 @@ def simulate_crawl(
                     res.seen.add(r["url_hash"])
                     r["_hit"] = hit
         res.fetches.extend(this_wave)
+        if backoff:
+            for f in this_wave:
+                st = host_stats.setdefault(f.host, [0, 0])
+                st[0] += 1
+                if not f.hit:
+                    st[1] += 1
         if max_ts is not None:
             # engine twin: conservative gap = max over all effective
             # delays (run_crawl's inter_wave_gap)
-            gap = max([delay_s, *(host_delays or {}).values()])
+            gap = max([delay_s, *eff_delays.values()])
             wave_start = max_ts + gap
 
         # next frontier: expansions + retries + quota overflow
