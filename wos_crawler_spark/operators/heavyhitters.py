@@ -146,12 +146,14 @@ def heavy_hitters(
     n_total = (
         df.where(F.col(key_col).isNotNull()).count()
     )
-    # certificate: k-th recount strictly above the MG loss bound
-    kth = top.orderBy(F.asc("n"), F.asc("key")).limit(1)
-    return top.crossJoin(
-        kth.select(
-            (F.col("n") * (m + 1) > F.lit(n_total)).alias(
-                "provably_complete"
-            )
-        )
+    # certificate: k-th recount strictly above the MG loss bound.
+    # A global window over the k-row limit output (already a single
+    # partition) — NOT a second sort+crossJoin, which would duplicate
+    # the whole summarize→merge→recount subtree in the plan.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    return top.withColumn(
+        "provably_complete",
+        F.min("n").over(w) * (m + 1) > F.lit(n_total),
     )
