@@ -227,3 +227,72 @@ def test_full_crawl_parity_with_simulator_under_backoff(spark):
         and m * 100 < bo_kw["quarantine_pct"] * s
     ]
     assert slowed, "no host entered the slow-down band; weaken err_pct"
+
+
+def test_backoff_resume_equals_uninterrupted(spark, tmp_path):
+    """Backoff stats are checkpointed with the wave: an interrupted
+    backoff crawl resumed from checkpoint reproduces the
+    uninterrupted run's seen set and per-wave metrics exactly — the
+    quarantine/slow-down decisions depend on cumulative host history,
+    which must survive the restart."""
+    from wos_crawler_spark.fixtures import wosgen
+    from wos_crawler_spark.fixtures.synth import (
+        links_table,
+        pages_table,
+        robots_table,
+        seeds_table,
+    )
+    from wos_crawler_spark.operators import checkpoint as ckpt
+    from wos_crawler_spark.plans.crawl import CrawlConfig, run_crawl
+
+    n = 120
+    pages = pages_table(spark, n, partitions=4).cache()
+    dead = [
+        (wosgen.url_of(i), f"https://dead.example.org/p{i}")
+        for i in range(0, n, 2)
+    ]
+    links = links_table(spark, n).unionByName(
+        spark.createDataFrame(dead, "src_url string, dst_url string")
+    )
+    seeds, robots = seeds_table(spark), robots_table(spark)
+    common = dict(
+        delay_s=1.0, quota=4, max_depth=3, rows_per_bucket=8, parse=False,
+        backoff=True,
+        backoff_kwargs=dict(min_fetches=3, err_pct=25, factor=3,
+                            quarantine_pct=90),
+    )
+
+    full_dir = str(tmp_path / "full")
+    run_crawl(spark, pages, seeds, links, robots,
+              CrawlConfig(max_waves=4, ckpt_dir=full_dir, **common))
+
+    part_dir = str(tmp_path / "part")
+    run_crawl(spark, pages, seeds, links, robots,
+              CrawlConfig(max_waves=2, ckpt_dir=part_dir, **common))
+    resumed = run_crawl(
+        spark, pages, seeds, links, robots,
+        CrawlConfig(max_waves=4, ckpt_dir=part_dir, **common),
+        resume=True,
+    )
+    assert resumed.waves[0].wave == 2
+
+    last = ckpt.latest_wave(full_dir)
+    seen_full = {
+        r.url_hash for r in ckpt.read_seen(spark, full_dir, last).collect()
+    }
+    seen_part = {
+        r.url_hash for r in ckpt.read_seen(spark, part_dir, last).collect()
+    }
+    assert seen_full == seen_part
+    for w in range(last + 1):
+        assert ckpt.read_metrics(full_dir, w) == ckpt.read_metrics(part_dir, w)
+    # and the persisted stats agree at the end
+    sf = {
+        r.host: (r.sched, r.miss)
+        for r in ckpt.read_host_stats(spark, full_dir, last).collect()
+    }
+    sp = {
+        r.host: (r.sched, r.miss)
+        for r in ckpt.read_host_stats(spark, part_dir, last).collect()
+    }
+    assert sf == sp and sf

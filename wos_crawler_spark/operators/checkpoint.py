@@ -223,6 +223,28 @@ def read_seen(spark: SparkSession, ckpt_dir: str, upto_wave: int) -> DataFrame:
     )
 
 
+def write_host_stats(ckpt_dir: str, wave: int, stats: DataFrame) -> None:
+    """Persist the backoff policy's cumulative per-host counters with
+    the wave (bounded by hosts). Written before the _COMMITTED marker
+    like every other wave artifact, so resume either sees a complete
+    wave (stats included) or none of it."""
+    stats.write.mode("overwrite").parquet(
+        os.path.join(wave_dir(ckpt_dir, wave), "host_stats")
+    )
+
+
+def read_host_stats(
+    spark: SparkSession, ckpt_dir: str, wave: int
+) -> DataFrame | None:
+    """Cumulative backoff stats of a committed wave, or None for a
+    crawl that ran without backoff (resume then starts stats empty —
+    identical to a fresh backoff crawl from that wave)."""
+    p = os.path.join(wave_dir(ckpt_dir, wave), "host_stats")
+    if not os.path.isdir(p):
+        return None
+    return spark.read.parquet(p)
+
+
 def read_partition_metrics(
     spark: SparkSession, ckpt_dir: str, wave: int
 ) -> DataFrame:

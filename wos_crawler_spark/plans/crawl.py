@@ -665,6 +665,7 @@ def run_crawl(
     bloom: AnyBloom | None = None
     wave_start = 0.0
 
+    host_stats: DataFrame | None = None  # backoff: (host, sched, miss)
     if resume and cfg.ckpt_dir:
         last = ckpt.latest_wave(cfg.ckpt_dir)
         if last is not None:
@@ -673,6 +674,11 @@ def run_crawl(
             seen = ckpt.read_seen(spark, cfg.ckpt_dir, last)
             bloom = bloom_from_bytes(ckpt.read_bloom_bytes(cfg.ckpt_dir, last))
             wave_start = ckpt.read_metrics(cfg.ckpt_dir, last)["next_start_ts"]
+            if cfg.backoff:
+                # backoff policy is a pure function of cumulative host
+                # stats — restoring them makes resume ≡ uninterrupted
+                # for backoff crawls too (parity-tested)
+                host_stats = ckpt.read_host_stats(spark, cfg.ckpt_dir, last)
 
     timing = os.environ.get("WCS_TIMING", "") not in ("", "0")
 
@@ -729,7 +735,6 @@ def run_crawl(
 
     fetch_logs = []
     parsed_frames = []
-    host_stats: DataFrame | None = None  # backoff: (host, sched, miss)
     for wave in range(start_wave, cfg.max_waves):
         if not frontier_n:
             break
@@ -767,9 +772,14 @@ def run_crawl(
             probe = "_page_hit" if "_page_hit" in res.fetched.columns else (
                 "text" if "text" in res.fetched.columns else "warc_ts"
             )
-            host_stats = fold_host_stats(
-                host_stats, res.fetched, probe
-            ).localCheckpoint(eager=True)
+            host_stats = fold_host_stats(host_stats, res.fetched, probe)
+            if cfg.ckpt_dir:
+                # persist with the wave (before its _COMMITTED marker)
+                # and re-read — durability AND lineage truncation
+                ckpt.write_host_stats(cfg.ckpt_dir, wave, host_stats)
+                host_stats = ckpt.read_host_stats(spark, cfg.ckpt_dir, wave)
+            else:
+                host_stats = host_stats.localCheckpoint(eager=True)
         if cfg.keep_wave_caches:
             fetch_logs.append(
                 res.fetched.select(
