@@ -2646,6 +2646,102 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(keyed, "key", k=10, m=512, with_guarantee=True)
 
 
+def q_pipeline_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation chain v4 — the canonicalize-FIRST ordering every
+    published pipeline uses (CCNet/C4: normalization before any
+    digest-keyed stage, because a decomposed accent or zero-width
+    char would defeat exact dedup): NFC normalize + strips (with the
+    deterministic dirty-suffix injection so the stage provably bites)
+    → PII redaction on the NORMALIZED text → exact dedup keep-first
+    on the redacted text's normalized digest → deterministic split.
+    One lazy plan: Arrow NFC hop + codegen'd gates map-side, ONE agg
+    shuffle (dedup), split is a map-side filter."""
+    from wos_crawler_spark.operators.pii import redact_documents
+    from wos_crawler_spark.operators.sampling import split_train_holdout
+    from wos_crawler_spark.operators.textdedup import exact_dedup_keep
+    from wos_crawler_spark.operators.textnorm import normalize_documents
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            d % 3 == 0, F.concat(F.col("text"), F.lit(_TEXTNORM_SUFFIX))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    normed = normalize_documents(docs)          # in place + norm_changed
+    redacted = redact_documents(normed)         # in place + n_* counts
+    kept = exact_dedup_keep(redacted, id_col="doc_id", text_col="text")
+    train, hold = split_train_holdout(
+        kept, "doc_id", holdout_rate=0.2, salt="cur4"
+    )
+    out = train.withColumn("split", F.lit("train")).unionByName(
+        hold.withColumn("split", F.lit("holdout"))
+    )
+    return out.select(
+        "doc_id",
+        F.col("norm_changed").cast("long").alias("norm_changed"),
+        (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone"))
+        .cast("long")
+        .alias("n_pii"),
+        F.md5(F.col("text")).alias("final_md5"),
+        "split",
+    )
+
+
+def _curation_v4_oracle_sql() -> str:
+    """From-scratch recomputation of the whole v4 chain: DuckDB
+    nfc_normalize + the shared strip patterns, the shared PII
+    regexes in the same order, the normalized-digest min-id dedup,
+    and the md5-draw split — no pins anywhere."""
+    from wos_crawler_spark.operators.pii import PII_PATTERNS
+    from wos_crawler_spark.operators.textnorm import (
+        CONTROL_RE,
+        INVISIBLE_RE,
+    )
+
+    suffix = _duck_lit(_TEXTNORM_SUFFIX)
+    clean = "t"
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+        counts.append(f"len(regexp_extract_all(t, '{pat}')) AS n_{name}")
+    norm_digest = (
+        "md5(trim(regexp_replace(lower(rt), '\\s+', ' ', 'g')))"
+    )
+    return f"""
+        WITH d0 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN text || {suffix}
+                        ELSE text END AS raw
+            FROM documents
+        ), n1 AS (
+            SELECT doc_id, raw,
+                   regexp_replace(regexp_replace(nfc_normalize(raw),
+                       '{CONTROL_RE}', '', 'g'),
+                       '{INVISIBLE_RE}', '', 'g') AS t
+            FROM d0
+        ), p1 AS (
+            SELECT doc_id,
+                   CAST(t <> raw AS BIGINT) AS norm_changed,
+                   {', '.join(counts)},
+                   {clean} AS rt
+            FROM n1
+        ), kept AS (
+            SELECT * FROM p1
+            WHERE doc_id IN (
+                SELECT min(doc_id) FROM p1 GROUP BY {norm_digest}
+            )
+        )
+        SELECT doc_id, norm_changed,
+               CAST(n_email + n_ipv4 + n_phone AS BIGINT) AS n_pii,
+               md5(rt) AS final_md5,
+               CASE WHEN ('0x' || substr(md5(doc_id || 'cur4'), 1, 8))::BIGINT
+                         / 4294967296.0 < 0.2
+                    THEN 'holdout' ELSE 'train' END AS split
+        FROM kept
+    """
+
+
 def q_f_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain blocklist gate (Scrapy OffsiteMiddleware / UT1-style):
     subdomain-suffix matching via map-side suffix explode + broadcast
@@ -2816,6 +2912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "a_heavy_hitter_keys": q_heavy_hitters,
+        "pipeline_curation_v4": q_pipeline_curation_v4,
         # rows-only engine surfaces (non-SQL-expressible)
         "parse_wos_plaintext": q_parse_wos_plaintext,
         "parse_tab": q_parse_tab,
@@ -4891,6 +4988,7 @@ def oracle_sql() -> dict[str, str]:
             FROM kept
         """,
         "pipeline_curation_v2": _curation_v2_oracle_sql(),
+        "pipeline_curation_v4": _curation_v4_oracle_sql(),
         "text_lang_id": f"""
             SELECT doc_id,
                    CASE WHEN g = 0 THEN 'und'

@@ -70,6 +70,7 @@ ENTRY_QUERIES = [
     "text_normalize_nfc",
     "bpe_encode",
     "a_heavy_hitter_keys",
+    "pipeline_curation_v4",
 ]
 
 
