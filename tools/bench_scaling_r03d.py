@@ -105,6 +105,10 @@ def run_bpe(spark) -> dict:
 
 
 def run_heavy_hitters(spark) -> dict:
+    """Frequent WORDS over the exploded corpus (~52M keys at n=1M):
+    a genuinely corpus-scale stream — a per-doc scalar key finishes
+    in under a second and measures job-launch overhead, not the
+    operator."""
     from pyspark.sql import functions as F
 
     from wos_crawler_spark.operators.heavyhitters import heavy_hitters
@@ -113,9 +117,9 @@ def run_heavy_hitters(spark) -> dict:
     n_docs = docs.count()
     t0 = time.time()
     keyed = docs.select(
-        F.floor(F.sqrt(F.col("doc_id") % 100000)).cast("long").alias("key")
+        F.explode(F.split(F.col("text"), " ")).alias("key")
     )
-    top = heavy_hitters(keyed, "key", k=10, m=512).collect()
+    top = heavy_hitters(keyed, "key", k=10, m=1024).collect()
     dt = time.time() - t0
     return {
         "sec": round(dt, 3),
@@ -137,9 +141,16 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--pairs", type=int, default=2)
     ap.add_argument("--levels", type=int, nargs=2, default=list(CORE_LEVELS))
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated workload subset")
     args = ap.parse_args()
     lo, hi = args.levels
     factor = hi / lo
+    if args.only:
+        keep = set(args.only.split(","))
+        for k in list(WORKLOADS):
+            if k not in keep:
+                del WORKLOADS[k]
 
     print(f"generating {args.n} docs → {INPUT}", flush=True)
     prepare_input(args.n)
@@ -211,7 +222,12 @@ def main() -> None:
         "corpus term grows with data, so efficiency approaches the "
         "map-stage bound as N grows.",
     ]
-    out = Path(__file__).resolve().parents[1] / "BENCH" / "SCALING_R03D.md"
+    name = (
+        "SCALING_R03D.md"
+        if not args.only
+        else f"SCALING_R03D_{args.only.replace(',', '_')}.md"
+    )
+    out = Path(__file__).resolve().parents[1] / "BENCH" / name
     out.write_text("\n".join(lines) + "\n")
     print(f"wrote {out}")
     print(json.dumps(summary))
