@@ -2742,6 +2742,45 @@ def _curation_v4_oracle_sql() -> str:
     """
 
 
+#: The S3 advanced-query entry's query string and tag→column map,
+#: shared by entry and oracle (both compile the SAME parsed AST).
+_WOSQ_QUERY = (
+    'TS=(key AND (merge OR "slow fast")) NOT TS=(window)'
+    " AND LA=(en OR de) AND NC=100-400"
+)
+_WOSQ_FM = {"TS": "text", "LA": "lang", "SO": "source", "NC": "n_chars"}
+
+
+def q_s3_advanced_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WoS advanced-query evaluation (SURVEY S3;
+    functions/wosquery.py): the reference's boolean field-tag query
+    language parsed to an AST and compiled to a pure-Catalyst
+    map-side predicate — NOT/AND/OR precedence, tag distribution
+    over groups, quoted phrases, integer ranges. The oracle compiles
+    the SAME AST to an ANSI-SQL predicate, so both engines evaluate
+    the identical logic from scratch."""
+    from wos_crawler_spark.functions.wosquery import (
+        parse_query,
+        to_column,
+    )
+
+    ast = parse_query(_WOSQ_QUERY, _WOSQ_FM, range_tags={"NC"})
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(to_column(ast, _WOSQ_FM)).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+def _wosquery_oracle_sql() -> str:
+    from wos_crawler_spark.functions.wosquery import parse_query, to_sql
+
+    ast = parse_query(_WOSQ_QUERY, _WOSQ_FM, range_tags={"NC"})
+    return f"""
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents WHERE {to_sql(ast, _WOSQ_FM)}
+    """
+
+
 def q_f_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain blocklist gate (Scrapy OffsiteMiddleware / UT1-style):
     subdomain-suffix matching via map-side suffix explode + broadcast
@@ -2913,6 +2952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "a_heavy_hitter_keys": q_heavy_hitters,
         "pipeline_curation_v4": q_pipeline_curation_v4,
+        "s3_advanced_query": q_s3_advanced_query,
         # rows-only engine surfaces (non-SQL-expressible)
         "parse_wos_plaintext": q_parse_wos_plaintext,
         "parse_tab": q_parse_tab,
@@ -4989,6 +5029,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pipeline_curation_v2": _curation_v2_oracle_sql(),
         "pipeline_curation_v4": _curation_v4_oracle_sql(),
+        "s3_advanced_query": _wosquery_oracle_sql(),
         "text_lang_id": f"""
             SELECT doc_id,
                    CASE WHEN g = 0 THEN 'und'

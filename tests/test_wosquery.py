@@ -1,0 +1,156 @@
+"""WoS advanced-query compiler: grammar/precedence pins, python-eval
+twin property over randomized queries, Spark ≡ DuckDB cross-engine
+equality from the same AST, NULL semantics, error cases."""
+
+import duckdb
+import pytest
+
+from wos_crawler_spark.functions.wosquery import (
+    And,
+    Not,
+    Or,
+    QuerySyntaxError,
+    Term,
+    YearRange,
+    parse_query,
+    query_filter,
+    to_column,
+    to_sql,
+)
+
+FM = {"TS": "text", "LA": "lang", "PY": "py"}
+
+
+def test_precedence_not_and_or():
+    # a OR b AND c == a OR (b AND c); NOT binds tightest
+    ast = parse_query("a OR b AND NOT c", FM)
+    assert ast == Or(
+        Term("TS", "a"), And(Term("TS", "b"), Not(Term("TS", "c")))
+    )
+
+
+def test_infix_not_desugars():
+    assert parse_query("a NOT b", FM) == And(
+        Term("TS", "a"), Not(Term("TS", "b"))
+    )
+
+
+def test_tag_distributes_over_group():
+    ast = parse_query('LA=(en OR "de at")', FM)
+    assert ast == Or(Term("LA", "en"), Term("LA", "de at"))
+
+
+def test_nested_tags_and_ranges():
+    ast = parse_query("TS=(x AND LA=(en)) AND PY=2010-2015", FM)
+    assert ast == And(
+        And(Term("TS", "x"), Term("LA", "en")),
+        YearRange("PY", 2010, 2015),
+    )
+    assert parse_query("PY=2012", FM) == YearRange("PY", 2012, 2012)
+
+
+def test_wildcard_and_phrase():
+    assert parse_query('"neural network*"', FM) == Term(
+        "TS", "neural network"
+    )
+    assert parse_query("graphen*", FM) == Term("TS", "graphen")
+
+
+def test_errors():
+    for bad in (
+        "a AND",          # dangling operator
+        "(a",             # unbalanced
+        "a ) b",          # stray paren
+        "PY=20x5",        # bad range
+        "PY=2015-2010",   # empty range
+        "a * b",          # bare star
+        "in*fix",         # inner wildcard
+        "",               # empty
+        'TS=(ca$ino)',    # charset
+    ):
+        with pytest.raises(QuerySyntaxError):
+            parse_query(bad, FM)
+
+
+def _py_eval(node, row):
+    if isinstance(node, Term):
+        col = FM[node.tag]
+        v = row.get(col)
+        return node.value in v.lower() if v is not None else False
+    if isinstance(node, YearRange):
+        v = row.get(FM.get(node.tag, node.tag.lower()))
+        return v is not None and node.lo <= v <= node.hi
+    if isinstance(node, Not):
+        return not _py_eval(node.child, row)
+    if isinstance(node, And):
+        return _py_eval(node.left, row) and _py_eval(node.right, row)
+    if isinstance(node, Or):
+        return _py_eval(node.left, row) or _py_eval(node.right, row)
+    raise TypeError
+
+
+ROWS = [
+    (0, "machine learning survey", "en", 2012),
+    (1, "Neural Network analysis", "en", 2016),
+    (2, "graphene transistors", "de", 2015),
+    (3, "machine translation neural", "fr", 2010),
+    (4, None, "en", 2014),
+    (5, "survey of neural networks", None, None),
+]
+
+QUERIES = [
+    'TS=(machine AND learning)',
+    'TS=(neural OR graphene) NOT survey',
+    '"neural network*" AND LA=(en)',
+    'NOT LA=(en OR de)',
+    'PY=2012-2015 AND TS=(machine OR graphene)',
+    'machine NOT PY=2010',
+    '(machine OR neural) AND NOT (LA=(fr) OR PY=2016)',
+]
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    return spark.createDataFrame(
+        ROWS, "id long, text string, lang string, py long"
+    )
+
+
+def test_cross_engine_and_twin_equality(spark, table):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            "(%d, %s, %s, %s)"
+            % (
+                i,
+                "NULL" if t is None else "'%s'" % t,
+                "NULL" if la is None else "'%s'" % la,
+                "NULL" if y is None else y,
+            )
+            for i, t, la, y in ROWS
+        )
+        + ") v(id, text, lang, py)"
+    )
+    for q in QUERIES:
+        ast = parse_query(q, FM)
+        got = {r.id for r in query_filter(table, q, FM).collect()}
+        duck = {
+            r[0]
+            for r in con.execute(
+                f"SELECT id FROM t WHERE {to_sql(ast, FM)}"
+            ).fetchall()
+        }
+        twin = {
+            i
+            for i, t, la, y in ROWS
+            if _py_eval(ast, {"text": t, "lang": la, "py": y})
+        }
+        assert got == duck == twin, q
+        assert twin or q == "impossible", q  # queries chosen to match
+
+
+def test_unmapped_tag_raises(table):
+    ast = parse_query("XX", {"XX": "nope_col"})
+    with pytest.raises(Exception):
+        to_column(ast, {"YY": "text"})
