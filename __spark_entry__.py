@@ -2278,6 +2278,77 @@ def q_s_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_robots_sitemaps(pages)
 
 
+def q_s_sitemap_stale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-driven conditional recrawl (sources/sitemaps.py::
+    sitemap_stale_candidates — the If-Modified-Since of the sitemap
+    protocol). Two sitemap shards per url: the fresh shard claims day
+    (d%27)+1, a stale mirror shard claims 3 days earlier — the
+    latest-claim window must keep the fresher before the store
+    comparison. Every 13th url carries NO lastmod (stored → dropped:
+    no claim, no refetch); every 5th url is missing from the store
+    (→ 'new'). The serialize→parse→window→join chain is entirely the
+    engine's; the oracle restates the expected rows from doc_id
+    arithmetic alone. Timestamps compare session-timezone-invariantly
+    (both sides parse bare dates in the same session); the output
+    carries DAY numbers, not timestamps."""
+    from wos_crawler_spark.sources.sitemaps import (
+        parse_sitemap_xml,
+        sitemap_frontier_seeds,
+        sitemap_stale_candidates,
+    )
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://dom"), (d % 11).cast("string"),
+        F.lit(".com/p"), d.cast("string"),
+    )
+    day = (d % 27) + 1
+    day_old = F.greatest(day - 3, F.lit(1))
+
+    def block(day_col):
+        lastmod = F.when(
+            d % 13 != 0,
+            F.concat(
+                F.lit("<lastmod>2024-01-"),
+                F.lpad(day_col.cast("string"), 2, "0"),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit(""))
+        return F.concat(
+            F.lit('<?xml version="1.0"?><urlset><url><loc>'),
+            url, F.lit("</loc>"), lastmod, F.lit("</url></urlset>"),
+        )
+
+    docs = _t(spark, sf_dir, "documents")
+    fresh = docs.select(
+        F.lit("https://x/sm-fresh.xml").alias("sitemap_url"),
+        block(day).alias("body"),
+    )
+    old = docs.select(
+        F.lit("https://x/sm-old.xml").alias("sitemap_url"),
+        block(day_old).alias("body"),
+    )
+    seeds = sitemap_frontier_seeds(
+        parse_sitemap_xml(fresh.unionByName(old))
+    )
+    stored = docs.filter(d % 5 != 0).select(
+        url.alias("url"),
+        F.to_timestamp(
+            F.concat(
+                F.lit("2024-01-"),
+                F.lpad(((d * 7) % 27 + 1).cast("string"), 2, "0"),
+            )
+        ).alias("warc_ts"),
+    )
+    out = sitemap_stale_candidates(seeds, stored)
+    return out.select(
+        "url",
+        "status",
+        F.dayofmonth("lastmod").cast("long").alias("day_claimed"),
+        F.dayofmonth("stored_ts").cast("long").alias("day_stored"),
+    )
+
+
 def q_recrawl_change_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive recrawl scheduling from fetch history (Cho &
     Garcia-Molina 2000 freshness policy; plans/recrawl.py). The events
@@ -2953,6 +3024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_heavy_hitter_keys": q_heavy_hitters,
         "pipeline_curation_v4": q_pipeline_curation_v4,
         "s3_advanced_query": q_s3_advanced_query,
+        "s_sitemap_stale": q_s_sitemap_stale,
         # rows-only engine surfaces (non-SQL-expressible)
         "parse_wos_plaintext": q_parse_wos_plaintext,
         "parse_tab": q_parse_tab,
@@ -5030,6 +5102,33 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_curation_v2": _curation_v2_oracle_sql(),
         "pipeline_curation_v4": _curation_v4_oracle_sql(),
         "s3_advanced_query": _wosquery_oracle_sql(),
+        "s_sitemap_stale": """
+            -- independent restatement from doc_id arithmetic: the
+            -- serialize->parse->latest-claim-window->store-join chain
+            -- is entirely the engine's to get right
+            WITH base AS (
+                SELECT doc_id,
+                       'https://dom' || CAST(doc_id % 11 AS VARCHAR)
+                         || '.com/p' || CAST(doc_id AS VARCHAR) AS url,
+                       (doc_id % 27) + 1 AS day_claimed,
+                       ((doc_id * 7) % 27) + 1 AS day_stored,
+                       doc_id % 13 <> 0 AS has_lastmod,
+                       doc_id % 5 <> 0 AS stored
+                FROM documents
+            )
+            SELECT url,
+                   CASE WHEN NOT stored THEN 'new' ELSE 'stale' END
+                       AS status,
+                   CASE WHEN has_lastmod
+                        THEN CAST(day_claimed AS BIGINT) END
+                       AS day_claimed,
+                   CASE WHEN stored
+                        THEN CAST(day_stored AS BIGINT) END
+                       AS day_stored
+            FROM base
+            WHERE (NOT stored)
+               OR (has_lastmod AND day_claimed > day_stored)
+        """,
         "text_lang_id": f"""
             SELECT doc_id,
                    CASE WHEN g = 0 THEN 'und'

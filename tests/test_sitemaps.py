@@ -195,3 +195,41 @@ def test_robots_tie_in(spark):
     )  # stand-in for the fetch join
     seeds = sitemap_frontier_seeds(parse_sitemap_xml(fetched))
     assert seeds.count() == 3
+
+
+def test_stale_candidates(spark):
+    """Conditional-recrawl semantics: new / stale / unchanged /
+    no-claim rows route correctly; no-claim stored urls are dropped."""
+    from pyspark.sql import functions as F
+
+    from wos_crawler_spark.sources.sitemaps import sitemap_stale_candidates
+
+    seeds = spark.createDataFrame(
+        [
+            ("https://a/1", "2024-01-10", 0.5),   # stored older -> stale
+            ("https://a/2", "2024-01-10", None),  # stored same   -> drop
+            ("https://a/3", "2024-01-10", None),  # stored newer  -> drop
+            ("https://a/4", None, 0.9),           # stored, no claim -> drop
+            ("https://a/5", "2024-01-10", None),  # not stored    -> new
+            ("https://a/6", None, None),          # not stored, no claim -> new
+        ],
+        "url string, lm string, priority double",
+    ).select("url", F.to_timestamp("lm").alias("lastmod"), "priority")
+    stored = spark.createDataFrame(
+        [
+            ("https://a/1", "2024-01-05"),
+            ("https://a/2", "2024-01-10"),
+            ("https://a/3", "2024-01-20"),
+            ("https://a/4", "2024-01-05"),
+        ],
+        "url string, ts string",
+    ).select("url", F.to_timestamp("ts").alias("warc_ts"))
+    got = {
+        r.url: r.status
+        for r in sitemap_stale_candidates(seeds, stored).collect()
+    }
+    assert got == {
+        "https://a/1": "stale",
+        "https://a/5": "new",
+        "https://a/6": "new",
+    }

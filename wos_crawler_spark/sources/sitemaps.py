@@ -157,6 +157,45 @@ def sitemap_frontier_seeds(entries: DataFrame) -> DataFrame:
     )
 
 
+def sitemap_stale_candidates(
+    seeds: DataFrame,
+    stored: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Sitemap-driven CONDITIONAL recrawl — the If-Modified-Since of
+    the sitemap protocol: compare each seed's freshest ``lastmod``
+    claim (from :func:`sitemap_frontier_seeds`) against the stored
+    page's fetch timestamp and emit only the urls worth fetching:
+
+    - ``status='new'``   — url not in the store at all;
+    - ``status='stale'`` — stored, and the sitemap claims a strictly
+      newer modification than our stored ``ts_col``.
+
+    Urls with no ``lastmod`` claim that are already stored are
+    DROPPED (no claim, no refetch — the conservative reading; the
+    change-rate scheduler owns their cadence instead), as are
+    fresh/unchanged urls. One url-keyed join; at production scale the
+    stored side arrives bucketed by url (the prepare_fetch_side /
+    Iceberg ``bucket(url)`` layout), so only the seed side shuffles.
+    """
+    st = stored.select(
+        F.col(url_col).alias("url"), F.col(ts_col).alias("_stored_ts")
+    )
+    j = seeds.join(st, "url", "left")
+    status = F.when(F.col("_stored_ts").isNull(), F.lit("new")).when(
+        F.col("lastmod") > F.col("_stored_ts"), F.lit("stale")
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(
+            "url", "status", "lastmod",
+            F.col("_stored_ts").alias("stored_ts"), "priority",
+        )
+    )
+
+
 def sitemap_children(entries: DataFrame) -> DataFrame:
     """Index entries → distinct child sitemap URLs still to fetch.
     Recursion is the crawl loop's job (fetch these, re-parse, repeat —
