@@ -2818,6 +2818,7 @@ def _curation_v4_oracle_sql() -> str:
 _WOSQ_QUERY = (
     'TS=(key AND (merge OR "slow fast")) NOT TS=(window)'
     " AND LA=(en OR de) AND NC=100-400"
+    " OR TS=(batch NEAR/2 valu*) AND LA=(zh)"
 )
 _WOSQ_FM = {"TS": "text", "LA": "lang", "SO": "source", "NC": "n_chars"}
 

@@ -7,6 +7,7 @@ import pytest
 
 from wos_crawler_spark.functions.wosquery import (
     And,
+    Near,
     Not,
     Or,
     QuerySyntaxError,
@@ -51,9 +52,9 @@ def test_nested_tags_and_ranges():
 
 def test_wildcard_and_phrase():
     assert parse_query('"neural network*"', FM) == Term(
-        "TS", "neural network"
+        "TS", "neural network", True
     )
-    assert parse_query("graphen*", FM) == Term("TS", "graphen")
+    assert parse_query("graphen*", FM) == Term("TS", "graphen", True)
 
 
 def test_errors():
@@ -73,6 +74,24 @@ def test_errors():
 
 
 def _py_eval(node, row):
+    if isinstance(node, Near):
+        col = FM[node.left.tag]
+        v = row.get(col)
+        if v is None:
+            return False
+        ws = [w for w in v.lower().split() if w]
+
+        def pos(t):
+            return [
+                i for i, w in enumerate(ws)
+                if (w.startswith(t.value) if t.prefix else w == t.value)
+            ]
+
+        return any(
+            abs(i - j) <= node.dist and i != j
+            for i in pos(node.left)
+            for j in pos(node.right)
+        )
     if isinstance(node, Term):
         col = FM[node.tag]
         v = row.get(col)
@@ -106,6 +125,10 @@ QUERIES = [
     'PY=2012-2015 AND TS=(machine OR graphene)',
     'machine NOT PY=2010',
     '(machine OR neural) AND NOT (LA=(fr) OR PY=2016)',
+    'machine NEAR/1 learning',
+    'machine NEAR/2 neural*',
+    'TS=(neural NEAR/1 network*) AND PY=2010-2020',
+    'survey NEAR/3 neural OR graphene',
 ]
 
 
@@ -148,6 +171,29 @@ def test_cross_engine_and_twin_equality(spark, table):
         }
         assert got == duck == twin, q
         assert twin or q == "impossible", q  # queries chosen to match
+
+
+def test_near_parse_and_guards():
+    ast = parse_query("fox NEAR/3 dog", FM)
+    assert ast == Near(Term("TS", "fox"), Term("TS", "dog"), 3)
+    for bad in (
+        "(a AND b) NEAR/3 c",      # non-term operand
+        '"two words" NEAR/2 x',    # phrase operand
+        "a NEAR/1 b NEAR/1 c",     # chain
+    ):
+        with pytest.raises(QuerySyntaxError):
+            parse_query(bad, FM)
+    with pytest.raises(QuerySyntaxError):
+        to_sql(parse_query("TS=(a) AND LA=(b)", FM) and
+               Near(Term("TS", "a"), Term("LA", "b"), 2), FM)
+
+
+def test_near_same_word_needs_two_occurrences(spark):
+    df = spark.createDataFrame(
+        [(0, "echo once"), (1, "echo and echo")], "id long, text string"
+    )
+    got = {r.id for r in query_filter(df, "echo NEAR/5 echo", FM).collect()}
+    assert got == {1}
 
 
 def test_unmapped_tag_raises(table):

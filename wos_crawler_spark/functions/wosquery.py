@@ -65,7 +65,7 @@ RANGE_TAGS = {"PY"}
 
 _TERM_RE = re.compile(r"[A-Za-z0-9_'\- ]+\*?\Z")
 _TOKEN_RE = re.compile(
-    r"\s*(\(|\)|=|\"[^\"]*\"|[A-Za-z0-9_'\-*]+)"
+    r"\s*(\(|\)|=|\"[^\"]*\"|[Nn][Ee][Aa][Rr]/\d+|[A-Za-z0-9_'\-*]+)"
 )
 
 
@@ -73,7 +73,20 @@ _TOKEN_RE = re.compile(
 @dataclass(frozen=True)
 class Term:
     tag: str
-    value: str          # lowercased; trailing * stripped (prefix noted)
+    value: str          # lowercased; trailing * stripped
+    prefix: bool = False  # True when the term carried a trailing *
+
+
+@dataclass(frozen=True)
+class Near:
+    """WoS proximity: both WORDS occur within ``dist`` word positions
+    (word-token semantics over a whitespace split, both engines).
+    Operands are restricted to single-word terms of the same field —
+    the variant expressible identically in two engines."""
+
+    left: "Term"
+    right: "Term"
+    dist: int
 
 
 @dataclass(frozen=True)
@@ -160,7 +173,30 @@ class _Parser:
         if (p := self.peek()) and p.upper() == "NOT":
             self.take()
             return Not(self.not_())
-        return self.atom(self.default_tag)
+        return self.near_()
+
+    def near_(self):
+        # NEAR binds tightest (WoS precedence NEAR > NOT > AND > OR)
+        node = self.atom(self.default_tag)
+        if (p := self.peek()) and re.fullmatch(
+            r"[Nn][Ee][Aa][Rr]/\d+", p
+        ):
+            dist = int(self.take().split("/")[1])
+            rhs = self.atom(self.default_tag)
+            if not isinstance(node, Term) or not isinstance(rhs, Term):
+                raise QuerySyntaxError(
+                    "NEAR operands must be single terms"
+                )
+            if " " in node.value or " " in rhs.value:
+                raise QuerySyntaxError(
+                    "NEAR operands must be single words"
+                )
+            node = Near(node, rhs, dist)
+            if (p := self.peek()) and re.fullmatch(
+                r"[Nn][Ee][Aa][Rr]/\d+", p
+            ):
+                raise QuerySyntaxError("NEAR cannot chain")
+        return node
 
     def atom(self, tag: str):
         t = self.take()
@@ -210,7 +246,7 @@ class _Parser:
             raise QuerySyntaxError(f"bad term {tok!r}")
         if "*" in tok[:-1]:
             raise QuerySyntaxError("only a trailing * wildcard is allowed")
-        return Term(tag, tok.rstrip("*").lower())
+        return Term(tag, tok.rstrip("*").lower(), tok.endswith("*"))
 
 
 def parse_query(
@@ -234,9 +270,51 @@ def _term_col(node: Term, field_map: dict[str, str]) -> Column:
     )
 
 
+def _near_common(node: "Near", fm: dict[str, str]) -> str:
+    la, lb = fm.get(node.left.tag), fm.get(node.right.tag)
+    if la is None or lb is None:
+        raise QuerySyntaxError("unmapped tag in NEAR")
+    if la != lb:
+        raise QuerySyntaxError("NEAR operands must share a field")
+    return la
+
+
+def _near_col(node: "Near", fm: dict[str, str]) -> Column:
+    col = _near_common(node, fm)
+    ws = F.filter(
+        F.split(
+            F.lower(F.coalesce(F.col(col), F.lit(""))), r"\s+"
+        ),
+        lambda w: w != F.lit(""),
+    )
+
+    def positions(t: Term) -> Column:
+        def match(w: Column) -> Column:
+            return (
+                w.startswith(t.value) if t.prefix else w == F.lit(t.value)
+            )
+
+        idx = F.transform(
+            ws,
+            lambda w, i: F.when(match(w), i).otherwise(F.lit(-1)),
+        )
+        return F.filter(idx, lambda p: p >= 0)
+
+    pa, pb = positions(node.left), positions(node.right)
+    d = F.lit(node.dist)
+    return F.exists(
+        pa,
+        lambda i: F.exists(
+            pb, lambda j: (F.abs(i - j) <= d) & (i != j)
+        ),
+    )
+
+
 def to_column(node, field_map: dict[str, str] | None = None) -> Column:
     """AST → Catalyst boolean Column (codegen'd, map-side)."""
     fm = field_map or DEFAULT_FIELD_MAP
+    if isinstance(node, Near):
+        return _near_col(node, fm)
     if isinstance(node, Term):
         return _term_col(node, fm)
     if isinstance(node, YearRange):
@@ -257,6 +335,29 @@ def to_sql(node, field_map: dict[str, str] | None = None) -> str:
     single-quoted literals is injection-free; apostrophes are doubled
     anyway."""
     fm = field_map or DEFAULT_FIELD_MAP
+    if isinstance(node, Near):
+        col = _near_common(node, fm)
+        ws = (
+            "list_filter(string_split_regex(lower(coalesce("
+            f"{col}, '')), '\\s+'), w -> w <> '')"
+        )
+
+        def pos(t: Term, v: str) -> str:
+            lit = t.value.replace("'", "''")
+            cmp = (
+                f"starts_with(({ws})[{v}], '{lit}')"
+                if t.prefix
+                else f"({ws})[{v}] = '{lit}'"
+            )
+            return f"[{v} FOR {v} IN range(1, len({ws})+1) IF {cmp}]"
+
+        return (
+            "(len(flatten([[1 FOR j IN "
+            + pos(node.right, "j")
+            + f" IF abs(i - j) <= {node.dist} AND i <> j] FOR i IN "
+            + pos(node.left, "i")
+            + "])) > 0)"
+        )
     if isinstance(node, Term):
         col = fm.get(node.tag)
         if col is None:
