@@ -2349,6 +2349,55 @@ def q_s_sitemap_stale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: advanced seed queries for the J4 entry (query_id, query, priority)
+_ADV_SEEDS = [
+    (1, 'key AND (merge OR "slow fast")', 3),
+    (2, "batch NEAR/2 valu*", 2),
+    (3, "table NOT window", 1),
+]
+
+
+def q_j4_seed_match_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3→J4 integrated: the wave-0 seed match evaluated with the FULL
+    advanced-query language (plans/crawl.py::init_frontier_advanced)
+    — one map-only pass, explode(array(when(compiled_pred, struct)))
+    fused with the scan, no join. The oracle compiles the SAME three
+    ASTs to SQL and UNION ALLs the per-query matches."""
+    from wos_crawler_spark.plans.crawl import init_frontier_advanced
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://q"), (d % 7).cast("string"),
+            F.lit(".example.org/d/"), d.cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    fr = init_frontier_advanced(_ADV_SEEDS, docs)
+    return fr.select(
+        "url",
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("priority").cast("long").alias("priority"),
+    )
+
+
+def _adv_seed_oracle_sql() -> str:
+    from wos_crawler_spark.functions.wosquery import parse_query, to_sql
+
+    fm = {"TS": "text"}
+    url = (
+        "'https://q' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '.example.org/d/' || CAST(doc_id AS VARCHAR)"
+    )
+    parts = [
+        f"""SELECT {url} AS url, CAST({qid} AS BIGINT) AS query_id,
+                   CAST({prio} AS BIGINT) AS priority
+            FROM documents WHERE {to_sql(parse_query(q, fm), fm)}"""
+        for qid, q, prio in _ADV_SEEDS
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def q_recrawl_change_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive recrawl scheduling from fetch history (Cho &
     Garcia-Molina 2000 freshness policy; plans/recrawl.py). The events
@@ -3026,6 +3075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curation_v4": q_pipeline_curation_v4,
         "s3_advanced_query": q_s3_advanced_query,
         "s_sitemap_stale": q_s_sitemap_stale,
+        "j4_seed_match_advanced": q_j4_seed_match_advanced,
         # rows-only engine surfaces (non-SQL-expressible)
         "parse_wos_plaintext": q_parse_wos_plaintext,
         "parse_tab": q_parse_tab,
@@ -5103,6 +5153,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_curation_v2": _curation_v2_oracle_sql(),
         "pipeline_curation_v4": _curation_v4_oracle_sql(),
         "s3_advanced_query": _wosquery_oracle_sql(),
+        "j4_seed_match_advanced": _adv_seed_oracle_sql(),
         "s_sitemap_stale": """
             -- independent restatement from doc_id arithmetic: the
             -- serialize->parse->latest-claim-window->store-join chain

@@ -200,3 +200,35 @@ def test_unmapped_tag_raises(table):
     ast = parse_query("XX", {"XX": "nope_col"})
     with pytest.raises(Exception):
         to_column(ast, {"YY": "text"})
+
+
+def test_init_frontier_advanced_consistency(spark):
+    """For plain single-term queries the advanced seed path must
+    reproduce init_frontier's classic contains() matches exactly
+    (url, query_id, priority triples)."""
+    from wos_crawler_spark.fixtures.synth import pages_table, seeds_table
+    from wos_crawler_spark.plans.crawl import (
+        init_frontier,
+        init_frontier_advanced,
+    )
+
+    pages = pages_table(spark, 80, partitions=2)
+    seeds = seeds_table(spark)
+    seed_rows = [
+        (r.query_id, r.term, r.priority) for r in seeds.collect()
+    ]
+    classic = {
+        (r.url, r.query_id, r.priority)
+        for r in init_frontier(seeds, pages).collect()
+    }
+    # a bare term is a valid advanced query; quoting preserves spaces.
+    # NOTE classic matching is raw contains(); the advanced language
+    # lowercases terms and matches case-insensitively, so restrict the
+    # consistency check to the fixture's lowercase terms.
+    adv = {
+        (r.url, r.query_id, r.priority)
+        for r in init_frontier_advanced(
+            [(q, f'"{t}"', p) for q, t, p in seed_rows], pages
+        ).collect()
+    }
+    assert adv == classic and classic

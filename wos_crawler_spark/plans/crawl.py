@@ -288,6 +288,71 @@ def init_frontier(seeds: DataFrame, pages: DataFrame) -> DataFrame:
     )
 
 
+def init_frontier_advanced(
+    queries: list[tuple[int, str, int]],
+    pages: DataFrame,
+    field_map: dict[str, str] | None = None,
+    range_tags: set[str] | None = None,
+) -> DataFrame:
+    """S3 seed matching with the FULL advanced-query language
+    (functions/wosquery.py) instead of single contains() terms:
+    ``queries`` is a driver-scale list of ``(query_id, query_string,
+    priority)`` — the reference reads exactly such a file (SURVEY S1)
+    — and each query compiles to a Catalyst boolean over the page
+    row. Same shape as :func:`init_frontier`'s inline path: ONE
+    map-only pass fused with the scan,
+    ``explode(array(when(pred, struct)))`` + null filter — no join.
+    NEAR predicates ride along as interpreted HOFs (still map-side);
+    everything else stays codegen'd. Queries are compiled (and
+    syntax-checked) on the driver before any job runs."""
+    from wos_crawler_spark.functions.wosquery import (
+        parse_query,
+        to_column,
+    )
+
+    fm = field_map or {"TS": "text"}
+    compiled = [
+        (qid, to_column(parse_query(q, fm, range_tags), fm), prio)
+        for qid, q, prio in queries
+    ]
+    canon_pages = with_url_canon(pages.select("url", "text"))
+    hits_arr = F.array(
+        *[
+            F.when(
+                pred,
+                F.struct(
+                    F.lit(qid).cast("long").alias("query_id"),
+                    F.lit(prio).cast("int").alias("priority"),
+                ),
+            )
+            for qid, pred, prio in compiled
+        ]
+    )
+    f = (
+        canon_pages.select(
+            "url", "url_canon", "url_hash", "host",
+            F.explode(hits_arr).alias("_m"),
+        )
+        .filter(F.col("_m").isNotNull())
+        .select(
+            "url", "url_canon", "url_hash", "host",
+            F.col("_m.query_id").alias("query_id"),
+            F.col("_m.priority").alias("priority"),
+        )
+    )
+    return (
+        f.withColumn("depth", F.lit(0))
+        .withColumn("discovered_wave", F.lit(0))
+        .withColumn("attempt", F.lit(0))
+        .withColumn("dont_filter", F.lit(False))
+        .withColumn(
+            "lineage",
+            F.concat(F.lit("seed:"), F.col("query_id").cast("string")),
+        )
+        .select(FRONTIER_COLS)
+    )
+
+
 def expand_frontier(
     hits: DataFrame, links: DataFrame, wave: int, max_depth: int
 ) -> DataFrame:
