@@ -2398,6 +2398,100 @@ def _adv_seed_oracle_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_text_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level boilerplate removal (operators/boilerplate.py):
+    injected site chrome — a nav line on EVERY page of the host, a
+    footer on exactly half (the 50% integer boundary), a rare line on
+    ~2 pages per host (content, must survive) — detected by
+    host-scoped line-page-frequency and stripped order-preservingly.
+    The oracle recomputes detection AND stripping from scratch."""
+    from wos_crawler_spark.operators.boilerplate import (
+        boilerplate_lines,
+        strip_boilerplate,
+    )
+
+    d = F.col("doc_id")
+    h = (d % 7).cast("string")
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://h"), h, F.lit("/p"), d.cast("string"))
+        .alias("url"),
+        F.concat(F.lit("h"), h).alias("host"),
+        F.concat(
+            F.lit("(c) nav h"), h, F.lit("\n"),
+            F.col("text"),
+            F.when(d % 2 == 0, F.concat(F.lit("\nFOOT h"), h)).otherwise(
+                F.lit("")
+            ),
+            F.when(d % 31 == 0, F.lit("\nrare once")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    chrome = boilerplate_lines(pages, min_pages=2, min_frac_pct=50)
+    out = strip_boilerplate(pages, chrome)
+    return out.select(
+        "url",
+        "host",
+        F.md5(F.col("text")).alias("text_md5"),
+        "n_lines_in",
+        "n_lines_kept",
+    )
+
+
+def _boilerplate_oracle_sql() -> str:
+    return """
+        WITH p AS (
+            SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR)
+                     || '/p' || CAST(doc_id AS VARCHAR) AS url,
+                   'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+                   '(c) nav h' || CAST(doc_id % 7 AS VARCHAR) || chr(10)
+                     || text
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN chr(10) || 'FOOT h'
+                                  || CAST(doc_id % 7 AS VARCHAR)
+                             ELSE '' END
+                     || CASE WHEN doc_id % 31 = 0
+                             THEN chr(10) || 'rare once'
+                             ELSE '' END AS t
+            FROM documents
+        ),
+        l AS (
+            SELECT host, url, unnest(string_split(t, chr(10))) AS line
+            FROM p
+        ),
+        cnt AS (
+            SELECT host, line, COUNT(DISTINCT url) AS n
+            FROM l WHERE line <> '' GROUP BY host, line
+        ),
+        hp AS (
+            SELECT host, COUNT(DISTINCT url) AS hpages
+            FROM p GROUP BY host
+        ),
+        chrome AS (
+            SELECT cnt.host, cnt.line
+            FROM cnt JOIN hp USING (host)
+            WHERE n >= 2 AND n * 100 >= 50 * hpages
+        ),
+        cbh AS (
+            SELECT host, list(line) AS cl FROM chrome GROUP BY host
+        ),
+        stripped AS (
+            SELECT p.url, p.host,
+                   list_filter(
+                       string_split(p.t, chr(10)),
+                       x -> x = ''
+                         OR NOT list_contains(coalesce(cbh.cl, []), x)
+                   ) AS keep,
+                   len(string_split(p.t, chr(10))) AS n_in
+            FROM p LEFT JOIN cbh USING (host)
+        )
+        SELECT url, host,
+               md5(coalesce(array_to_string(keep, chr(10)), ''))
+                   AS text_md5,
+               CAST(n_in AS BIGINT) AS n_lines_in,
+               CAST(len(keep) AS BIGINT) AS n_lines_kept
+        FROM stripped
+    """
+
+
 def q_recrawl_change_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive recrawl scheduling from fetch history (Cho &
     Garcia-Molina 2000 freshness policy; plans/recrawl.py). The events
@@ -3076,6 +3170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_advanced_query": q_s3_advanced_query,
         "s_sitemap_stale": q_s_sitemap_stale,
         "j4_seed_match_advanced": q_j4_seed_match_advanced,
+        "text_strip_boilerplate": q_text_strip_boilerplate,
         # rows-only engine surfaces (non-SQL-expressible)
         "parse_wos_plaintext": q_parse_wos_plaintext,
         "parse_tab": q_parse_tab,
@@ -5154,6 +5249,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_curation_v4": _curation_v4_oracle_sql(),
         "s3_advanced_query": _wosquery_oracle_sql(),
         "j4_seed_match_advanced": _adv_seed_oracle_sql(),
+        "text_strip_boilerplate": _boilerplate_oracle_sql(),
         "s_sitemap_stale": """
             -- independent restatement from doc_id arithmetic: the
             -- serialize->parse->latest-claim-window->store-join chain

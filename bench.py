@@ -71,6 +71,8 @@ ENTRY_QUERIES = [
     "bpe_encode",
     "a_heavy_hitter_keys",
     "pipeline_curation_v4",
+    "text_strip_boilerplate",
+    "j4_seed_match_advanced",
 ]
 
 
