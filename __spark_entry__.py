@@ -2492,6 +2492,16 @@ def _boilerplate_oracle_sql() -> str:
     """
 
 
+def q_stats_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card (operators/stats.py::corpus_datacard): the
+    per-release reporting table — size, byte mass, language mix,
+    exact-dup mass, exact length quantiles — every value a BIGINT so
+    the whole card is bit-identical cross-engine."""
+    from wos_crawler_spark.operators.stats import corpus_datacard
+
+    return corpus_datacard(_t(spark, sf_dir, "documents"))
+
+
 def q_recrawl_change_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive recrawl scheduling from fetch history (Cho &
     Garcia-Molina 2000 freshness policy; plans/recrawl.py). The events
@@ -3171,6 +3181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_sitemap_stale": q_s_sitemap_stale,
         "j4_seed_match_advanced": q_j4_seed_match_advanced,
         "text_strip_boilerplate": q_text_strip_boilerplate,
+        "stats_corpus_datacard": q_stats_corpus_datacard,
         # rows-only engine surfaces (non-SQL-expressible)
         "parse_wos_plaintext": q_parse_wos_plaintext,
         "parse_tab": q_parse_tab,
@@ -5250,6 +5261,54 @@ def oracle_sql() -> dict[str, str]:
         "s3_advanced_query": _wosquery_oracle_sql(),
         "j4_seed_match_advanced": _adv_seed_oracle_sql(),
         "text_strip_boilerplate": _boilerplate_oracle_sql(),
+        "stats_corpus_datacard": f"""
+            -- the whole card from scratch; every value BIGINT
+            WITH base AS (
+                SELECT COUNT(*)::BIGINT AS n_docs,
+                       SUM(CASE WHEN text IS NULL THEN 1 ELSE 0
+                           END)::BIGINT AS n_null_text,
+                       SUM(coalesce(octet_length(encode(text)), 0))
+                           ::BIGINT AS total_bytes,
+                       COUNT(DISTINCT lang)::BIGINT AS n_langs,
+                       (COUNT(text) - COUNT(DISTINCT md5({_NORM})))
+                           ::BIGINT AS n_exact_dup
+                FROM documents
+            ),
+            flat AS (
+                SELECT 'n_docs' AS metric, n_docs AS value FROM base
+                UNION ALL SELECT 'n_null_text', n_null_text FROM base
+                UNION ALL SELECT 'total_bytes', total_bytes FROM base
+                UNION ALL SELECT 'n_langs', n_langs FROM base
+                UNION ALL SELECT 'n_exact_dup', n_exact_dup FROM base
+            ),
+            langs AS (
+                SELECT 'lang:' || lang AS metric,
+                       COUNT(*)::BIGINT AS value
+                FROM documents WHERE lang IS NOT NULL GROUP BY lang
+            ),
+            vc AS (
+                SELECT octet_length(encode(text)) AS v,
+                       count(*)::BIGINT AS c
+                FROM documents WHERE text IS NOT NULL GROUP BY 1
+            ),
+            cum AS (
+                SELECT v, sum(c) OVER (ORDER BY v) AS cumc,
+                       sum(c) OVER () AS n
+                FROM vc
+            ),
+            p(p_num, p_den) AS (VALUES (1, 2), (9, 10)),
+            q AS (
+                SELECT 'len_p' || CAST((p_num * 100) // p_den AS VARCHAR)
+                           AS metric,
+                       min(v)::BIGINT AS value
+                FROM cum CROSS JOIN p
+                WHERE cumc >= (p_num * n + p_den - 1) // p_den
+                GROUP BY p_num, p_den
+            )
+            SELECT * FROM flat
+            UNION ALL SELECT * FROM langs
+            UNION ALL SELECT * FROM q
+        """,
         "s_sitemap_stale": """
             -- independent restatement from doc_id arithmetic: the
             -- serialize->parse->latest-claim-window->store-join chain

@@ -56,3 +56,28 @@ def test_quantiles_single_value_and_guard(spark):
         value_quantiles(df, "src", "v", [(0, 2)])
     with pytest.raises(ValueError):
         value_quantiles(df, "src", "v", [(3, 2)])
+
+
+def test_corpus_datacard(spark):
+    from wos_crawler_spark.operators.stats import corpus_datacard
+
+    rows = [
+        (0, "hello world", "en"),
+        (1, "hello  world", "en"),   # normalizes equal to doc 0 -> dup
+        (2, "unique text here", "de"),
+        (3, None, "en"),
+        (4, "short", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    card = {r.metric: r.value for r in corpus_datacard(df).collect()}
+    assert card["n_docs"] == 5
+    assert card["n_null_text"] == 1
+    assert card["n_langs"] == 2
+    assert card["n_exact_dup"] == 1            # docs 0/1 collapse
+    assert card["lang:en"] == 3 and card["lang:de"] == 1
+    lens = sorted(
+        len(t.encode()) for _, t, _ in rows if t is not None
+    )  # [5, 11, 12, 16]
+    assert card["len_p50"] == lens[1]          # ceil(0.5*4)=2nd
+    assert card["len_p90"] == lens[3]          # ceil(0.9*4)=4th
+    assert card["total_bytes"] == sum(lens)

@@ -83,3 +83,70 @@ def value_quantiles(
         .agg(F.max("_n").alias("n"), F.min("_v").alias("q"))
         .select("stratum", "n", "p_num", "p_den", "q")
     )
+
+
+def corpus_datacard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The corpus "data card" — one ``(metric, value)`` BIGINT table a
+    curation pipeline publishes alongside every release (the Datasheets
+    /Data-Card reporting practice): size, byte mass, language mix,
+    exact-duplicate mass, and exact length quantiles, all in one pass
+    family.
+
+    ALL values are integers — counts, byte totals, and
+    :func:`value_quantiles`' exact percentile_disc lengths — so the
+    table is bit-identical cross-engine with no float protocol.
+    Shuffle shape: three partially-aggregated exchanges (global agg,
+    lang agg, digest agg) + the quantile's distinct-value-bounded
+    exchange; text never rides a shuffle (digests only).
+
+    Metrics: ``n_docs``, ``n_null_text``, ``total_bytes``,
+    ``n_langs``, ``lang:<code>`` per language, ``n_exact_dup``
+    (rows minus distinct normalized digests — the mass exact dedup
+    would remove), ``len_p50`` / ``len_p90`` (bytes,
+    percentile_disc over non-null texts)."""
+    from wos_crawler_spark.operators.textdedup import norm_text
+
+    t = F.col(text_col)
+    base = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(t.isNull().cast("long")).alias("n_null_text"),
+        F.sum(F.coalesce(F.octet_length(t), F.lit(0))).alias(
+            "total_bytes"
+        ),
+        F.count_distinct(F.col(lang_col)).alias("n_langs"),
+        (
+            F.count(t) - F.count_distinct(F.md5(norm_text(t)))
+        ).alias("n_exact_dup"),
+    )
+    long_rows = base.selectExpr(
+        "stack(5, 'n_docs', n_docs, 'n_null_text', n_null_text,"
+        " 'total_bytes', total_bytes, 'n_langs', n_langs,"
+        " 'n_exact_dup', n_exact_dup) AS (metric, value)"
+    )
+    langs = df.filter(F.col(lang_col).isNotNull()).groupBy(
+        F.concat(F.lit("lang:"), F.col(lang_col)).alias("metric")
+    ).agg(F.count(F.lit(1)).alias("value"))
+    qs = value_quantiles(
+        df.select(
+            F.lit("all").alias("_s"), F.octet_length(t).alias("_len")
+        ),
+        "_s",
+        "_len",
+        [(1, 2), (9, 10)],
+    ).select(
+        F.concat(
+            F.lit("len_p"),
+            (F.col("p_num") * 100 / F.col("p_den")).cast("int").cast("string"),
+        ).alias("metric"),
+        F.col("q").cast("long").alias("value"),
+    )
+    return (
+        long_rows.select("metric", F.col("value").cast("long").alias("value"))
+        .unionByName(langs.select("metric", F.col("value").cast("long")))
+        .unionByName(qs)
+    )
