@@ -2492,6 +2492,38 @@ def _boilerplate_oracle_sql() -> str:
     """
 
 
+def q_f_backoff_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backoff policy dim (operators/backoff.py::backoff_plan) over
+    deterministic per-host fetch stats derived from events (error
+    events = misses), composed with a robots Crawl-delay dim on every
+    5th host. Oracle recomputes the integer cross-multiplied rules +
+    the dim merge + the compactness filter from scratch."""
+    from wos_crawler_spark.operators.backoff import backoff_plan
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    stats = ev.groupBy(
+        F.concat(F.lit("h"), (F.col("user_id") % 37).cast("string"))
+        .alias("host")
+    ).agg(
+        F.count(F.lit(1)).alias("sched"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("miss"),
+    )
+    dims = (
+        stats.select("host")
+        .where(F.substring(F.col("host"), 2, 10).cast("long") % 5 == 0)
+        .withColumn("crawl_delay", F.lit(2.5))
+    )
+    bo = backoff_plan(
+        stats, 1.0, dims,
+        min_fetches=50, err_pct=20, factor=4, quarantine_pct=25,
+    )
+    return bo.select(
+        "host",
+        "crawl_delay",
+        F.col("quarantined").cast("long").alias("quarantined"),
+    )
+
+
 def q_stats_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data card (operators/stats.py::corpus_datacard): the
     per-release reporting table — size, byte mass, language mix,
@@ -3182,6 +3214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_seed_match_advanced": q_j4_seed_match_advanced,
         "text_strip_boilerplate": q_text_strip_boilerplate,
         "stats_corpus_datacard": q_stats_corpus_datacard,
+        "f_backoff_plan": q_f_backoff_plan,
         # rows-only engine surfaces (non-SQL-expressible)
         "parse_wos_plaintext": q_parse_wos_plaintext,
         "parse_tab": q_parse_tab,
@@ -5261,6 +5294,33 @@ def oracle_sql() -> dict[str, str]:
         "s3_advanced_query": _wosquery_oracle_sql(),
         "j4_seed_match_advanced": _adv_seed_oracle_sql(),
         "text_strip_boilerplate": _boilerplate_oracle_sql(),
+        "f_backoff_plan": """
+            -- the integer rules + dim merge + compactness from scratch
+            WITH stats AS (
+                SELECT 'h' || CAST(user_id % 37 AS VARCHAR) AS host,
+                       COUNT(*)::BIGINT AS sched,
+                       SUM(CASE WHEN event_type = 'error' THEN 1
+                           ELSE 0 END)::BIGINT AS miss
+                FROM events WHERE user_id IS NOT NULL GROUP BY 1
+            ),
+            merged AS (
+                SELECT host, sched, miss,
+                       CASE WHEN CAST(substr(host, 2) AS BIGINT) % 5 = 0
+                            THEN 2.5 ELSE 1.0 END AS base,
+                       sched >= 50 AND miss * 100 >= 20 * sched
+                           AS backed,
+                       sched >= 50 AND miss * 100 >= 25 * sched
+                           AS quar
+                FROM stats
+            )
+            SELECT host,
+                   CASE WHEN backed THEN base * 4 ELSE base END
+                       AS crawl_delay,
+                   CAST(quar AS BIGINT) AS quarantined
+            FROM merged
+            WHERE quar
+               OR (CASE WHEN backed THEN base * 4 ELSE base END) <> 1.0
+        """,
         "stats_corpus_datacard": f"""
             -- the whole card from scratch; every value BIGINT
             WITH base AS (
