@@ -117,6 +117,18 @@ class CrawlConfig:
     #: blocked_extensions) — passed verbatim to the expr AND to the
     #: simulator twin, so both gates are parameterized identically.
     url_gate_kwargs: dict = field(default_factory=dict)
+    #: Politeness/quota keyed on the REGISTRABLE DOMAIN (eTLD+1,
+    #: operators/blocklist.py::registrable_domain) instead of the raw
+    #: host: blog.shop.example.co.uk and www.example.co.uk are ONE
+    #: registrant, and host-keyed budgets hand a subdomain farm
+    #: exactly the multiplier it wants. Scheduling-unit change ONLY —
+    #: robots stays per-host (RFC 9309 is host-scoped), the frontier
+    #: keeps the true host, and fetch logs / metrics / retries carry
+    #: the true host; with this on, a host_delays dim must be keyed
+    #: by registrable domain. Currently mutually exclusive with
+    #: `backoff` (its delay dim is host-keyed — combining would
+    #: silently drop the escalations; run_crawl raises).
+    politeness_domain: bool = False
     #: Per-host adaptive backoff + circuit breaker
     #: (operators/backoff.py): cumulative fetch-outcome stats per host
     #: (bounded by hosts, folded per wave) drive two integer-threshold
@@ -511,15 +523,43 @@ def run_wave(
     # (salt_counts agg + the schedule join) — without the cache the
     # robots→canon→dedup subtree executes 3-4× per wave.
     candidates = fresh.unionByName(bypass).cache()
-    sched = schedule_wave(
-        candidates,
-        delay_s=cfg.delay_s,
-        wave_start=wave_start,
-        quota=cfg.quota,
-        rows_per_bucket=cfg.rows_per_bucket,
-        dedup_intra=True,
-        host_delays=host_delays,
-    )
+    if cfg.politeness_domain:
+        # scheduling-unit rewrite: the politeness/quota key becomes
+        # the registrable domain for the duration of schedule_wave,
+        # then the true host is restored — map-side both ways, no
+        # extra exchange (the politeness shuffle just keys on the
+        # rewritten column).
+        from wos_crawler_spark.operators.blocklist import (
+            registrable_domain,
+        )
+
+        to_sched = candidates.withColumn(
+            "_true_host", F.col("host")
+        ).withColumn(
+            "host",
+            F.coalesce(
+                registrable_domain(F.col("host")), F.col("host")
+            ),
+        )
+        sched = schedule_wave(
+            to_sched,
+            delay_s=cfg.delay_s,
+            wave_start=wave_start,
+            quota=cfg.quota,
+            rows_per_bucket=cfg.rows_per_bucket,
+            dedup_intra=True,
+            host_delays=host_delays,
+        ).withColumn("host", F.col("_true_host")).drop("_true_host")
+    else:
+        sched = schedule_wave(
+            candidates,
+            delay_s=cfg.delay_s,
+            wave_start=wave_start,
+            quota=cfg.quota,
+            rows_per_bucket=cfg.rows_per_bucket,
+            dedup_intra=True,
+            host_delays=host_delays,
+        )
 
     # J3: "fetch" — resolve url → page payload (left join keeps misses).
     # `fetched` is the ONLY materialization point of the wave: every
@@ -715,6 +755,12 @@ def run_crawl(
     layout is a property of the table, not per-crawl work). When
     given, run_crawl neither builds nor unpersists them."""
     cfg = cfg or CrawlConfig()
+    if cfg.politeness_domain and cfg.backoff:
+        raise ValueError(
+            "politeness_domain + backoff are currently mutually "
+            "exclusive: backoff's delay dim is host-keyed and would "
+            "silently not match the domain scheduling key"
+        )
     out = CrawlResult()
 
     # per-host Crawl-delay dim (robots.parse_robots_delays): tiny —

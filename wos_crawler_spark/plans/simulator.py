@@ -104,6 +104,8 @@ def simulate_crawl(
     url_gate_kwargs: dict | None = None,
     backoff: bool = False,
     backoff_kwargs: dict | None = None,
+    politeness_domain: bool = False,
+    domain_map: dict[str, str] | None = None,
     redirect_edges: dict[str, str] | None = None,
     redirect_max_hops: int = 8,
 ) -> SimResult:
@@ -240,10 +242,20 @@ def simulate_crawl(
             if r["dont_filter"] or r["url_hash"] not in res.seen:
                 pool.append(r)
 
-        # politeness salting from PRE-dedup, pre-quota per-host counts
+        # scheduling key: raw host, or eTLD+1 when politeness_domain
+        # (the engine's scheduling-unit rewrite; robots above and the
+        # recorded fetches keep the TRUE host)
+        skey = (
+            (lambda h: (domain_map or {}).get(h, h))
+            if politeness_domain
+            else (lambda h: h)
+        )
+
+        # politeness salting from PRE-dedup, pre-quota per-key counts
         host_counts: dict[str, int] = {}
         for r in pool:
-            host_counts[r["host"]] = host_counts.get(r["host"], 0) + 1
+            k = skey(r["host"])
+            host_counts[k] = host_counts.get(k, 0) + 1
         n_buckets = {
             h: max(1, math.ceil(c / rows_per_bucket)) for h, c in host_counts.items()
         }
@@ -261,11 +273,11 @@ def simulate_crawl(
                 fresh[k] = (rep_key, r)
         candidates = [v[1] for v in fresh.values()] + bypass
 
-        # W1 quota: host top-k by the deterministic key
+        # W1 quota: per-scheduling-key top-k by the deterministic key
         order_key = lambda r: (-r["priority"], r["discovered_wave"], r["url_hash"])
         by_host: dict[str, list] = {}
         for r in candidates:
-            by_host.setdefault(r["host"], []).append(r)
+            by_host.setdefault(skey(r["host"]), []).append(r)
         scheduled, overflow = [], []
         for hrows in by_host.values():
             hrows.sort(key=order_key)
@@ -277,6 +289,7 @@ def simulate_crawl(
         max_ts = None
         this_wave: list[SimFetch] = []
         for host, hrows in by_host.items():
+            # `host` here is the SCHEDULING key (domain in domain mode)
             S = n_buckets[host]
             d = eff_delays.get(host, delay_s)
             take = hrows if quota is None else hrows[:quota]
@@ -290,7 +303,10 @@ def simulate_crawl(
                     max_ts = ts if max_ts is None else max(max_ts, ts)
                     hit = r["url"] in pages_urls
                     this_wave.append(
-                        SimFetch(wave, r["url"], r["url_hash"], host, ts, hit)
+                        SimFetch(
+                            wave, r["url"], r["url_hash"], r["host"],
+                            ts, hit,
+                        )
                     )
                     res.seen.add(r["url_hash"])
                     r["_hit"] = hit
