@@ -3092,6 +3092,62 @@ def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host HITS hubs/authorities (Kleinberg 1999; L1-normalized —
+    operators/linkgraph.py::hits), 4 iterations over the same
+    synthetic host graph as PageRank. 6-dp output absorbs the
+    protocol's ~1e-14 cross-engine FP divergence."""
+    from wos_crawler_spark.operators.linkgraph import hits
+
+    s = hits(_pr_edges(spark, sf_dir), n_iter=4)
+    return s.select(
+        "node",
+        F.round("hub", 6).alias("hub_r6"),
+        F.round("auth", 6).alias("auth_r6"),
+    )
+
+
+def _hits_oracle_sql(n_iter: int = 4) -> str:
+    """Unrolled HITS mirroring operators/linkgraph.hits expression-
+    for-expression (12-dp contribs, 9-dp L1-normalized scores).
+    MATERIALIZED per step: a{k} is referenced twice and inlining
+    would re-evaluate the whole prefix chain multiplicatively."""
+    ctes = [
+        _PR_GRAPH_CTES.strip().rstrip(),
+        "s0 AS MATERIALIZED (SELECT node,"
+        " round(1.0/(SELECT cnt FROM nn), 9) AS hub,"
+        " round(1.0/(SELECT cnt FROM nn), 9) AS auth FROM nodes)",
+    ]
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        ctes += [
+            f"ca{k} AS MATERIALIZED (SELECT e.dst AS node,"
+            f" sum(round(s.hub, 12)) AS s"
+            f" FROM ed e JOIN s{p} s ON e.src = s.node GROUP BY e.dst)",
+            f"aa{k} AS MATERIALIZED (SELECT n.node,"
+            f" coalesce(c.s, 0.0) AS ar"
+            f" FROM nodes n LEFT JOIN ca{k} c USING (node))",
+            f"sa{k} AS MATERIALIZED (SELECT sum(ar) AS t FROM aa{k})",
+            f"a{k} AS MATERIALIZED (SELECT node,"
+            f" round(ar / (SELECT t FROM sa{k}), 9) AS auth FROM aa{k})",
+            f"ch{k} AS MATERIALIZED (SELECT e.src AS node,"
+            f" sum(round(a.auth, 12)) AS s"
+            f" FROM ed e JOIN a{k} a ON e.dst = a.node GROUP BY e.src)",
+            f"hh{k} AS MATERIALIZED (SELECT n.node,"
+            f" coalesce(c.s, 0.0) AS hr"
+            f" FROM nodes n LEFT JOIN ch{k} c USING (node))",
+            f"sh{k} AS MATERIALIZED (SELECT sum(hr) AS t FROM hh{k})",
+            f"s{k} AS MATERIALIZED (SELECT h.node,"
+            f" round(h.hr / (SELECT t FROM sh{k}), 9) AS hub, a.auth"
+            f" FROM hh{k} h JOIN a{k} a USING (node))",
+        ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, round(hub, 6) AS hub_r6,"
+        f" round(auth, 6) AS auth_r6 FROM s{n_iter}"
+    )
+
+
 def q_graph_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host PageRank (Cho/Garcia-Molina/Page crawl ordering), 5 power
     iterations with the deterministic rounding protocol
@@ -3215,6 +3271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_strip_boilerplate": q_text_strip_boilerplate,
         "stats_corpus_datacard": q_stats_corpus_datacard,
         "f_backoff_plan": q_f_backoff_plan,
+        "graph_hits_hosts": q_graph_hits_hosts,
         # rows-only engine surfaces (non-SQL-expressible)
         "parse_wos_plaintext": q_parse_wos_plaintext,
         "parse_tab": q_parse_tab,
@@ -4926,6 +4983,7 @@ def oracle_sql() -> dict[str, str]:
                    ON nodes.node = i.dst
         """,
         "graph_pagerank_hosts": _pagerank_oracle_sql(),
+        "graph_hits_hosts": _hits_oracle_sql(),
         "sample_deterministic": """
             SELECT doc_id FROM documents
             WHERE ('0x' || substr(md5(doc_id || 'r2'), 1, 8))::BIGINT

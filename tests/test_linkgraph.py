@@ -125,3 +125,60 @@ def test_url_rank_drives_quota(spark):
     assert hot["u_hot"] > hot["u_cold"]
     picked = schedule_wave(prio, delay_s=0.1, quota=1).collect()
     assert [r.url for r in picked] == ["u_hot"]
+
+
+def _hits_twin(pairs, n_iter):
+    nodes = sorted({n for e in pairs for n in e})
+    n = len(nodes)
+    hub = {v: round(1.0 / n, 9) for v in nodes}
+    auth = dict(hub)
+    edges = sorted(set(pairs))
+    for _ in range(n_iter):
+        ar = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            ar[d] += round(hub[s], 12)
+        sa = sum(ar.values())
+        auth = {v: round(ar[v] / sa, 9) for v in nodes}
+        hr = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            hr[s] += round(auth[d], 12)
+        sh = sum(hr.values())
+        hub = {v: round(hr[v] / sh, 9) for v in nodes}
+    return hub, auth
+
+
+def test_hits_python_twin_and_semantics(spark):
+    from wos_crawler_spark.operators.linkgraph import hits
+
+    # hub -> {a1, a2, a3}; a1..a3 also pointed at by spokes; one
+    # isolated-ish edge pair
+    pairs = (
+        [("hub", f"a{i}") for i in (1, 2, 3)]
+        + [(f"s{j}", f"a{(j % 3) + 1}") for j in range(4)]
+        + [("x", "y")]
+    )
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    got = {
+        r.node: (round(r.hub, 6), round(r.auth, 6))
+        for r in hits(df, n_iter=4).collect()
+    }
+    hub_t, auth_t = _hits_twin(pairs, 4)
+    want = {
+        v: (round(hub_t[v], 6), round(auth_t[v], 6)) for v in hub_t
+    }
+    assert got == want
+    # semantics: 'hub' is the best hub; authorities dominate spokes'
+    # auth; pure-authority nodes have zero hub mass
+    assert got["hub"][0] == max(v[0] for v in got.values())
+    assert all(got[f"a{i}"][1] > got["hub"][1] for i in (1, 2, 3))
+    assert got["a1"][0] == 0.0 and got["y"][0] == 0.0
+
+
+def test_hits_empty_raises(spark):
+    from wos_crawler_spark.operators.linkgraph import hits
+
+    df = spark.createDataFrame([], "src string, dst string")
+    import pytest
+
+    with pytest.raises(ValueError):
+        hits(df)

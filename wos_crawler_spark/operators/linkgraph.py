@@ -154,3 +154,86 @@ def rank_priority(frontier: DataFrame, ranks: DataFrame,
     if broadcast_ranks:
         r = F.broadcast(r)
     return frontier.join(r, key_col, "left").fillna({"priority": floor})
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 5,
+    round_dp: int = 9,
+) -> DataFrame:
+    """``(node, hub, auth)`` after ``n_iter`` HITS iterations
+    (Kleinberg 1999): authorities gather hub mass over in-edges, hubs
+    gather the NEW authority mass over out-edges — the web-graph
+    complement to :func:`pagerank` for crawl prioritization (a good
+    hub page is worth fetching because its outlinks are good
+    authorities, even when its own PageRank is modest).
+
+    **L1 normalization** (divide by the score sum), not Kleinberg's
+    L2: no sqrt, so :func:`pagerank`'s deterministic rounding
+    protocol carries over verbatim — per-edge contributions rounded
+    to 12 dp before the sum, scores to ``round_dp`` after each
+    normalize, giving ~1e-14 cross-engine divergence that a final
+    6-dp output round absorbs (the unrolled-CTE oracle mirrors every
+    expression). The fixed point is the same principal eigenvector
+    direction; only the scale convention differs (scores sum to 1).
+
+    Shuffle shape per iteration: two edge-keyed join+agg exchanges
+    over (node, score) pairs only — edges/scores, never text — plus
+    two driver-scale normalization sums; ``localCheckpoint`` per
+    iteration truncates lineage exactly like pagerank."""
+    ed = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        ed.select(F.col("src").alias("node"))
+        .unionByName(ed.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("hits: empty edge set (no nodes to score)")
+
+    init = F.round(F.lit(1.0 / n), round_dp)
+    scores = nodes.select(
+        "node", init.alias("hub"), init.alias("auth")
+    ).localCheckpoint()
+
+    for _ in range(n_iter):
+        # authorities from hubs (in-edge gather)
+        araw = (
+            ed.join(
+                scores.select(F.col("node").alias("src"), "hub"), "src"
+            )
+            .select("dst", F.round(F.col("hub"), 12).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        a_df = nodes.join(
+            araw, nodes.node == araw.dst, "left"
+        ).select("node", F.coalesce(F.col("s"), F.lit(0.0)).alias("ar"))
+        sa = a_df.agg(F.sum("ar")).first()[0]
+        a_df = a_df.select(
+            "node", F.round(F.col("ar") / F.lit(sa), round_dp).alias("auth")
+        )
+        # hubs from the NEW authorities (out-edge gather)
+        hraw = (
+            ed.join(
+                a_df.select(F.col("node").alias("dst"), "auth"), "dst"
+            )
+            .select("src", F.round(F.col("auth"), 12).alias("c"))
+            .groupBy("src")
+            .agg(F.sum("c").alias("s"))
+        )
+        h_df = nodes.join(
+            hraw, nodes.node == hraw.src, "left"
+        ).select("node", F.coalesce(F.col("s"), F.lit(0.0)).alias("hr"))
+        sh = h_df.agg(F.sum("hr")).first()[0]
+        h_df = h_df.select(
+            "node", F.round(F.col("hr") / F.lit(sh), round_dp).alias("hub")
+        )
+        prev = scores
+        scores = (
+            h_df.join(a_df, "node").select("node", "hub", "auth")
+            .localCheckpoint()
+        )
+        prev.unpersist()
+    return scores
