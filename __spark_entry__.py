@@ -2524,6 +2524,77 @@ def q_f_backoff_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: multi-script snippets injected for the script-profile entry
+_SCRIPT_SNIPPETS = [" مرحبا بالعالم", " привет мир", " 你好世界", " γεια σου", ""]
+
+
+def q_text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script histogram + dominant script (operators/
+    textquality.py::script_profile — the pre-LID routing signal).
+    Deterministic multi-script suffixes injected by doc_id%5; the
+    oracle recomputes counts AND the ascending-strict-greater
+    dominant fold from scratch with the same codepoint ranges."""
+    from wos_crawler_spark.operators.textquality import script_profile
+
+    d = F.col("doc_id")
+    sn = _SCRIPT_SNIPPETS
+    suffix = (
+        F.when(d % 5 == 0, F.lit(sn[0]))
+        .when(d % 5 == 1, F.lit(sn[1]))
+        .when(d % 5 == 2, F.lit(sn[2]))
+        .when(d % 5 == 3, F.lit(sn[3]))
+        .otherwise(F.lit(sn[4]))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    out = script_profile(docs)
+    from wos_crawler_spark.operators.textquality import SCRIPT_RANGES
+
+    return out.select(
+        "doc_id",
+        *[f"script_{n}" for n in sorted(SCRIPT_RANGES)],
+        "script_dominant",
+    )
+
+
+def _script_profile_oracle_sql() -> str:
+    from wos_crawler_spark.operators.textquality import SCRIPT_RANGES
+
+    sn = _SCRIPT_SNIPPETS
+    suffix = (
+        f"CASE doc_id % 5 WHEN 0 THEN {_duck_lit(sn[0])}"
+        f" WHEN 1 THEN {_duck_lit(sn[1])}"
+        f" WHEN 2 THEN {_duck_lit(sn[2])}"
+        f" WHEN 3 THEN {_duck_lit(sn[3])} ELSE '' END"
+    )
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS script_{n}"
+        for n, pat in SCRIPT_RANGES.items()
+    )
+    # ascending CASE chain against greatest() ≡ the engine's
+    # ascending strict-greater fold (first name reaching the max =
+    # lexicographically smallest among the maxima)
+    names = sorted(SCRIPT_RANGES)
+    g = "greatest(" + ", ".join(f"script_{n}" for n in names) + ")"
+    whens = " ".join(
+        f"WHEN script_{n} = g THEN '{n}'" for n in names
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id, text || {suffix} AS t FROM documents
+        ), c AS (
+            SELECT doc_id, {counts} FROM d
+        ), cg AS (
+            SELECT *, {g} AS g FROM c
+        )
+        SELECT doc_id, {', '.join('script_' + n for n in names)},
+               CASE WHEN g = 0 THEN 'und' {whens} END
+                   AS script_dominant
+        FROM cg
+    """
+
+
 def q_stats_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data card (operators/stats.py::corpus_datacard): the
     per-release reporting table — size, byte mass, language mix,
@@ -3272,6 +3343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_corpus_datacard": q_stats_corpus_datacard,
         "f_backoff_plan": q_f_backoff_plan,
         "graph_hits_hosts": q_graph_hits_hosts,
+        "text_script_profile": q_text_script_profile,
         # rows-only engine surfaces (non-SQL-expressible)
         "parse_wos_plaintext": q_parse_wos_plaintext,
         "parse_tab": q_parse_tab,
@@ -4984,6 +5056,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank_hosts": _pagerank_oracle_sql(),
         "graph_hits_hosts": _hits_oracle_sql(),
+        "text_script_profile": _script_profile_oracle_sql(),
         "sample_deterministic": """
             SELECT doc_id FROM documents
             WHERE ('0x' || substr(md5(doc_id || 'r2'), 1, 8))::BIGINT

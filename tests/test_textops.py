@@ -511,3 +511,43 @@ def test_citation_links_case_insensitive_doi(spark):
     assert len(links) == 1
     assert links[0]["citing_uid"] == "1" and links[0]["cited_uid"] == "2"
     assert links[0]["doi"] == "10.1000/ABC"  # original bytes kept
+
+
+def test_script_profile(spark):
+    import re
+
+    from wos_crawler_spark.operators.textquality import (
+        SCRIPT_RANGES,
+        script_profile,
+    )
+
+    rows = [
+        (0, "plain english text"),
+        (1, "Привет мир"),
+        (2, "你好世界 hi"),          # han 4 > latin 2
+        (3, "hi 你好"),              # latin 2 = han 2 → tie → 'han'
+        (4, "12345 !!!"),            # no script → 'und'
+        (5, None),
+        (6, "مرحبا بالعالم"),
+        (7, "γεια σου"),
+        (8, "안녕하세요"),
+        (9, "こんにちは カタカナ"),
+        (10, "नमस्ते"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.asDict() for r in script_profile(df).collect()}
+    for i, t in rows:
+        for name, pat in SCRIPT_RANGES.items():
+            want = len(re.findall(pat, t)) if t is not None else 0
+            assert got[i][f"script_{name}"] == want, (i, name)
+    assert got[0]["script_dominant"] == "latin"
+    assert got[1]["script_dominant"] == "cyrillic"
+    assert got[2]["script_dominant"] == "han"
+    assert got[3]["script_dominant"] == "han"   # tie: 'han' < 'latin'
+    assert got[4]["script_dominant"] == "und"
+    assert got[5]["script_dominant"] == "und"
+    assert got[6]["script_dominant"] == "arabic"
+    assert got[7]["script_dominant"] == "greek"
+    assert got[8]["script_dominant"] == "hangul"
+    assert got[9]["script_dominant"] == "kana"
+    assert got[10]["script_dominant"] == "devanagari"

@@ -550,3 +550,48 @@ def rolling_fingerprints(text: Column, window: int = 8) -> Column:
         idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, window)))
     )
     return F.when(norm_text(text) == "", F.array().cast("array<bigint>")).otherwise(fps)
+
+
+#: Unicode script blocks for :func:`script_profile` — explicit
+#: codepoint ranges (identical semantics in Java regex and RE2; the
+#: \p{Script} syntaxes differ between the engines, ranges do not).
+SCRIPT_RANGES: dict[str, str] = {
+    "arabic": "[؀-ۿ]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "devanagari": "[ऀ-ॿ]",
+    "greek": "[Ͱ-Ͽ]",
+    "han": "[一-鿿]",
+    "hangul": "[가-힯]",
+    "kana": "[぀-ヿ]",
+    "latin": "[A-Za-zÀ-ɏ]",
+}
+
+
+def script_profile(df, text_col: str = "text"):
+    """Per-document Unicode script histogram + dominant script — the
+    pre-language-ID routing signal (CLD/fastText pipelines branch on
+    script before model inference; a Han-dominant page should never
+    reach a Latin-ngram LID). Adds ``script_<name>`` counts and
+    ``script_dominant`` (ties break to the lexicographically smallest
+    script; all-zero → ``'und'``). Pure codegen'd ``regexp_count``
+    projection — zero Python, zero shuffles; counts are integers and
+    the tie rule is order-free, so the oracle recomputes everything
+    from scratch with the same range classes."""
+    t = F.col(text_col)
+    out = df
+    for name, pat in SCRIPT_RANGES.items():
+        out = out.withColumn(
+            f"script_{name}",
+            F.coalesce(F.regexp_count(t, F.lit(pat)), F.lit(0)).cast(
+                "long"
+            ),
+        )
+    best_cnt = F.lit(0).cast("long")
+    best_name = F.lit("und")
+    # ascending name order + STRICT > keeps the smallest name on ties
+    for name in sorted(SCRIPT_RANGES):
+        c = F.col(f"script_{name}")
+        new_best = c > best_cnt
+        best_name = F.when(new_best, F.lit(name)).otherwise(best_name)
+        best_cnt = F.when(new_best, c).otherwise(best_cnt)
+    return out.withColumn("script_dominant", best_name)
