@@ -2595,6 +2595,31 @@ def _script_profile_oracle_sql() -> str:
     """
 
 
+def q_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/deltas.py::corpus_delta) between two
+    deterministic views of the documents table: every 11th url
+    removed, every 7th changed (v2 suffix), every 13th doc sprouting
+    an added url. One digest-only full-outer join; the oracle
+    restates the whole diff from doc_id arithmetic + md5."""
+    from wos_crawler_spark.operators.deltas import corpus_delta
+
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://c/p"), d.cast("string"))
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.select(url.alias("url"), "text")
+    survived = docs.filter(d % 11 != 0).select(
+        url.alias("url"),
+        F.when(d % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(d % 13 == 0).select(
+        F.concat(F.lit("https://c/new"), d.cast("string")).alias("url"),
+        F.concat(F.lit("fresh "), d.cast("string")).alias("text"),
+    )
+    return corpus_delta(old, survived.unionByName(added))
+
+
 def q_stats_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data card (operators/stats.py::corpus_datacard): the
     per-release reporting table — size, byte mass, language mix,
@@ -3344,6 +3369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_backoff_plan": q_f_backoff_plan,
         "graph_hits_hosts": q_graph_hits_hosts,
         "text_script_profile": q_text_script_profile,
+        "corpus_delta": q_corpus_delta,
         # rows-only engine surfaces (non-SQL-expressible)
         "parse_wos_plaintext": q_parse_wos_plaintext,
         "parse_tab": q_parse_tab,
@@ -5057,6 +5083,41 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank_hosts": _pagerank_oracle_sql(),
         "graph_hits_hosts": _hits_oracle_sql(),
         "text_script_profile": _script_profile_oracle_sql(),
+        "corpus_delta": """
+            -- the whole diff restated from doc_id arithmetic + md5
+            WITH old AS (
+                SELECT 'https://c/p' || CAST(doc_id AS VARCHAR) AS key,
+                       md5(text) AS old_digest, doc_id
+                FROM documents
+            ),
+            new AS (
+                SELECT 'https://c/p' || CAST(doc_id AS VARCHAR) AS key,
+                       md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                                ELSE text END) AS new_digest
+                FROM documents WHERE doc_id % 11 <> 0
+                UNION ALL
+                SELECT 'https://c/new' || CAST(doc_id AS VARCHAR),
+                       md5('fresh ' || CAST(doc_id AS VARCHAR))
+                FROM documents WHERE doc_id % 13 = 0
+            ),
+            j AS (
+                SELECT coalesce(o.key, n.key) AS key,
+                       o.old_digest, n.new_digest,
+                       o.key IS NOT NULL AS in_old,
+                       n.key IS NOT NULL AS in_new
+                FROM old o FULL JOIN new n ON o.key = n.key
+            )
+            SELECT key,
+                   CASE WHEN NOT in_old THEN 'added'
+                        WHEN NOT in_new THEN 'removed'
+                        WHEN old_digest IS NOT DISTINCT FROM new_digest
+                             THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   old_digest, new_digest
+            FROM j
+            WHERE NOT (in_old AND in_new
+                       AND old_digest IS NOT DISTINCT FROM new_digest)
+        """,
         "sample_deterministic": """
             SELECT doc_id FROM documents
             WHERE ('0x' || substr(md5(doc_id || 'r2'), 1, 8))::BIGINT
