@@ -125,9 +125,10 @@ class CrawlConfig:
     #: robots stays per-host (RFC 9309 is host-scoped), the frontier
     #: keeps the true host, and fetch logs / metrics / retries carry
     #: the true host; with this on, a host_delays dim must be keyed
-    #: by registrable domain. Currently mutually exclusive with
-    #: `backoff` (its delay dim is host-keyed — combining would
-    #: silently drop the escalations; run_crawl raises).
+    #: by registrable domain. Composes with `backoff`: the backoff
+    #: stats, delay dim and quarantine all key on the registrable
+    #: domain too (one dead subdomain farm escalates as ONE
+    #: registrant), matching the scheduling key by construction.
     politeness_domain: bool = False
     #: Per-host adaptive backoff + circuit breaker
     #: (operators/backoff.py): cumulative fetch-outcome stats per host
@@ -755,12 +756,6 @@ def run_crawl(
     layout is a property of the table, not per-crawl work). When
     given, run_crawl neither builds nor unpersists them."""
     cfg = cfg or CrawlConfig()
-    if cfg.politeness_domain and cfg.backoff:
-        raise ValueError(
-            "politeness_domain + backoff are currently mutually "
-            "exclusive: backoff's delay dim is host-keyed and would "
-            "silently not match the domain scheduling key"
-        )
     out = CrawlResult()
 
     # per-host Crawl-delay dim (robots.parse_robots_delays): tiny —
@@ -865,8 +860,24 @@ def run_crawl(
                 host_stats, cfg.delay_s, host_delays,
                 **cfg.backoff_kwargs,
             ).cache()
-            quar = bo.filter(F.col("quarantined")).select("host")
-            frontier = frontier.join(F.broadcast(quar), "host", "left_anti")
+            quar = bo.filter(F.col("quarantined")).select(
+                F.col("host").alias("_qkey")
+            )
+            # with politeness_domain, stats/delays/quarantine all key
+            # on the registrable domain (see the stats fold below) —
+            # quarantining one dead subdomain cuts off the registrant
+            fkey = F.col("host")
+            if cfg.politeness_domain:
+                from wos_crawler_spark.operators.blocklist import (
+                    registrable_domain,
+                )
+
+                fkey = F.coalesce(
+                    registrable_domain(F.col("host")), F.col("host")
+                )
+            frontier = frontier.join(
+                F.broadcast(quar), fkey == F.col("_qkey"), "left_anti"
+            )
             eff_delays = bo.select("host", "crawl_delay")
             max_eff = bo.agg(F.max("crawl_delay")).first()[0]
             eff_gap = max(cfg.delay_s, float(max_eff or 0.0))
@@ -883,7 +894,19 @@ def run_crawl(
             probe = "_page_hit" if "_page_hit" in res.fetched.columns else (
                 "text" if "text" in res.fetched.columns else "warc_ts"
             )
-            host_stats = fold_host_stats(host_stats, res.fetched, probe)
+            wave_src = res.fetched
+            if cfg.politeness_domain:
+                from wos_crawler_spark.operators.blocklist import (
+                    registrable_domain,
+                )
+
+                wave_src = wave_src.withColumn(
+                    "host",
+                    F.coalesce(
+                        registrable_domain(F.col("host")), F.col("host")
+                    ),
+                )
+            host_stats = fold_host_stats(host_stats, wave_src, probe)
             if cfg.ckpt_dir:
                 # persist with the wave (before its _COMMITTED marker)
                 # and re-read — durability AND lineage truncation

@@ -167,10 +167,19 @@ def simulate_crawl(
     for wave in range(max_waves):
         if not frontier:
             break
-        # per-host backoff policy from cumulative prior-wave stats —
+        # scheduling key: raw host, or eTLD+1 when politeness_domain
+        # (the engine's scheduling-unit rewrite; robots and the
+        # recorded fetches keep the TRUE host). Backoff keys its
+        # stats/delays/quarantine through the SAME key.
+        skey = (
+            (lambda h: (domain_map or {}).get(h, h))
+            if politeness_domain
+            else (lambda h: h)
+        )
+        # per-key backoff policy from cumulative prior-wave stats —
         # the twin of run_crawl's backoff_plan application (identical
-        # integer rules via backoff_python): quarantined hosts drop
-        # at admission (fresh AND retries), backed-off hosts get
+        # integer rules via backoff_python): quarantined keys drop
+        # at admission (fresh AND retries), backed-off keys get
         # delay x factor in the token bucket and the wave gap.
         eff_delays = dict(host_delays or {})
         if backoff and host_stats:
@@ -180,7 +189,10 @@ def simulate_crawl(
                 {h: tuple(v) for h, v in host_stats.items()},
                 delay_s, host_delays, **(backoff_kwargs or {}),
             )
-            frontier = [r for r in frontier if r["host"] not in quarantined]
+            frontier = [
+                r for r in frontier
+                if skey(r["host"]) not in quarantined
+            ]
         # F3 robots
         allowed = []
         for r in frontier:
@@ -241,15 +253,6 @@ def simulate_crawl(
         for r in allowed:
             if r["dont_filter"] or r["url_hash"] not in res.seen:
                 pool.append(r)
-
-        # scheduling key: raw host, or eTLD+1 when politeness_domain
-        # (the engine's scheduling-unit rewrite; robots above and the
-        # recorded fetches keep the TRUE host)
-        skey = (
-            (lambda h: (domain_map or {}).get(h, h))
-            if politeness_domain
-            else (lambda h: h)
-        )
 
         # politeness salting from PRE-dedup, pre-quota per-key counts
         host_counts: dict[str, int] = {}
@@ -313,7 +316,7 @@ def simulate_crawl(
         res.fetches.extend(this_wave)
         if backoff:
             for f in this_wave:
-                st = host_stats.setdefault(f.host, [0, 0])
+                st = host_stats.setdefault(skey(f.host), [0, 0])
                 st[0] += 1
                 if not f.hit:
                     st[1] += 1
