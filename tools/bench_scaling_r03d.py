@@ -129,10 +129,90 @@ def run_heavy_hitters(spark) -> dict:
     }
 
 
+def run_boilerplate(spark) -> dict:
+    """Host-boilerplate detection+strip over a synthetic host axis:
+    host = doc_id % 4096 (so per-host page counts are real), with an
+    injected per-host chrome line so detection genuinely bites."""
+    from pyspark.sql import functions as F
+
+    from wos_crawler_spark.operators.boilerplate import (
+        boilerplate_lines,
+        strip_boilerplate,
+    )
+
+    docs = spark.read.parquet(INPUT)
+    n_docs = docs.count()
+    t0 = time.time()
+    d = F.col("doc_id")
+    pages = docs.select(
+        F.concat(F.lit("https://h"), (d % 4096).cast("string"),
+                 F.lit("/p"), d.cast("string")).alias("url"),
+        F.concat(F.lit("h"), (d % 4096).cast("string")).alias("host"),
+        F.concat(
+            F.lit("NAV h"), (d % 4096).cast("string"), F.lit("\n"),
+            F.col("text"),
+        ).alias("text"),
+    )
+    chrome = boilerplate_lines(pages, min_pages=2, min_frac_pct=50)
+    out = strip_boilerplate(pages, chrome)
+    row = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_lines_in").alias("li"),
+        F.sum("n_lines_kept").alias("lk"),
+    ).first()
+    dt = time.time() - t0
+    return {
+        "sec": round(dt, 3),
+        "docs_per_sec": round(n_docs / dt, 1),
+        "lines_stripped": int(row["li"] - row["lk"]),
+        "n_docs": n_docs,
+    }
+
+
+def run_delta(spark) -> dict:
+    """Snapshot diff: old vs a deterministic mutation (1/11 removed,
+    1/7 changed, 1/13 added) — one digest-only full-outer join."""
+    from pyspark.sql import functions as F
+
+    from wos_crawler_spark.operators.deltas import corpus_delta
+
+    docs = spark.read.parquet(INPUT)
+    n_docs = docs.count()
+    t0 = time.time()
+    d = F.col("doc_id")
+    url = F.concat(F.lit("u"), d.cast("string"))
+    old = docs.select(url.alias("url"), "text")
+    new = docs.filter(d % 11 != 0).select(
+        url.alias("url"),
+        F.when(d % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"),
+    ).unionByName(
+        docs.filter(d % 13 == 0).select(
+            F.concat(F.lit("new"), d.cast("string")).alias("url"),
+            F.lit("fresh").alias("text"),
+        )
+    )
+    counts = (
+        corpus_delta(old, new)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    dt = time.time() - t0
+    return {
+        "sec": round(dt, 3),
+        "docs_per_sec": round(n_docs / dt, 1),
+        "delta_rows": int(sum(r.n for r in counts)),
+        "n_docs": n_docs,
+    }
+
+
 WORKLOADS = {
     "textnorm": run_textnorm,
     "bpe": run_bpe,
     "heavy_hitters": run_heavy_hitters,
+    "boilerplate": run_boilerplate,
+    "delta": run_delta,
 }
 
 
