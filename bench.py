@@ -73,6 +73,10 @@ ENTRY_QUERIES = [
     "pipeline_curation_v4",
     "text_strip_boilerplate",
     "j4_seed_match_advanced",
+    "text_script_profile",
+    "stats_corpus_datacard",
+    "corpus_delta",
+    "graph_hits_hosts",
 ]
 
 

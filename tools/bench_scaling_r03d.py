@@ -207,12 +207,70 @@ def run_delta(spark) -> dict:
     }
 
 
+def run_delta_bucketed(spark) -> dict:
+    """The steady-state production shape: both snapshots PRE-bucketed
+    by url (the Iceberg ``bucket(url)`` layout the raw-delta docstring
+    assumes — layout cost excluded, as for the crawl's
+    prepare_fetch_side contract). The join then runs exchange-free
+    over co-partitioned cached sides; this measures the diff itself,
+    not the one-off re-layout the raw variant pays."""
+    from pyspark.sql import functions as F
+
+    from wos_crawler_spark.operators.deltas import corpus_delta
+
+    docs = spark.read.parquet(INPUT)
+    n_docs = docs.count()
+    d = F.col("doc_id")
+    url = F.concat(F.lit("u"), d.cast("string"))
+    old = (
+        docs.select(url.alias("url"), F.md5("text").alias("text"))
+        .repartition(64, "url")
+        .cache()
+    )
+    new = (
+        docs.filter(d % 11 != 0)
+        .select(
+            url.alias("url"),
+            F.md5(
+                F.when(
+                    d % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+                ).otherwise(F.col("text"))
+            ).alias("text"),
+        )
+        .unionByName(
+            docs.filter(d % 13 == 0).select(
+                F.concat(F.lit("new"), d.cast("string")).alias("url"),
+                F.md5(F.lit("fresh")).alias("text"),
+            )
+        )
+        .repartition(64, "url")
+        .cache()
+    )
+    old.count(), new.count()  # materialize layout outside the clock
+    t0 = time.time()
+    counts = (
+        corpus_delta(old, new)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    dt = time.time() - t0
+    old.unpersist(), new.unpersist()
+    return {
+        "sec": round(dt, 3),
+        "docs_per_sec": round(n_docs / dt, 1),
+        "delta_rows": int(sum(r.n for r in counts)),
+        "n_docs": n_docs,
+    }
+
+
 WORKLOADS = {
     "textnorm": run_textnorm,
     "bpe": run_bpe,
     "heavy_hitters": run_heavy_hitters,
     "boilerplate": run_boilerplate,
     "delta": run_delta,
+    "delta_bucketed": run_delta_bucketed,
 }
 
 
