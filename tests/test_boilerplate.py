@@ -152,3 +152,21 @@ def test_guards(spark, pages):
         boilerplate_lines(pages, min_pages=1)
     with pytest.raises(ValueError):
         boilerplate_lines(pages, min_frac_pct=0)
+
+
+def test_null_text_page_keeps_miss_marker(spark):
+    rows = [
+        ("u1", "h", "CHROME"),
+        ("u2", "h", "CHROME"),
+        ("u3", "h", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, host string, text string")
+    chrome = boilerplate_lines(df, min_pages=2, min_frac_pct=50)
+    out = {
+        r.url: (r.text, r.n_lines_in, r.n_lines_kept, r.host)
+        for r in strip_boilerplate(df, chrome).collect()
+    }
+    # NULL text stays NULL with NULL counts — not a fake chrome page
+    assert out["u3"] == (None, None, None, "h")
+    # real pure-chrome pages still come back empty-with-zero
+    assert out["u1"] == ("", 1, 0, "h")

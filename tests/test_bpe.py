@@ -249,3 +249,15 @@ def test_load_guards(spark, toy, tmp_path):
     json.dump(meta, open(os.path.join(p, "_meta.json"), "w"))
     with pytest.raises(ValueError):
         load_bpe(spark, p)
+
+
+def test_encode_string_id_column(spark, toy):
+    _, merges, _ = toy
+    df = spark.createDataFrame(
+        [("u/1", "low low"), ("u/2", None)], "doc_id string, text string"
+    )
+    got = {
+        r.doc_id: r.tokens
+        for r in bpe_encode_documents(df, merges).collect()
+    }
+    assert got["u/1"] == ["low</w>", "low</w>"] and got["u/2"] is None

@@ -232,3 +232,10 @@ def test_init_frontier_advanced_consistency(spark):
         ).collect()
     }
     assert adv == classic and classic
+
+
+def test_trailing_whitespace_accepted():
+    assert parse_query("TS=(graphene) ", FM) == parse_query(
+        "TS=(graphene)", FM
+    )
+    assert parse_query("a AND b\n", FM) == parse_query("a AND b", FM)

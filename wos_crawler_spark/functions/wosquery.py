@@ -127,6 +127,7 @@ class _Parser:
     ):
         self.range_tags = RANGE_TAGS | (range_tags or set())
         self.toks: list[str] = []
+        s = s.rstrip()  # a trailing-whitespace tail is not a token
         pos = 0
         while pos < len(s):
             m = _TOKEN_RE.match(s, pos)

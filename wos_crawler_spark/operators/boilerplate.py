@@ -130,26 +130,28 @@ def strip_boilerplate(
         ).alias("text"),
         F.count("*").alias("n_lines_kept"),
     )
+    # totals carries host too (one scan, no third join), and a
+    # NULL-text page (a fetch miss) stays NULL with NULL line counts
+    # — rewriting it to '' would erase the miss marker and fake a
+    # pure-chrome page
+    t = F.col(text_col)
     totals = pages.select(
         F.col(url_col).alias("url"),
-        F.size(F.split(F.col(text_col), "\n")).alias("n_lines_in"),
+        F.col(host_col).alias("_h"),
+        F.when(t.isNull(), F.lit(None).cast("int"))
+        .otherwise(F.size(F.split(t, "\n")))
+        .alias("n_lines_in"),
     )
     # pure-chrome pages drop out of `kept` entirely — restore with ''
-    return (
-        totals.join(rebuilt, "url", "left")
-        .join(
-            pages.select(
-                F.col(url_col).alias("url"), F.col(host_col).alias("_h")
-            ),
-            "url",
-        )
-        .select(
-            "url",
-            F.coalesce(F.col("host"), F.col("_h")).alias("host"),
-            F.coalesce(F.col("text"), F.lit("")).alias("text"),
-            F.col("n_lines_in").cast("long").alias("n_lines_in"),
-            F.coalesce(F.col("n_lines_kept"), F.lit(0))
-            .cast("long")
-            .alias("n_lines_kept"),
-        )
+    return totals.join(rebuilt, "url", "left").select(
+        "url",
+        F.col("_h").alias("host"),
+        F.when(F.col("n_lines_in").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+        .alias("text"),
+        F.col("n_lines_in").cast("long").alias("n_lines_in"),
+        F.when(F.col("n_lines_in").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.coalesce(F.col("n_lines_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_lines_kept"),
     )

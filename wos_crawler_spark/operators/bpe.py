@@ -284,7 +284,11 @@ def bpe_encode_documents(
     import re
 
     splitter = re.compile(WORD_SPLIT_RE)
-    schema = f"{id_col} long, {out_col} array<string>"
+    # id type derived from the input (the textdedup.py pattern) — a
+    # hardcoded 'long' crashes the Arrow serializer on string-keyed
+    # corpora (url ids)
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, {out_col} array<string>"
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, list[str]] = {}
