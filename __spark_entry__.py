@@ -3244,6 +3244,63 @@ def _hits_oracle_sql(n_iter: int = 4) -> str:
     )
 
 
+def q_graph_opic_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous OPIC importance (Abiteboul et al. 2003 — the
+    online crawl-priority estimate; operators/linkgraph.py::opic), 5
+    rounds over the shared host graph. 6-dp output absorbs the
+    rounding protocol's residual."""
+    from wos_crawler_spark.operators.linkgraph import opic
+
+    s = opic(_pr_edges(spark, sf_dir), n_iter=5)
+    return s.select(
+        "node",
+        F.round("importance", 6).alias("importance_r6"),
+        F.round("history", 6).alias("history_r6"),
+    )
+
+
+def _opic_oracle_sql(n_iter: int = 5) -> str:
+    """Unrolled synchronous OPIC mirroring linkgraph.opic
+    expression-for-expression (12-dp contribs, 9-dp state, uniform
+    virtual-page redistribution of dangling cash)."""
+    ctes = [
+        _PR_GRAPH_CTES.strip().rstrip(),
+        "s0 AS MATERIALIZED (SELECT node,"
+        " round(1.0/(SELECT cnt FROM nn), 9) AS cash,"
+        " 0.0 AS history FROM nodes)",
+    ]
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        ctes += [
+            f"dg{p} AS MATERIALIZED (SELECT coalesce(sum(cash), 0.0)"
+            f" AS dm FROM s{p} WHERE node NOT IN (SELECT src FROM ed))",
+            f"c{k} AS MATERIALIZED (SELECT e.dst AS node,"
+            f" sum(round(s.cash / o.outd, 12)) AS s"
+            f" FROM ed e JOIN s{p} s ON e.src = s.node"
+            f" JOIN outd o ON e.src = o.src GROUP BY e.dst)",
+            f"s{k} AS MATERIALIZED (SELECT n.node,"
+            f" round(coalesce(c.s, 0.0)"
+            f" + (SELECT dm FROM dg{p})/(SELECT cnt FROM nn), 9)"
+            f" AS cash,"
+            f" round(s.history + s.cash, 9) AS history"
+            f" FROM nodes n"
+            f" JOIN s{p} s USING (node)"
+            f" LEFT JOIN c{k} c ON c.node = n.node)",
+        ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+        th AS (SELECT sum(history) AS t FROM s{n_iter})
+        SELECT node,
+               round(round((history + cash)
+                     / ((SELECT t FROM th) + 1.0), 9), 6)
+                   AS importance_r6,
+               round(history, 6) AS history_r6
+        FROM s{n_iter}
+    """
+    )
+
+
 def q_graph_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host PageRank (Cho/Garcia-Molina/Page crawl ordering), 5 power
     iterations with the deterministic rounding protocol
@@ -3368,6 +3425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_corpus_datacard": q_stats_corpus_datacard,
         "f_backoff_plan": q_f_backoff_plan,
         "graph_hits_hosts": q_graph_hits_hosts,
+        "graph_opic_hosts": q_graph_opic_hosts,
         "text_script_profile": q_text_script_profile,
         "corpus_delta": q_corpus_delta,
         # rows-only engine surfaces (non-SQL-expressible)
@@ -5082,6 +5140,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank_hosts": _pagerank_oracle_sql(),
         "graph_hits_hosts": _hits_oracle_sql(),
+        "graph_opic_hosts": _opic_oracle_sql(),
         "text_script_profile": _script_profile_oracle_sql(),
         "corpus_delta": """
             -- the whole diff restated from doc_id arithmetic + md5

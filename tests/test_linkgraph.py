@@ -182,3 +182,59 @@ def test_hits_empty_raises(spark):
 
     with pytest.raises(ValueError):
         hits(df)
+
+
+def _opic_twin(pairs, n_iter):
+    edges = sorted(set(pairs))
+    nodes = sorted({v for e in edges for v in e})
+    n = len(nodes)
+    outd = {}
+    for s, _ in edges:
+        outd[s] = outd.get(s, 0) + 1
+    dangling = [v for v in nodes if v not in outd]
+    cash = {v: round(1.0 / n, 9) for v in nodes}
+    hist = {v: 0.0 for v in nodes}
+    for _ in range(n_iter):
+        dm = sum(cash[v] for v in dangling)
+        inflow = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += round(cash[s] / outd[s], 12)
+        hist = {v: round(hist[v] + cash[v], 9) for v in nodes}
+        cash = {v: round(inflow[v] + dm / n, 9) for v in nodes}
+    th = sum(hist.values())
+    imp = {
+        v: round((hist[v] + cash[v]) / (th + 1.0), 9) for v in nodes
+    }
+    return imp, cash, hist
+
+
+def test_opic_python_twin_and_conservation(spark):
+    from wos_crawler_spark.operators.linkgraph import opic
+
+    pairs = (
+        [("hub", f"a{i}") for i in (1, 2, 3)]
+        + [(f"s{j}", "hub") for j in range(4)]
+        + [("a1", "sink")]  # sink is dangling
+    )
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    rows = opic(df, n_iter=5).collect()
+    got = {r.node: round(r.importance, 6) for r in rows}
+    imp_t, cash_t, hist_t = _opic_twin(pairs, 5)
+    assert got == {v: round(imp_t[v], 6) for v in imp_t}
+    # conservation: cash sums to 1, history to n_iter (within rounding)
+    assert abs(sum(r.cash for r in rows) - 1.0) < 1e-6
+    assert abs(sum(r.history for r in rows) - 5.0) < 1e-6
+    # the hub (pointed at by 4 spokes) outranks every spoke
+    assert all(
+        got["hub"] > got[f"s{j}"] for j in range(4)
+    )
+
+
+def test_opic_empty_raises(spark):
+    from wos_crawler_spark.operators.linkgraph import opic
+
+    import pytest
+
+    df = spark.createDataFrame([], "src string, dst string")
+    with pytest.raises(ValueError):
+        opic(df)

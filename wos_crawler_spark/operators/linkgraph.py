@@ -237,3 +237,96 @@ def hits(
         )
         prev.unpersist()
     return scores
+
+
+def opic(
+    edges: DataFrame,
+    n_iter: int = 5,
+    round_dp: int = 9,
+) -> DataFrame:
+    """``(node, importance, cash, history)`` — synchronous OPIC
+    (Abiteboul, Preda & Cobena 2003, "Adaptive On-Line Page
+    Importance Computation"): the importance estimate crawlers
+    schedule by WITHOUT a separate offline PageRank batch. Every node
+    starts with cash 1/n; each round, every node banks its cash into
+    its history and distributes it equally over its out-edges
+    (dangling cash redistributes uniformly — the paper's virtual
+    page); importance after T rounds is the banked history plus
+    residual cash, normalized by the total banked mass.
+
+    Differences from :func:`pagerank` worth having both: no damping
+    (OPIC's virtual page plays that role), and the HISTORY integral
+    smooths the estimate over rounds — a new high-cash node ranks
+    below an old consistently-cashed one, which is exactly the
+    freshness bias a crawl scheduler wants.
+
+    Same deterministic cross-engine protocol as pagerank: 12-dp
+    per-edge contributions, ``round_dp`` state per round, one
+    edge-keyed (node, cash) exchange + a driver-scale dangling sum
+    per round, ``localCheckpoint`` lineage truncation. Conservation
+    (Σcash = 1 every round, ΣH = t) is pinned by tests."""
+    ed = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        ed.select(F.col("src").alias("node"))
+        .unionByName(ed.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("opic: empty edge set")
+    outd = ed.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    dangling = nodes.join(
+        ed.select("src").distinct(), nodes.node == F.col("src"), "left_anti"
+    )
+
+    state = nodes.select(
+        "node",
+        F.round(F.lit(1.0 / n), round_dp).alias("cash"),
+        F.lit(0.0).alias("history"),
+    ).localCheckpoint()
+
+    for _ in range(n_iter):
+        dm = (
+            state.join(F.broadcast(dangling), "node", "semi")
+            .agg(F.coalesce(F.sum("cash"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            ed.join(state.select("node", "cash"), ed.src == F.col("node"))
+            .join(outd, "src")
+            .select(
+                "dst",
+                F.round(F.col("cash") / F.col("outd"), 12).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        prev = state
+        state = (
+            state.join(contribs, state.node == contribs.dst, "left")
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("s"), F.lit(0.0))
+                    + F.lit(dm / n),
+                    round_dp,
+                ).alias("cash"),
+                F.round(
+                    F.col("history") + F.col("cash"), round_dp
+                ).alias("history"),
+            )
+            .localCheckpoint()
+        )
+        prev.unpersist()
+
+    total_h = state.agg(F.sum("history")).first()[0]
+    return state.select(
+        "node",
+        F.round(
+            (F.col("history") + F.col("cash")) / F.lit(total_h + 1.0),
+            round_dp,
+        ).alias("importance"),
+        "cash",
+        "history",
+    )
