@@ -2630,6 +2630,90 @@ def q_stats_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_datacard(_t(spark, sf_dir, "documents"))
 
 
+def q_pipeline_seed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S1 seed-discovery pipeline END TO END, as one lazy plan:
+    robots.txt bodies → Sitemap directive extraction
+    (parse_robots_sitemaps) → sitemap 'fetch' (bodies synthesized per
+    host, aggregating the host's pages with lastmod claims) → urlset
+    parse + latest-claim dedup (sitemap_frontier_seeds) → staleness
+    gate vs the stored snapshot (sitemap_stale_candidates). Every
+    stage is the real operator; only the two fetch hops are
+    synthesized (no network, by construction of the sandbox). Oracle
+    restates the surviving (url, status) rows purely from doc_id
+    arithmetic — five operator stages recomputed from first
+    principles."""
+    from wos_crawler_spark.operators.robots import parse_robots_sitemaps
+    from wos_crawler_spark.sources.sitemaps import (
+        parse_sitemap_xml,
+        sitemap_frontier_seeds,
+        sitemap_stale_candidates,
+    )
+
+    d = F.col("doc_id")
+    h = (d % 7).cast("string")
+    host = F.concat(F.lit("dom"), h, F.lit(".com"))
+    page_url = F.concat(
+        F.lit("https://dom"), h, F.lit(".com/p"), d.cast("string")
+    )
+    docs = _t(spark, sf_dir, "documents")
+
+    # 1: one robots body per host, naming the host's sitemap
+    robots_pages = docs.groupBy(host.alias("host")).agg(
+        F.first(
+            F.concat(
+                F.lit("User-agent: *\r\nDisallow: /private\r\n"
+                      "Sitemap: https://"),
+                host, F.lit("/sitemap.xml\n"),
+            )
+        ).alias("body")
+    )
+    sitemap_urls = parse_robots_sitemaps(robots_pages)
+
+    # 2: "fetch" each sitemap — the host's page entries, lastmod day
+    # (d%27)+1, every 13th entry without a claim
+    block = F.concat(
+        F.lit("<url><loc>"), page_url, F.lit("</loc>"),
+        F.when(
+            d % 13 != 0,
+            F.concat(
+                F.lit("<lastmod>2024-01-"),
+                F.lpad(((d % 27) + 1).cast("string"), 2, "0"),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    bodies = docs.groupBy(host.alias("_h")).agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.array_join(F.array_sort(F.collect_list(block)), ""),
+            F.lit("</urlset>"),
+        ).alias("body")
+    )
+    fetched = sitemap_urls.join(
+        bodies,
+        sitemap_urls.sitemap_url
+        == F.concat(F.lit("https://"), F.col("_h"), F.lit("/sitemap.xml")),
+    ).select("sitemap_url", "body")
+
+    # 3-5: parse → latest-claim seeds → staleness gate
+    seeds = sitemap_frontier_seeds(parse_sitemap_xml(fetched))
+    stored = docs.filter(d % 5 != 0).select(
+        page_url.alias("url"),
+        F.to_timestamp(
+            F.concat(
+                F.lit("2024-01-"),
+                F.lpad(((d * 7) % 27 + 1).cast("string"), 2, "0"),
+            )
+        ).alias("warc_ts"),
+    )
+    out = sitemap_stale_candidates(seeds, stored)
+    return out.select(
+        "url", "status",
+        F.dayofmonth("lastmod").cast("long").alias("day_claimed"),
+    )
+
+
 def q_recrawl_change_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive recrawl scheduling from fetch history (Cho &
     Garcia-Molina 2000 freshness policy; plans/recrawl.py). The events
@@ -3420,6 +3504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curation_v4": q_pipeline_curation_v4,
         "s3_advanced_query": q_s3_advanced_query,
         "s_sitemap_stale": q_s_sitemap_stale,
+        "pipeline_seed_discovery": q_pipeline_seed_discovery,
         "j4_seed_match_advanced": q_j4_seed_match_advanced,
         "text_strip_boilerplate": q_text_strip_boilerplate,
         "stats_corpus_datacard": q_stats_corpus_datacard,
@@ -5619,6 +5704,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM flat
             UNION ALL SELECT * FROM langs
             UNION ALL SELECT * FROM q
+        """,
+        "pipeline_seed_discovery": """
+            -- five operator stages restated from doc_id arithmetic:
+            -- robots directive -> sitemap body -> parse -> latest
+            -- claim -> staleness gate. Single claim per url here, so
+            -- the gate logic is the s_sitemap_stale rule verbatim.
+            WITH base AS (
+                SELECT doc_id,
+                       'https://dom' || CAST(doc_id % 7 AS VARCHAR)
+                         || '.com/p' || CAST(doc_id AS VARCHAR) AS url,
+                       (doc_id % 27) + 1 AS day_claimed,
+                       ((doc_id * 7) % 27) + 1 AS day_stored,
+                       doc_id % 13 <> 0 AS has_lastmod,
+                       doc_id % 5 <> 0 AS stored
+                FROM documents
+            )
+            SELECT url,
+                   CASE WHEN NOT stored THEN 'new' ELSE 'stale' END
+                       AS status,
+                   CASE WHEN has_lastmod
+                        THEN CAST(day_claimed AS BIGINT) END
+                       AS day_claimed
+            FROM base
+            WHERE (NOT stored)
+               OR (has_lastmod AND day_claimed > day_stored)
         """,
         "s_sitemap_stale": """
             -- independent restatement from doc_id arithmetic: the
