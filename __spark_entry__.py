@@ -465,32 +465,33 @@ def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_keep(docs, id_col="doc_id", text_col="text").select("doc_id")
 
 
+def _combo_successor_docs(docs: DataFrame, sep: str) -> DataFrame:
+    """Fixture: pair each doc with its doc_id-successor's text as
+    ``text<sep>text_next`` — plants every interior text as a duplicate
+    unit across two combo docs. The fixture ids are dense 0..n-1
+    (asserted by the driver's generator), so the successor is a plain
+    equi-join on doc_id+1 — fully parallel, no single-partition
+    Window.orderBy (which at sf0.1 funneled 200k rows through one
+    partition inside the timed bench entries)."""
+    nxt = docs.select(
+        (F.col("doc_id") - F.lit(1)).alias("doc_id"),
+        F.col("text").alias("_nxt"),
+    )
+    return docs.join(nxt, "doc_id").select(
+        "doc_id", F.concat_ws(sep, "text", "_nxt").alias("text")
+    )
+
+
 def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-global paragraph dedup (C4/Dolma-style keep-first).
     The synthetic documents carry no newlines, so the fixture builds
     paragraph structure deterministically: each doc is paired with its
     doc_id successor as ``text\\n\\ntext_next``, which plants every
-    interior text as a duplicate paragraph across two combo docs. The
-    single-partition lead window is fixture construction at sf scale,
-    not the operator under test."""
-    from pyspark.sql.window import Window
-
+    interior text as a duplicate paragraph across two combo docs."""
     from wos_crawler_spark.operators.textdedup import paragraph_dedup
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    w = Window.orderBy("doc_id")
-    combo = (
-        docs.select(
-            "doc_id",
-            F.lead("text", 1).over(w).alias("_nxt"),
-            "text",
-        )
-        .filter(F.col("_nxt").isNotNull())
-        .select(
-            "doc_id",
-            F.concat_ws("\n\n", "text", "_nxt").alias("text"),
-        )
-    )
+    combo = _combo_successor_docs(docs, "\n\n")
     return paragraph_dedup(combo)
 
 
@@ -502,21 +503,10 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     each later occurrence and merges windows into maximal intervals.
     Runs the Arrow window-hash twin (test-pinned bit-equal to the
     expr flavor the oracle recomputes from scratch)."""
-    from pyspark.sql.window import Window
-
     from wos_crawler_spark.operators.textdedup import span_dedup_manifest
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    w = Window.orderBy("doc_id")
-    combo = (
-        docs.select(
-            "doc_id",
-            F.lead("text", 1).over(w).alias("_nxt"),
-            "text",
-        )
-        .filter(F.col("_nxt").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "text", "_nxt").alias("text"))
-    )
+    combo = _combo_successor_docs(docs, " ")
     return span_dedup_manifest(combo, span_len=15, use_arrow=True).select(
         "doc_id",
         F.col("span_start").cast("int").alias("span_start"),
@@ -530,24 +520,13 @@ def q_dedup_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest intervals deleted (canonical single-space token form).
     Same combo fixture as dedup_spans; the oracle recomputes the
     manifest AND the surviving-token reassembly from scratch."""
-    from pyspark.sql.window import Window
-
     from wos_crawler_spark.operators.textdedup import (
         span_dedup_apply,
         span_dedup_manifest,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    w = Window.orderBy("doc_id")
-    combo = (
-        docs.select(
-            "doc_id",
-            F.lead("text", 1).over(w).alias("_nxt"),
-            "text",
-        )
-        .filter(F.col("_nxt").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "text", "_nxt").alias("text"))
-    )
+    combo = _combo_successor_docs(docs, " ")
     m = span_dedup_manifest(combo, span_len=15, use_arrow=True)
     return span_dedup_apply(combo, m).select(
         "doc_id",
@@ -2253,6 +2232,72 @@ def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Classifier-training entry params (shared engine/oracle): bucket
+#: count, full-batch GD epochs, integer learning rate lr_num/lr_den.
+_CLF_NB = 512
+_CLF_EPOCHS = 3
+_CLF_LR_NUM = 2000
+_CLF_LR_DEN = 1
+
+
+def _clf_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic labeled fixture: every third doc is 'quality'."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") % 3 == 0).cast("int").alias("label"),
+    )
+
+
+def q_text_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training of the fastText-style
+    quality gate (textclassify.train_quality_classifier): hashed
+    unigram+bigram features, full-batch GD with the nano-quantized
+    residual protocol — every epoch is one (id)-keyed and one
+    bucket-capped exchange. The oracle recomputes ALL epochs from
+    scratch as materialized CTE chains (the BPE/pagerank unrolling
+    discipline): same features, same IEEE sigmoid over exact-integer
+    logits, same floored integer updates."""
+    from wos_crawler_spark.operators.textclassify import (
+        train_quality_classifier,
+    )
+
+    w = train_quality_classifier(
+        _clf_labeled(spark, sf_dir),
+        n_buckets=_CLF_NB,
+        epochs=_CLF_EPOCHS,
+        lr_num=_CLF_LR_NUM,
+        lr_den=_CLF_LR_DEN,
+    )
+    return w.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("weight").cast("long").alias("weight"),
+    )
+
+
+def q_text_classifier_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: train the quality gate, then score the SAME corpus
+    with the trained weights via classifier_score_expr — the full
+    label-seed-set → model → corpus-gate chain in one lazy plan. The
+    oracle recomputes training AND scoring from scratch."""
+    from wos_crawler_spark.operators.textclassify import (
+        classifier_score_expr,
+        train_quality_classifier,
+    )
+
+    labeled = _clf_labeled(spark, sf_dir)
+    w = train_quality_classifier(
+        labeled,
+        n_buckets=_CLF_NB,
+        epochs=_CLF_EPOCHS,
+        lr_num=_CLF_LR_NUM,
+        lr_den=_CLF_LR_DEN,
+    )
+    return classifier_score_expr(
+        labeled.select("doc_id", "text"), w, n_buckets=_CLF_NB
+    ).select("doc_id", "w_sum", "n_feat", "clf_keep")
+
+
 def q_s_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap seed discovery from raw robots.txt bodies (S1 family —
     RFC 9309 §2.3 Sitemap directives are group-independent). Bodies
@@ -3140,7 +3185,11 @@ def _curation_v4_oracle_sql() -> str:
     counts = []
     for name, pat, repl in PII_PATTERNS:
         clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
-        counts.append(f"len(regexp_extract_all(t, '{pat}')) AS n_{name}")
+        # COALESCE mirrors the engine's NULL-text behavior (count 0,
+        # not NULL) — NULL-text rows can survive exact_dedup_keep
+        counts.append(
+            f"COALESCE(len(regexp_extract_all(t, '{pat}')), 0) AS n_{name}"
+        )
     norm_digest = (
         "md5(trim(regexp_replace(lower(rt), '\\s+', ' ', 'g')))"
     )
@@ -3158,7 +3207,8 @@ def _curation_v4_oracle_sql() -> str:
             FROM d0
         ), p1 AS (
             SELECT doc_id,
-                   CAST(t <> raw AS BIGINT) AS norm_changed,
+                   CASE WHEN raw IS NULL THEN 0
+                        WHEN t <> raw THEN 1 ELSE 0 END AS norm_changed,
                    {', '.join(counts)},
                    {clean} AS rt
             FROM n1
@@ -3468,6 +3518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "dsir_select": q_dsir_select,
         "text_quality_classifier": q_text_quality_classifier,
+        "text_classifier_train": q_text_classifier_train,
+        "text_classifier_train_score": q_text_classifier_train_score,
         "f3_robots_wildcards": q_f3_robots_wildcards,
         "s_sitemap_discovery": q_s_sitemap_discovery,
         "recrawl_change_schedule": q_recrawl_change_schedule,
@@ -3534,6 +3586,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _WORDS = f"string_split({_NORM}, ' ')"
+
+
+def _classifier_train_ctes() -> str:
+    """From-scratch recomputation of train_quality_classifier: the
+    hashed-feature occurrence table, then one (w_sum → sigmoid →
+    nano-residual → per-bucket gradient → floored update) CTE chain
+    per epoch, MATERIALIZED (the BPE-oracle discipline). Every float
+    step mirrors the engine term-by-term: the sigmoid's argument is
+    one IEEE division of exact integers, the residual floor-quantizes
+    to nano BIGINT immediately, and all sums are integer."""
+    nb, ep = _CLF_NB, _CLF_EPOCHS
+    ln, ld = _CLF_LR_NUM, _CLF_LR_DEN
+    parts = [
+        f"""
+        clf_wl AS (
+            SELECT doc_id, {_WORDS} AS ws FROM documents
+            WHERE text IS NOT NULL
+        ),
+        clf_f AS (
+            SELECT doc_id,
+                   unnest(list_concat(
+                       ws,
+                       [ws[i] || ' ' || ws[i+1]
+                        FOR i IN range(1, greatest(len(ws)-1, 0)+1)]
+                   )) AS f
+            FROM clf_wl
+        ),
+        occ0 AS MATERIALIZED (
+            SELECT doc_id,
+                   ('0x' || substr(md5(f), 1, 8))::BIGINT % {nb} AS bucket,
+                   COUNT(*) AS occ
+            FROM clf_f GROUP BY doc_id, bucket
+        ),
+        clf_nf AS MATERIALIZED (
+            SELECT doc_id, SUM(occ) AS n_feat,
+                   CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS y
+            FROM occ0 GROUP BY doc_id
+        ),
+        clf_nd AS MATERIALIZED (SELECT COUNT(*) AS n FROM clf_nf),
+        wt0 AS (SELECT CAST(NULL AS BIGINT) AS bucket,
+                       CAST(NULL AS BIGINT) AS weight WHERE FALSE)"""
+    ]
+    for k in range(1, ep + 1):
+        p = k - 1
+        parts.append(
+            f"""
+        clf_ws{k} AS MATERIALIZED (
+            SELECT o.doc_id, SUM(o.occ * COALESCE(t.weight, 0)) AS w_sum
+            FROM occ0 o LEFT JOIN wt{p} t USING (bucket)
+            GROUP BY o.doc_id
+        ),
+        clf_err{k} AS MATERIALIZED (
+            SELECT n.doc_id, n.n_feat,
+                   CAST(floor((1.0 / (1.0 + exp(-(CAST(s.w_sum AS DOUBLE)
+                        / (n.n_feat * 1000.0)))) - n.y) * 1e9) AS BIGINT)
+                       AS err_nano
+            FROM clf_nf n JOIN clf_ws{k} s USING (doc_id)
+        ),
+        clf_g{k} AS MATERIALIZED (
+            SELECT o.bucket,
+                   SUM(CAST(floor(CAST(e.err_nano * o.occ AS DOUBLE)
+                       / e.n_feat) AS BIGINT)) AS g
+            FROM occ0 o JOIN clf_err{k} e USING (doc_id)
+            GROUP BY o.bucket
+        ),
+        wt{k} AS MATERIALIZED (
+            SELECT COALESCE(t.bucket, g.bucket) AS bucket,
+                   COALESCE(t.weight, 0)
+                   - CAST(floor(CAST(COALESCE(g.g, 0) * {ln} AS DOUBLE)
+                       / CAST((SELECT n FROM clf_nd) * {ld} * 1000000
+                              AS DOUBLE)) AS BIGINT) AS weight
+            FROM wt{p} t FULL OUTER JOIN clf_g{k} g ON t.bucket = g.bucket
+        )"""
+        )
+    return ",".join(parts)
+
+
+def _classifier_train_oracle_sql() -> str:
+    return (
+        "WITH "
+        + _classifier_train_ctes()
+        + f"""
+        SELECT bucket::BIGINT AS bucket, weight::BIGINT AS weight
+        FROM wt{_CLF_EPOCHS} WHERE weight <> 0
+    """
+    )
+
+
+def _classifier_train_score_oracle_sql() -> str:
+    return (
+        "WITH "
+        + _classifier_train_ctes()
+        + f"""
+        SELECT o.doc_id,
+               SUM(o.occ * COALESCE(t.weight, 0))::BIGINT AS w_sum,
+               SUM(o.occ)::BIGINT AS n_feat,
+               (SUM(o.occ * COALESCE(t.weight, 0)) > 0) AS clf_keep
+        FROM occ0 o LEFT JOIN wt{_CLF_EPOCHS} t USING (bucket)
+        GROUP BY o.doc_id
+    """
+    )
 
 _STOP = {
     "de": ["der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"],
@@ -4997,6 +5150,8 @@ def oracle_sql() -> dict[str, str]:
                    (sum((bkt * 2654435761) % 2001 - 1000) > 0) AS clf_keep
             FROM b GROUP BY doc_id
         """,
+        "text_classifier_train": _classifier_train_oracle_sql(),
+        "text_classifier_train_score": _classifier_train_score_oracle_sql(),
         "f_content_sniff": f"""
             WITH pages AS (
                 SELECT doc_id,

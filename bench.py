@@ -253,6 +253,54 @@ def bench_signatures(spark) -> tuple[float, dict]:
     }
 
 
+def bench_dedup_index_split(spark) -> dict:
+    """Extra keys only: the persisted-MinHash-index BUILD (one-time,
+    standing corpus banded + saved) timed separately from the PROBE
+    (steady-state: load + broadcast-probe + exact verify), because the
+    headline `dedup_index_query` entry deliberately runs the one-shot
+    build-inside-query shape and therefore conflates the two costs."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from wos_crawler_spark.operators.dedupindex import (
+        dedup_index_build,
+        dedup_index_load,
+        dedup_index_query,
+        dedup_index_save,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    tmp = tempfile.mkdtemp(prefix="wcs-dedupidx-")
+    try:
+        t0 = time.time()
+        idx = dedup_index_build(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            shingle_n=1, k=32, n_bands=8,
+        )
+        dedup_index_save(idx, tmp)
+        build_s = time.time() - t0
+        t0 = time.time()
+        loaded = dedup_index_load(spark, tmp)
+        hits = dedup_index_query(
+            loaded, docs.filter(F.col("doc_id") % 2 == 1),
+            t_num=1, t_den=2,
+        )
+        n_hits = hits.count()
+        probe_s = time.time() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "dedup_index_build_sec": round(build_s, 3),
+        "dedup_index_probe_sec": round(probe_s, 3),
+        "dedup_index_probe_hits": n_hits,
+    }
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -296,6 +344,17 @@ def main() -> None:
             df.count()
             dt = round(time.time() - t0, 3)
             queries[name] = min(queries.get(name, dt), dt)
+
+    # split build/probe timing for the persisted index (extras only;
+    # headline dedup_index_query keeps the one-shot shape) — best-of-2
+    best_split = None
+    for _ in range(2):
+        s = bench_dedup_index_split(spark)
+        if best_split is None or s["dedup_index_probe_sec"] < best_split[
+            "dedup_index_probe_sec"
+        ]:
+            best_split = s
+    extra.update(best_split)
 
     total = round(sum(queries.values()), 3)
     out = {

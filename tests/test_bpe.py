@@ -177,6 +177,54 @@ def test_checkpointed_path_equal(spark):
     assert final.count() == 4  # word table survives checkpointing
 
 
+def test_batched_equals_sequential(spark):
+    """batch>1 must be bit-identical to the sequential argmax loop —
+    select_merge_batch's whole contract (symbol-disjoint prefix +
+    strict descent at the cut). Random corpus over a tiny alphabet so
+    ties and overlapping-pair hazards are dense."""
+    rng = random.Random(7)
+    alphabet = "abcd"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+        for _ in range(40)
+    ]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(3, 20))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    wc = corpus_word_counts(df)
+    m_seq, _ = bpe_train(wc, 30, batch=1)
+    ref_merges, _ = _ref_train(_wc([t for _, t in docs]), 30)
+    assert m_seq == ref_merges
+    for b in (2, 8, 64):
+        m_b, final_b = bpe_train(wc, 30, batch=b)
+        assert m_b == m_seq, f"batch={b}"
+    # the final word table matches the twin's post-merge state too
+    got = {r.word: r.syms for r in final_b.collect()}
+    _, ref_vocab = _ref_train(_wc([t for _, t in docs]), 30)
+    assert got == {w: syms for w, (syms, _) in ref_vocab.items()}
+
+
+def test_select_merge_batch_strict_descent():
+    from wos_crawler_spark.operators.bpe import select_merge_batch
+
+    # overlap cut: ('b','c') shares 'b' → stop; tie with the cut count
+    # pops ('x','y') (rule 2); survivors strictly above the cut
+    ranked = [("a", "b", 10), ("x", "y", 5), ("b", "c", 5), ("q", "r", 4)]
+    assert select_merge_batch(ranked, 4, saw_all=True) == [("a", "b", 10)]
+    # no overlap, saw_all: everything selected, no cut
+    ranked = [("a", "b", 10), ("c", "d", 10), ("e", "f", 10)]
+    assert select_merge_batch(ranked, 4, saw_all=True) == ranked
+    # not saw_all: unseen rows may tie the tail → tail ties popped
+    assert select_merge_batch(ranked, 4, saw_all=False) == [
+        ("a", "b", 10)
+    ]  # rule 3 keeps rank-1 after rule 2 empties the tie run
+    # merged-symbol collision counts as overlap: 'ab' created by #1
+    ranked = [("a", "b", 10), ("ab", "z", 6)]
+    assert select_merge_batch(ranked, 4, saw_all=True) == [("a", "b", 10)]
+
+
 def test_early_stop(spark):
     # single-char words exhaust their pairs quickly
     df = spark.createDataFrame([(0, "a b a b")], "doc_id long, text string")

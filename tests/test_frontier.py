@@ -160,6 +160,28 @@ def test_wave_metrics(engine_run):
     assert m[0]["scheduled"] > 0 and m[0]["hits"] == m[0]["scheduled"]
     # expansion happened into wave 1
     assert len(m) > 1 and m[1]["scheduled"] > 0
+    # per-gate admission-funnel counters: one row per stage boundary
+    # per wave, monotonically non-increasing along the fresh path, so
+    # per-gate drop attribution is consecutive-stage subtraction
+    rep = engine_run.gate_report()
+    assert rep is not None
+    assert set(rep.columns) == {"wave", "stage_order", "stage", "rows"}
+    rows = rep.collect()
+    by_wave: dict[int, dict[str, int]] = {}
+    for r in rows:
+        by_wave.setdefault(r["wave"], {})[r["stage"]] = r["rows"]
+    for w in engine_run.waves:
+        stages = by_wave[w.wave]
+        for s in ("input", "post_robots", "post_urlgate", "post_trap",
+                  "post_dedup", "retry_bypass"):
+            assert s in stages, (w.wave, stages)
+        # the funnel only narrows (retries are counted separately)
+        assert stages["input"] >= stages["post_robots"]
+        fresh_in = stages["post_robots"] - stages["retry_bypass"]
+        assert fresh_in >= stages["post_urlgate"] >= stages["post_trap"]
+        assert stages["post_trap"] >= stages["post_dedup"]
+        # everything the wave scheduled came through the funnel
+        assert w.scheduled <= stages["post_dedup"] + stages["retry_bypass"]
 
 
 def test_disk_only_join_caches_identical_output(spark, world, engine_run):

@@ -142,10 +142,69 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+def select_merge_batch(
+    ranked: list[tuple[str, str, int]],
+    batch: int,
+    saw_all: bool,
+) -> list[tuple[str, str, int]]:
+    """Pick the longest prefix-of-safe-merges from one round's ranked
+    pair counts such that applying them together is PROVABLY equal to
+    running the sequential argmax loop merge-by-merge.
+
+    ``ranked`` is the top-K slice of the current pair-count table in
+    the total order ``(cnt DESC, left ASC, right ASC)``; ``saw_all``
+    says whether the slice is the whole table. Rules (each justified
+    against the sequential algorithm):
+
+    1. **Symbol-disjointness.** Scan in rank order, selecting while the
+       candidate shares no symbol with any earlier selection's
+       ``{left, right, left+right}`` footprint; STOP at the first
+       overlap. Merging (a,b) only changes counts of pairs touching
+       ``a``/``b``/``ab``: a disjoint pair's occurrences (and hence its
+       count AND its recorded ``pair_n``) are untouched, so every
+       selected pair is still the exact argmax at its sequential step —
+       except for the tie case rule 2 closes.
+    2. **Strict descent at the cut.** New pairs created by a merge
+       (``(x, ab)``, ``(ab, y)``) have counts bounded by the OLD counts
+       of the overlapping pairs ``(x, a)`` / ``(b, y)``; every
+       overlapping unselected pair ranks at/after the stop point, so
+       its count is ≤ the stop candidate's. A created pair could
+       therefore TIE a later selection's count and win the
+       lexicographic tie-break under a different name — so drop the
+       selected tail down to counts STRICTLY ABOVE the stop
+       candidate's count.
+    3. If rule 2 empties the selection, keep the rank-1 pair alone
+       (a batch of one is the sequential step itself, always exact).
+
+    When the slice is exhausted without a stop and ``saw_all`` is
+    False, unseen pairs may tie the last row — the cut count is the
+    last row's own count (rule 2 then pops it and its ties). With
+    ``saw_all`` True there is nothing below the slice and no cut."""
+    selected: list[tuple[str, str, int]] = []
+    footprint: set[str] = set()
+    cut_cnt: int | None = None
+    for a, b, cnt in ranked:
+        if len(selected) == batch or a in footprint or b in footprint:
+            cut_cnt = cnt
+            break
+        selected.append((a, b, cnt))
+        footprint.update((a, b, a + b))
+    else:
+        if not saw_all and ranked:
+            cut_cnt = ranked[-1][2]
+    if cut_cnt is not None:
+        while selected and selected[-1][2] <= cut_cnt:
+            selected.pop()
+    if not selected and ranked:
+        selected = [ranked[0]]
+    return selected
+
+
 def bpe_train(
     words: DataFrame,
     n_merges: int,
     checkpoint_every: int = 8,
+    batch: int = 8,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges from a ``(word, n)`` table.
 
@@ -156,25 +215,44 @@ def bpe_train(
     Stops early if no adjacent pair remains. Argmax ties break on
     lexicographic ``(left, right)`` — deterministic across engines
     and partitionings.
-    """
+
+    ``batch`` > 1 amortizes the driver round-trips: each round collects
+    the top-``4*batch`` pair counts ONCE and applies the longest
+    provably-sequential-equal prefix (see :func:`select_merge_batch`),
+    so the merge list is bit-identical to ``batch=1`` while the number
+    of sequential Spark jobs drops from ``n_merges`` to about
+    ``n_merges / batch`` — the difference between ~10^5 and ~10^3
+    driver round-trips for a production 32k-merge vocabulary. The
+    selected merges chain as nested Catalyst folds in ONE projection
+    (map-side, no extra jobs); lineage still truncates every
+    ``checkpoint_every`` APPLIED merges."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    if batch < 1:
+        raise ValueError("batch must be >= 1")
     cur = words.select("word", "n", _initial_symbols().alias("syms"))
     merges: list[tuple[str, str, int]] = []
-    for step in range(n_merges):
+    since_ckpt = 0
+    while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
+        k = 4 * want + 1
         top = (
             _pair_counts(cur)
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(k)
             .collect()
         )
         if not top:
             break
-        a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
-        merges.append((a, b, cnt))
-        cur = cur.withColumn("syms", _merge_pass(F.col("syms"), a, b))
-        if (step + 1) % checkpoint_every == 0:
-            cur = cur.localCheckpoint(eager=True)
+        picked = select_merge_batch(
+            [(r.a, r.b, int(r.cnt)) for r in top], want, saw_all=len(top) < k
+        )
+        for a, b, cnt in picked:
+            merges.append((a, b, cnt))
+            cur = cur.withColumn("syms", _merge_pass(F.col("syms"), a, b))
+            since_ckpt += 1
+            if since_ckpt % checkpoint_every == 0:
+                cur = cur.localCheckpoint(eager=True)
     return merges, cur
 
 

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -136,8 +137,8 @@ def latest_compaction(ckpt_dir: str, upto_wave: int) -> int | None:
     waves = [
         k
         for name in os.listdir(ckpt_dir)
-        if name.startswith("compact=")
-        and (k := int(name.split("=", 1)[1])) <= upto_wave
+        if (m := re.fullmatch(r"compact=(\d+)", name)) is not None
+        and (k := int(m.group(1))) <= upto_wave
         and os.path.exists(os.path.join(ckpt_dir, name, "_COMMITTED"))
     ]
     return max(waves) if waves else None
@@ -164,8 +165,16 @@ def compact_seen(
     latest delta wave, so post-compaction evictions still CDC-cancel
     base keys correctly. Bucketed+sorted by url_hash: co-located with
     the seen-side join key, row-group-prunable."""
-    seen = read_seen(spark, ckpt_dir, upto_wave)
+    # Marker-last must hold on RE-compaction too: a stale _COMMITTED
+    # surviving over a mid-overwrite crash would vouch for torn data.
+    # Dropping it FIRST also makes read_seen recompute from an earlier
+    # base + deltas instead of lazily self-reading the directory we are
+    # about to overwrite.
     d = compact_dir(ckpt_dir, upto_wave)
+    marker = os.path.join(d, "_COMMITTED")
+    if os.path.exists(marker):
+        os.remove(marker)
+    seen = read_seen(spark, ckpt_dir, upto_wave)
     (
         seen.repartition(buckets, "url_hash")
         .sortWithinPartitions("url_hash")

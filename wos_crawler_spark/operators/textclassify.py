@@ -228,6 +228,141 @@ def classifier_score(
     return _with_derived(annotated, threshold_milli)
 
 
+def train_quality_classifier(
+    labeled: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+    n_buckets: int = DEFAULT_BUCKETS,
+    digest: str = "md5",
+    epochs: int = 3,
+    lr_num: int = 2000,
+    lr_den: int = 1,
+) -> DataFrame:
+    """Distributed logistic-regression fit over the SAME hashed
+    unigram+bigram features :func:`classifier_score` consumes — the
+    step that produces the fastText-style gate's weights from labeled
+    seed sets (Joulin et al. 2016 training objective, full-batch
+    gradient descent, mean-pooled bag of features), instead of
+    requiring a caller-supplied model.
+
+    Returns the ``(bucket, weight)`` integer milli-weight table
+    (non-zero rows only; absent = 0) that
+    :func:`classifier_score_expr` / :func:`weights_from_table` accept
+    directly.
+
+    Cross-engine float discipline (the lmscore/pagerank protocol —
+    every step is restatable in static SQL and bit-stable across
+    engines and partitionings):
+
+    - Features pre-aggregate ONCE to ``(id, bucket, occ)`` + per-doc
+      ``n_feat`` — the only corpus-scale pass; epochs run on this
+      bounded table.
+    - Epoch logit ``x = w_sum / (n_feat * 1000.0)`` is a single IEEE
+      division of exact integers; ``p = 1/(1+exp(-x))`` applies the
+      one transcendental to that identical double (the lm_score
+      precedent for ``ln`` over exact integer inputs).
+    - The residual floor-quantizes immediately:
+      ``err_nano = floor((p - label) * 1e9)`` BIGINT; the per-doc
+      gradient share ``floor(err_nano * occ / n_feat)`` and the
+      per-bucket sum are exact integer arithmetic — summation order
+      can never matter.
+    - The update ``w -= floor(g * lr_num / (n_docs * lr_den * 1e6))``
+      (nano → milli) is one floored IEEE quotient of exact integers.
+
+    Per epoch: one (id)-keyed partial-aggregated exchange (doc logits)
+    + one bucket-keyed exchange capped at ``n_buckets`` rows; the
+    weight table broadcasts. Labeled seed sets are small by published
+    practice (10^4–10^7 docs); ``n_docs`` > 4e6 raises rather than
+    silently overflowing the 2^53-exact integer window of
+    ``g * lr_num``."""
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1")
+    if lr_num < 1 or lr_den < 1:
+        raise ValueError("learning rate must be a positive ratio")
+    spark = labeled.sparkSession
+    feats = classifier_features(labeled, id_col, text_col, n_buckets, digest)
+    occ = (
+        feats.groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .localCheckpoint(eager=True)
+    )
+    per_doc = (
+        occ.groupBy(id_col)
+        .agg(F.sum("occ").alias("n_feat"))
+        .join(
+            labeled.select(
+                F.col(id_col), F.col(label_col).cast("double").alias("_y")
+            ),
+            id_col,
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_docs = per_doc.count()
+    if n_docs == 0:
+        raise ValueError("no labeled documents with features")
+    if n_docs > 4_000_000:
+        raise ValueError(
+            f"n_docs={n_docs} exceeds the 2^53-exact training window; "
+            "sample the labeled seed set (published gates train on "
+            "10^4-10^7 docs)"
+        )
+    weights = spark.createDataFrame([], "bucket long, weight long")
+    denom = F.lit(n_docs * lr_den * 1_000_000).cast("double")
+    for _epoch in range(epochs):
+        w_sum = (
+            occ.join(F.broadcast(weights), "bucket", "left")
+            .groupBy(id_col)
+            .agg(
+                F.sum(
+                    F.col("occ") * F.coalesce(F.col("weight"), F.lit(0))
+                ).alias("w_sum")
+            )
+        )
+        x = F.col("w_sum").cast("double") / (
+            F.col("n_feat") * F.lit(1000.0)
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-x))
+        err = per_doc.join(w_sum, id_col).select(
+            F.col(id_col),
+            "n_feat",
+            F.floor((p - F.col("_y")) * F.lit(1e9))
+            .cast("long")
+            .alias("err_nano"),
+        )
+        grad = (
+            occ.join(err, id_col)
+            .select(
+                "bucket",
+                F.floor(
+                    (F.col("err_nano") * F.col("occ")).cast("double")
+                    / F.col("n_feat")
+                )
+                .cast("long")
+                .alias("_c"),
+            )
+            .groupBy("bucket")
+            .agg(F.sum("_c").alias("g"))
+        )
+        weights = (
+            weights.join(grad, "bucket", "full")
+            .select(
+                "bucket",
+                (
+                    F.coalesce(F.col("weight"), F.lit(0))
+                    - F.floor(
+                        (F.coalesce(F.col("g"), F.lit(0)) * F.lit(lr_num))
+                        .cast("double")
+                        / denom
+                    ).cast("long")
+                ).alias("weight"),
+            )
+            .filter(F.col("weight") != 0)
+            .localCheckpoint(eager=True)
+        )
+    return weights
+
+
 def weights_from_table(weights: DataFrame, n_buckets: int):
     """Collect a (bucket, weight) table into the dense numpy vector
     the Arrow flavor ships — driver-scale by contract (n_buckets

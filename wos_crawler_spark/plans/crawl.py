@@ -184,6 +184,12 @@ class WaveResult:
     parsed: DataFrame | None = None
     candidates: DataFrame | None = None  # cached; unpersisted post-ckpt
     part_metrics: DataFrame | None = None  # lazy per-partition counters
+    #: lazy (wave, stage, rows) admission-funnel counters — one row per
+    #: gate boundary (input → post_robots → post_urlgate → post_trap →
+    #: post_dedup, plus retry_bypass), so per-gate drop attribution is
+    #: consecutive-stage subtraction; costs one agg job ONLY when
+    #: materialized (same contract as part_metrics)
+    gate_metrics: DataFrame | None = None
     wall_s: float = 0.0  # driver wall-clock for this wave (incl. ckpt)
 
 
@@ -214,6 +220,20 @@ class CrawlResult:
             }
             for w in self.waves
         ]
+
+    def gate_report(self) -> DataFrame | None:
+        """Union of every wave's lazy admission-funnel counters
+        (``(wave, stage_order, stage, rows)``): per-gate drop
+        attribution = consecutive-stage subtraction within a wave.
+        Materializing it costs one agg job per wave; until then it is
+        free (the frames read the materialized per-wave frontiers)."""
+        frames = [w.gate_metrics for w in self.waves if w.gate_metrics is not None]
+        if not frames:
+            return None
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
 
 #: Above this, seed evaluation falls back to a broadcast theta join.
@@ -498,6 +518,17 @@ def run_wave(
     # per wave instead of two.
     filtered = allowed.filter(~F.col("dont_filter"))
     bypass = allowed.filter(F.col("dont_filter"))
+    # admission-funnel stage frames for the lazy gate_metrics report
+    # (NOT df.observe: the fresh/bypass branches both re-instantiate
+    # the `allowed` subtree, and with bloom_prefilter dedup_frontier
+    # splits again, so a CollectMetrics node there would be duplicated
+    # in one query plan — the lazy count frame is branch-safe and free
+    # until materialized)
+    gate_stages: list[tuple[str, DataFrame]] = [
+        ("input", frontier),
+        ("post_robots", allowed),
+        ("retry_bypass", bypass),
+    ]
     if cfg.url_gate:
         # F1h: URL-level quality gate on fresh candidates (retries
         # bypass — they already passed admission once). Map-side
@@ -507,6 +538,7 @@ def run_wave(
         filtered = filtered.filter(
             url_keep_expr(F.col("url_canon"), **cfg.url_gate_kwargs)
         )
+    gate_stages.append(("post_urlgate", filtered))
     if cfg.trap_cap is not None:
         # F1g: per-(host, shape) explosion cap on FRESH candidates —
         # retries bypass (they already passed admission once).
@@ -516,9 +548,22 @@ def run_wave(
             filtered, cfg.trap_cap, keep=cfg.trap_keep,
             url_col="url_canon",
         )
+    gate_stages.append(("post_trap", filtered))
     fresh = dedup_frontier(
         filtered, seen, bloom if cfg.bloom_prefilter else None, intra=False
     )
+    gate_stages.append(("post_dedup", fresh))
+    gate_metrics = None
+    for _order, (_name, _df) in enumerate(gate_stages):
+        _row = _df.agg(F.count(F.lit(1)).alias("rows")).select(
+            F.lit(wave).alias("wave"),
+            F.lit(_order).alias("stage_order"),
+            F.lit(_name).alias("stage"),
+            "rows",
+        )
+        gate_metrics = (
+            _row if gate_metrics is None else gate_metrics.unionByName(_row)
+        )
     # ALWAYS cache: the Bloom dedup is a two-branch union (new ∪
     # rescued) and the scheduler reads candidates twice more
     # (salt_counts agg + the schedule join) — without the cache the
@@ -724,6 +769,7 @@ def run_wave(
         parsed=parsed,
         candidates=candidates,
         part_metrics=part_metrics,
+        gate_metrics=gate_metrics,
     )
     return res, next_frontier, seen_delta
 
@@ -853,6 +899,8 @@ def run_crawl(
         # schedule_wave. The inter-wave gap stays conservative under
         # the escalated delays (one driver-scale max over the dim).
         eff_delays, eff_gap = host_delays, inter_wave_gap
+        bo = None
+        pre_bo_frontier = None
         if cfg.backoff and host_stats is not None:
             from wos_crawler_spark.operators.backoff import backoff_plan
 
@@ -875,6 +923,7 @@ def run_crawl(
                 fkey = F.coalesce(
                     registrable_domain(F.col("host")), F.col("host")
                 )
+            pre_bo_frontier = frontier
             frontier = frontier.join(
                 F.broadcast(quar), fkey == F.col("_qkey"), "left_anti"
             )
@@ -887,6 +936,18 @@ def run_crawl(
             host_delays=eff_delays, inter_wave_gap_s=eff_gap,
             rmap=rmap,
         )
+        if pre_bo_frontier is not None and res.gate_metrics is not None:
+            # prepend the backoff-quarantine boundary so the funnel
+            # reads pre_backoff → input → post_robots → … (quarantine
+            # drop = pre_backoff − input)
+            res.gate_metrics = pre_bo_frontier.agg(
+                F.count(F.lit(1)).alias("rows")
+            ).select(
+                F.lit(wave).alias("wave"),
+                F.lit(-1).alias("stage_order"),
+                F.lit("pre_backoff").alias("stage"),
+                "rows",
+            ).unionByName(res.gate_metrics)
         out.waves.append(res)
         if cfg.backoff:
             from wos_crawler_spark.operators.backoff import fold_host_stats
@@ -1090,6 +1151,12 @@ def run_crawl(
                 F.count(F.lit(1)), F.sum(F.col("dont_filter").cast("long"))
             ).first()
         frontier_n = int(nf_n)
+        if bo is not None:
+            # the wave's backoff dim is fully consumed (quarantine
+            # anti-join, eff_delays, max_eff) once the frontier/seen/
+            # bloom tail jobs above have materialized — release it so
+            # cached dims don't accumulate one-per-wave on long crawls
+            bo.unpersist()
         if res.candidates is not None:
             res.candidates.unpersist()  # next frontier is materialized now
         if not cfg.keep_wave_caches and res.fetched is not None:
