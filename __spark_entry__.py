@@ -1796,6 +1796,54 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the Arrow multimodal path: valid
+    binary PPM (P6) payloads (synth_ppm_media — closed-form pixels)
+    → pure-numpy netpbm decoder → integer grayscale 4×4 grid-mean
+    features (multimodal.netpbm_grid_features), one row per (asset,
+    cell). Because the fixture's pixels are pure arithmetic on
+    (asset_id, x, y, channel), the oracle recomputes every cell mean
+    from the formula WITHOUT parsing PPM — a value-level check with
+    the decoder as the only component in between (no snapshot pin)."""
+    from wos_crawler_spark.operators.multimodal import (
+        extract_features,
+        netpbm_grid_features,
+        synth_ppm_media,
+    )
+
+    media = synth_ppm_media(spark, 200)
+    feats = extract_features(media, decode_fn=netpbm_grid_features)
+    return feats.select(
+        "asset_id", F.posexplode("features").alias("cell", "_g")
+    ).select(
+        "asset_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.col("_g").cast("long").alias("gray_mean"),
+    )
+
+
+def q_multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection — the multimodal member of the
+    dedup family: real PPM decode → integer dHash (9×8 grid-mean
+    difference hash, 8 row-byte bands) → banded candidate join
+    (pigeonhole-exact for Hamming ≤ 7) → exact Hamming verify. The
+    fixture plants 50 byte-identical duplicates (seed_mod=150 → assets
+    150..199 copy 0..49 under new ids). The oracle recomputes the
+    hash from closed-form pixels and brute-forces ALL pairs — so it
+    checks the decoder, the hash, AND the banding's recall at once."""
+    from wos_crawler_spark.operators.multimodal import (
+        image_near_dup,
+        synth_ppm_media,
+    )
+
+    media = synth_ppm_media(spark, 200, seed_mod=150)
+    return image_near_dup(media, max_hamming=4).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-sampling plumbing: resize metadata restamp +
     per-video frame timestamps (sequence explode — decode stubbed, the
@@ -3169,6 +3217,127 @@ def q_pipeline_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation chain v5 — the MODEL-GATED pipeline (the published
+    fastText-gate recipe end to end): train the quality classifier
+    from deterministic seed labels → score the WHOLE corpus with the
+    trained weights via the ARROW scale path (weights ship per
+    executor, corpus annotated in place — zero shuffles, zero joins;
+    the plan that survives 100 TB) → keep clf_keep docs → exact
+    dedup keep-first on the survivors → deterministic split. The
+    oracle recomputes training (all epochs), scoring, the gate, the
+    dedup and the split from scratch."""
+    from wos_crawler_spark.operators.sampling import split_train_holdout
+    from wos_crawler_spark.operators.textclassify import (
+        classifier_score,
+        train_quality_classifier,
+        weights_from_table,
+    )
+    from wos_crawler_spark.operators.textdedup import exact_dedup_keep
+
+    # deterministic class-marker injection (the curation_v4 idiom —
+    # the fixture languages share one vocabulary, so the stage must
+    # plant the signal it claims to learn): positives get a
+    # ' qmark<k>' run, negatives ' junkad<k>', repeated so the
+    # marker mass dominates the mean-pooled logit (the shape of real
+    # spam/quality signals) and the gate provably bites — measured:
+    # all positives kept, all negatives rejected at these params
+    d = F.col("doc_id")
+    labeled = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.repeat(
+                    F.concat(F.lit(" qmark"), (d % 5).cast("string")), 12
+                ),
+            ).otherwise(
+                F.repeat(
+                    F.concat(F.lit(" junkad"), (d % 7).cast("string")), 12
+                )
+            ),
+        ).alias("text"),
+        (d % 3 == 0).cast("int").alias("label"),
+    )
+    w = train_quality_classifier(
+        labeled,
+        n_buckets=_CLF_NB,
+        epochs=_CLF_EPOCHS,
+        lr_num=_CLF_LR_NUM,
+        lr_den=_CLF_LR_DEN,
+    )
+    vec = weights_from_table(w, _CLF_NB)
+    scored = classifier_score(
+        labeled.select("doc_id", "text"), vec, n_buckets=_CLF_NB
+    )
+    gated = scored.filter(F.col("clf_keep")).select(
+        "doc_id", "text", "w_sum", "n_feat"
+    )
+    kept = exact_dedup_keep(gated, id_col="doc_id", text_col="text")
+    train, hold = split_train_holdout(
+        kept, "doc_id", holdout_rate=0.2, salt="cur5"
+    )
+    out = train.withColumn("split", F.lit("train")).unionByName(
+        hold.withColumn("split", F.lit("holdout"))
+    )
+    return out.select(
+        "doc_id",
+        F.col("w_sum").cast("long").alias("w_sum"),
+        F.col("n_feat").cast("long").alias("n_feat"),
+        F.md5("text").alias("final_md5"),
+        "split",
+    )
+
+
+def _curation_v5_oracle_sql() -> str:
+    norm_digest = (
+        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    )
+    v5docs = """
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 3 = 0
+                            THEN repeat(' qmark' || (doc_id % 5), 12)
+                            ELSE repeat(' junkad' || (doc_id % 7), 12)
+                       END AS text
+        FROM documents
+    """
+    return (
+        "WITH v5docs AS MATERIALIZED ("
+        + v5docs
+        + "), "
+        + _classifier_train_ctes(
+            docs_sql="SELECT doc_id, text FROM v5docs",
+        )
+        + f""",
+        scored AS MATERIALIZED (
+            SELECT o.doc_id,
+                   SUM(o.occ * COALESCE(t.weight, 0)) AS w_sum,
+                   SUM(o.occ) AS n_feat
+            FROM occ0 o LEFT JOIN wt{_CLF_EPOCHS} t USING (bucket)
+            GROUP BY o.doc_id
+        ),
+        gated AS MATERIALIZED (
+            SELECT d.doc_id, d.text, s.w_sum, s.n_feat
+            FROM v5docs d JOIN scored s USING (doc_id)
+            WHERE s.w_sum > 0
+        ),
+        kept AS (
+            SELECT * FROM gated WHERE doc_id IN (
+                SELECT min(doc_id) FROM gated GROUP BY {norm_digest}
+            )
+        )
+        SELECT doc_id, CAST(w_sum AS BIGINT) AS w_sum,
+               CAST(n_feat AS BIGINT) AS n_feat,
+               md5(text) AS final_md5,
+               CASE WHEN ('0x' || substr(md5(doc_id || 'cur5'), 1, 8))
+                         ::BIGINT / 4294967296.0 < 0.2
+                    THEN 'holdout' ELSE 'train' END AS split
+        FROM kept
+    """
+    )
+
+
 def _curation_v4_oracle_sql() -> str:
     """From-scratch recomputation of the whole v4 chain: DuckDB
     nfc_normalize + the shared strip patterns, the shared PII
@@ -3554,6 +3723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "a_heavy_hitter_keys": q_heavy_hitters,
         "pipeline_curation_v4": q_pipeline_curation_v4,
+        "pipeline_curation_v5": q_pipeline_curation_v5,
         "s3_advanced_query": q_s3_advanced_query,
         "s_sitemap_stale": q_s_sitemap_stale,
         "pipeline_seed_discovery": q_pipeline_seed_discovery,
@@ -3576,6 +3746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f5_doctype_filter": q_f5_doctype_filter,
         "crawl_end_to_end": q_crawl_end_to_end,
         "multimodal_features": q_multimodal_features,
+        "multimodal_decode_real": q_multimodal_decode_real,
+        "multimodal_image_neardup": q_multimodal_image_neardup,
         "multimodal_frames": q_multimodal_frames,
     }
 
@@ -3588,7 +3760,10 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _WORDS = f"string_split({_NORM}, ' ')"
 
 
-def _classifier_train_ctes() -> str:
+def _classifier_train_ctes(
+    label_sql: str = "CASE WHEN d2.doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END",
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
     """From-scratch recomputation of train_quality_classifier: the
     hashed-feature occurrence table, then one (w_sum → sigmoid →
     nano-residual → per-bucket gradient → floored update) CTE chain
@@ -3601,7 +3776,7 @@ def _classifier_train_ctes() -> str:
     parts = [
         f"""
         clf_wl AS (
-            SELECT doc_id, {_WORDS} AS ws FROM documents
+            SELECT doc_id, {_WORDS} AS ws FROM ({docs_sql})
             WHERE text IS NOT NULL
         ),
         clf_f AS (
@@ -3620,9 +3795,10 @@ def _classifier_train_ctes() -> str:
             FROM clf_f GROUP BY doc_id, bucket
         ),
         clf_nf AS MATERIALIZED (
-            SELECT doc_id, SUM(occ) AS n_feat,
-                   CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS y
-            FROM occ0 GROUP BY doc_id
+            SELECT t.doc_id, t.n_feat, {label_sql} AS y
+            FROM (SELECT doc_id, SUM(occ) AS n_feat
+                  FROM occ0 GROUP BY doc_id) t
+            JOIN documents d2 USING (doc_id)
         ),
         clf_nd AS MATERIALIZED (SELECT COUNT(*) AS n FROM clf_nf),
         wt0 AS (SELECT CAST(NULL AS BIGINT) AS bucket,
@@ -5782,6 +5958,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pipeline_curation_v2": _curation_v2_oracle_sql(),
         "pipeline_curation_v4": _curation_v4_oracle_sql(),
+        "pipeline_curation_v5": _curation_v5_oracle_sql(),
         "s3_advanced_query": _wosquery_oracle_sql(),
         "j4_seed_match_advanced": _adv_seed_oracle_sql(),
         "text_strip_boilerplate": _boilerplate_oracle_sql(),
@@ -6271,6 +6448,88 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_features": f"""
             SELECT asset_id, feat_dim, f0 FROM {_snap("media_feats")}
+        """,
+        "multimodal_decode_real": """
+            -- closed-form pixel twin of the PPM fixture: pixel (x, y)
+            -- channel c of asset i is (i*31 + x*7 + y*13 + c*97) % 256,
+            -- gray = (r+g+b) // 3, cell of x = x*4 // w; the engine
+            -- must arrive at the same integers THROUGH real PPM bytes
+            -- and the real decoder
+            WITH d AS (
+                SELECT i, 8 + i % 5 AS w, 6 + i % 3 AS h
+                FROM (SELECT unnest(range(0, 200)) AS i)
+            ),
+            px AS (
+                SELECT d.i, ux.x, uy.y, d.w, d.h,
+                       ((d.i*31 + ux.x*7 + uy.y*13) % 256
+                        + (d.i*31 + ux.x*7 + uy.y*13 + 97) % 256
+                        + (d.i*31 + ux.x*7 + uy.y*13 + 194) % 256) // 3
+                           AS gray
+                FROM d, unnest(range(0, d.w)) ux(x),
+                        unnest(range(0, d.h)) uy(y)
+            )
+            SELECT i AS asset_id,
+                   ((y*4) // h) * 4 + (x*4) // w AS cell,
+                   CAST(SUM(gray) // COUNT(*) AS BIGINT) AS gray_mean
+            FROM px GROUP BY asset_id, cell
+        """,
+        "multimodal_image_neardup": """
+            -- closed-form dHash twin + BRUTE-FORCE all-pairs verify:
+            -- asset i's pixel seed is j = i % 150 (assets 150..199
+            -- duplicate 0..49); gray/cell formulas as in
+            -- multimodal_decode_real but on the 9×8 dHash grid; a row
+            -- byte's bit cx is set iff cell[cx+1] > cell[cx]. Cells a
+            -- narrow image never occupies are 0 in the engine (numpy
+            -- zeros), so the full grid is materialized with COALESCE.
+            WITH a AS (
+                SELECT i, i % 150 AS j
+                FROM (SELECT unnest(range(0, 200)) AS i)
+            ),
+            d AS (
+                SELECT a.i, a.j, 8 + a.j % 5 AS w, 6 + a.j % 3 AS h
+                FROM a
+            ),
+            px AS (
+                SELECT d.i, ux.x, uy.y, d.w, d.h,
+                       ((d.j*31 + ux.x*7 + uy.y*13) % 256
+                        + (d.j*31 + ux.x*7 + uy.y*13 + 97) % 256
+                        + (d.j*31 + ux.x*7 + uy.y*13 + 194) % 256) // 3
+                           AS gray
+                FROM d, unnest(range(0, d.w)) ux(x),
+                        unnest(range(0, d.h)) uy(y)
+            ),
+            cells0 AS (
+                SELECT i, (y*8) // h AS cy, (x*9) // w AS cx,
+                       CAST(SUM(gray) // COUNT(*) AS BIGINT) AS cell
+                FROM px GROUP BY i, cy, cx
+            ),
+            grid AS (
+                SELECT a.i, cy.cy, cx.cx
+                FROM a, unnest(range(0, 8)) cy(cy),
+                        unnest(range(0, 9)) cx(cx)
+            ),
+            cells AS (
+                SELECT g.i, g.cy, g.cx, COALESCE(c.cell, 0) AS cell
+                FROM grid g LEFT JOIN cells0 c
+                  ON c.i = g.i AND c.cy = g.cy AND c.cx = g.cx
+            ),
+            bands AS (
+                SELECT c1.i, c1.cy AS band_id,
+                       CAST(SUM(CASE WHEN c2.cell > c1.cell
+                                     THEN 1 << c1.cx ELSE 0 END)
+                            AS BIGINT) AS band
+                FROM cells c1 JOIN cells c2
+                  ON c2.i = c1.i AND c2.cy = c1.cy AND c2.cx = c1.cx + 1
+                WHERE c1.cx < 8
+                GROUP BY c1.i, c1.cy
+            )
+            SELECT ba.i AS id_a, bb.i AS id_b,
+                   CAST(SUM(bit_count(xor(ba.band, bb.band))) AS BIGINT)
+                       AS hamming
+            FROM bands ba JOIN bands bb
+              ON bb.band_id = ba.band_id AND ba.i < bb.i
+            GROUP BY id_a, id_b
+            HAVING SUM(bit_count(xor(ba.band, bb.band))) <= 4
         """,
         "multimodal_frames": """
             -- synth video i has duration (i % 30 + 1) seconds → one

@@ -77,6 +77,9 @@ ENTRY_QUERIES = [
     "stats_corpus_datacard",
     "corpus_delta",
     "graph_hits_hosts",
+    "text_classifier_train",
+    "multimodal_image_neardup",
+    "pipeline_curation_v5",
 ]
 
 

@@ -46,3 +46,148 @@ def test_resize_and_frame_sampling(spark):
     # duration = (id % 30 + 1) seconds → id+1 frames at 1fps
     expect = {r["asset_id"]: r["count"] for r in n}
     assert expect[0] == 1 and expect[9] == 10
+
+
+# ------------------------------------------------- real netpbm decode
+
+
+def _ppm(w, h, maxval=255, magic=b"P6", comment=True, px=None):
+    import numpy as np
+
+    channels = 3 if magic == b"P6" else 1
+    if px is None:
+        px = np.arange(w * h * channels, dtype=np.int64) % (maxval + 1)
+    dt = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+    head = magic + (b"\n# c\n" if comment else b"\n")
+    head += b"%d %d\n%d\n" % (w, h, maxval)
+    return head + np.asarray(px, dtype=np.int64).astype(dt).tobytes()
+
+
+def test_decode_p6_golden():
+    import numpy as np
+
+    img = mm.decode_netpbm(_ppm(3, 2))
+    assert img.shape == (2, 3, 3) and img.dtype == np.uint8
+    assert img[0, 0].tolist() == [0, 1, 2]
+    assert img[1, 2].tolist() == [15, 16, 17]
+
+
+def test_decode_p5_and_16bit():
+    import numpy as np
+
+    g = mm.decode_netpbm(_ppm(4, 2, magic=b"P5"))
+    assert g.shape == (2, 4) and g[1, 3] == 7
+    big = mm.decode_netpbm(_ppm(2, 2, maxval=65535, magic=b"P5",
+                                px=[0, 300, 65535, 7]))
+    assert big.dtype == np.uint16 and big[0, 1] == 300 and big[1, 0] == 65535
+
+
+def test_decode_malformed_raises():
+    with pytest.raises(ValueError, match="magic"):
+        mm.decode_netpbm(b"P3\n1 1\n255\n0 0 0")
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_netpbm(_ppm(3, 2)[:-1])
+    with pytest.raises(ValueError, match="header"):
+        mm.decode_netpbm(b"P6\nx 2\n255\n")
+
+
+def test_grid_features_twin():
+    """Engine grid means == an independent nested-loop recomputation."""
+    import numpy as np
+
+    payload = _ppm(8, 6)
+    feats = mm.netpbm_grid_features(payload)
+    img = mm.decode_netpbm(payload).astype(np.int64)
+    want = {}
+    for y in range(6):
+        for x in range(8):
+            cell = (y * 4 // 6) * 4 + (x * 4 // 8)
+            want.setdefault(cell, []).append(int(img[y, x].sum() // 3))
+    for c, vals in want.items():
+        assert feats[c] == sum(vals) // len(vals)
+
+
+def test_real_decode_through_arrow_path(spark):
+    """synth PPM fixture → real decoder via extract_features == the
+    closed-form pixel arithmetic, per cell (the oracle's claim,
+    asserted in-process)."""
+    media = mm.synth_ppm_media(spark, 12)
+    rows = mm.extract_features(media, decode_fn=mm.netpbm_grid_features).collect()
+    assert len(rows) == 12
+    for r in rows:
+        i = r["asset_id"]
+        w, h = 8 + i % 5, 6 + i % 3
+        cells = {}
+        for y in range(h):
+            for x in range(w):
+                g = sum((i * 31 + x * 7 + y * 13 + c * 97) % 256
+                        for c in (0, 1, 2)) // 3
+                cells.setdefault((y * 4 // h) * 4 + (x * 4 // w), []).append(g)
+        for c, vals in cells.items():
+            assert r["features"][c] == sum(vals) // len(vals), (i, c)
+
+
+# ------------------------------------------------- image dHash dedup
+
+
+def test_dhash_exact_duplicate_zero_distance(spark):
+    media = mm.synth_ppm_media(spark, 20, seed_mod=10)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.image_near_dup(media, max_hamming=0).collect()
+    }
+    for i in range(10):
+        assert pairs.get((i, i + 10)) == 0, i
+
+
+def test_dhash_bytes_twin():
+    """Engine row bytes == an independent nested-loop recomputation
+    from decoded pixels."""
+    import numpy as np
+
+    payload = _ppm(12, 8)
+    got = mm.image_dhash_bytes(payload)
+    img = mm.decode_netpbm(payload).astype(np.int64)
+    cells = [[[] for _ in range(9)] for _ in range(8)]
+    for y in range(8):
+        for x in range(12):
+            cells[y * 8 // 8][x * 9 // 12].append(int(img[y, x].sum() // 3))
+    want = []
+    for cy in range(8):
+        m = [sum(c) // len(c) if c else 0 for c in cells[cy]]
+        b = 0
+        for cx in range(8):
+            if m[cx + 1] > m[cx]:
+                b |= 1 << cx
+        want.append(b)
+    assert got == want
+
+
+def test_dhash_banding_recall_vs_bruteforce(spark):
+    """The banded candidate join finds EVERY pair the brute-force
+    all-pairs Hamming scan finds at max_hamming <= 7 (pigeonhole)."""
+    from itertools import combinations
+
+    media = mm.synth_ppm_media(spark, 60, seed_mod=40)
+    rows = mm.image_dhash(media).collect()
+    bands = {}
+    for r in rows:
+        bands.setdefault(r["asset_id"], {})[r["band_id"]] = r["band"]
+    brute = {}
+    for a, b in combinations(sorted(bands), 2):
+        hm = sum(
+            bin(bands[a][k] ^ bands[b][k]).count("1") for k in range(8)
+        )
+        if hm <= 7:
+            brute[(a, b)] = hm
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.image_near_dup(media, max_hamming=7).collect()
+    }
+    assert got == brute
+
+
+def test_dhash_guard(spark):
+    media = mm.synth_ppm_media(spark, 4)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        mm.image_near_dup(media, max_hamming=8)

@@ -21,11 +21,11 @@ Scale shape:
   the stats (``n_pages·100 >= min_frac_pct·host_pages`` — the
   cross-engine integer protocol) plus the ``min_pages`` floor that
   keeps tiny hosts from declaring everything chrome.
-- ``strip_boilerplate``: pages explode to (url, pos, line), left-anti
-  join on (host, digest) against the boilerplate set (broadcastable:
-  chrome-per-host is small by construction), reassemble in original
-  order via one url-keyed aggregation — the :func:`paragraph_dedup`
-  reassembly shape.
+- ``strip_boilerplate``: ZERO-shuffle — the chrome set folds to one
+  broadcastable ``(host, [digests])`` dim (chrome-per-host is small
+  by construction) and each page filters its own line array map-side;
+  the corpus text never leaves its partition and document order is
+  free.
 
 Semantics (pinned by tests + the driver oracle):
 
@@ -58,14 +58,34 @@ def host_line_stats(
         F.col(url_col).alias("url"),
         F.explode(F.split(F.col(text_col), "\n")).alias("line"),
     ).filter(F.col("line") != "")
+    # the big exchange is the per-(page, line) dedup over ALL line
+    # occurrences: ship a 16-byte url digest instead of the url string
+    # (same count — the md5-digest identity discipline used for the
+    # lines themselves), roughly halving the dominant shuffle's bytes
     per_line = (
-        lines.select("host", "url", F.md5("line").alias("line_digest"))
+        lines.select(
+            "host",
+            F.unhex(F.md5(F.col("url"))).alias("_u"),
+            F.md5("line").alias("line_digest"),
+        )
         .distinct()
         .groupBy("host", "line_digest")
         .agg(F.count("*").alias("n_pages"))
     )
-    per_host = pages.groupBy(F.col(host_col).alias("host")).agg(
-        F.count_distinct(F.col(url_col)).alias("host_pages")
+    # per-host page counts, salted two-phase: a naive
+    # count_distinct(url) partial-dedups (host, url) map-side and then
+    # funnels EVERY distinct url of a host through one reducer — the
+    # giant-host skew. Salting on hash(url) keeps each url in exactly
+    # one salt group, so the per-group distinct counts sum exactly;
+    # the host-keyed exchange then carries ≤64 rows per host.
+    per_host = (
+        pages.groupBy(
+            F.col(host_col).alias("host"),
+            F.pmod(F.hash(F.col(url_col)), F.lit(64)).alias("_salt"),
+        )
+        .agg(F.count_distinct(F.col(url_col)).alias("_c"))
+        .groupBy("host")
+        .agg(F.sum("_c").alias("host_pages"))
     )
     return per_line.join(per_host, "host")
 
@@ -101,57 +121,49 @@ def strip_boilerplate(
 ) -> DataFrame:
     """Pages with chrome lines removed: ``(url, host, text,
     n_lines_in, n_lines_kept)`` — original line order preserved,
-    empty lines always kept."""
-    exploded = pages.select(
+    empty lines always kept.
+
+    ZERO-shuffle strip: the chrome set aggregates to one small
+    ``(host, [digests])`` dim (bounded by total chrome lines — small
+    by construction: a line must appear on ≥min_frac_pct of a host's
+    pages to qualify, so per-host chrome is O(template size), not
+    O(corpus)); that dim broadcasts and each page filters its own
+    line array in place — no posexplode shuffle, no reassembly
+    aggregation, the corpus text never leaves its partition. Original
+    order is free (array order IS document order)."""
+    ch_dim = chrome.groupBy(F.col("host").alias("_ch_host")).agg(
+        F.collect_list("line_digest").alias("_chrome")
+    )
+    t = F.col(text_col)
+    joined = pages.select(
         F.col(url_col).alias("url"),
         F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.when(t.isNull(), F.lit(None)).otherwise(
+            F.split(t, "\n")
+        ).alias("_lines"),
+    ).join(
+        F.broadcast(ch_dim),
+        F.col("host") == F.col("_ch_host"),
+        "left",
     )
-    ch = chrome.select(
-        F.col("host").alias("_ch_host"),
-        F.col("line_digest").alias("_ch_digest"),
+    # empty lines are structure, never stripped; a NULL-text page (a
+    # fetch miss) stays NULL with NULL line counts — rewriting it to
+    # '' would erase the miss marker and fake a pure-chrome page
+    kept = F.when(F.col("_lines").isNull(), F.lit(None)).otherwise(
+        F.when(F.col("_chrome").isNull(), F.col("_lines")).otherwise(
+            F.filter(
+                F.col("_lines"),
+                lambda x: (x == "")
+                | ~F.array_contains(F.col("_chrome"), F.md5(x)),
+            )
+        )
     )
-    kept = exploded.join(
-        F.broadcast(ch),
-        (F.col("host") == F.col("_ch_host"))
-        & (F.md5(F.col("line")) == F.col("_ch_digest"))
-        & (F.col("line") != ""),
-        "left_anti",
-    )
-    rebuilt = kept.groupBy("url", "host").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "line"))
-                ),
-                lambda s: s.line,
-            ),
-            "\n",
-        ).alias("text"),
-        F.count("*").alias("n_lines_kept"),
-    )
-    # totals carries host too (one scan, no third join), and a
-    # NULL-text page (a fetch miss) stays NULL with NULL line counts
-    # — rewriting it to '' would erase the miss marker and fake a
-    # pure-chrome page
-    t = F.col(text_col)
-    totals = pages.select(
-        F.col(url_col).alias("url"),
-        F.col(host_col).alias("_h"),
-        F.when(t.isNull(), F.lit(None).cast("int"))
-        .otherwise(F.size(F.split(t, "\n")))
-        .alias("n_lines_in"),
-    )
-    # pure-chrome pages drop out of `kept` entirely — restore with ''
-    return totals.join(rebuilt, "url", "left").select(
+    return joined.select(
         "url",
-        F.col("_h").alias("host"),
-        F.when(F.col("n_lines_in").isNull(), F.lit(None).cast("string"))
-        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+        "host",
+        F.when(F.col("_lines").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.array_join(kept, "\n"))
         .alias("text"),
-        F.col("n_lines_in").cast("long").alias("n_lines_in"),
-        F.when(F.col("n_lines_in").isNull(), F.lit(None).cast("long"))
-        .otherwise(F.coalesce(F.col("n_lines_kept"), F.lit(0)))
-        .cast("long")
-        .alias("n_lines_kept"),
+        F.size("_lines").cast("long").alias("n_lines_in"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
     )

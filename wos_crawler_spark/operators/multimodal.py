@@ -127,6 +127,251 @@ def extract_features(
     )
 
 
+def synth_ppm_media(spark, n: int, seed_mod: int | None = None) -> DataFrame:
+    """Deterministic REAL image fixture: valid binary PPM (P6) files
+    generated per asset id with pure arithmetic — pixel (x, y) channel
+    c is ``(i*31 + x*7 + y*13 + c*97) % 256`` over a w×h raster
+    (w = 8+i%5, h = 6+i%3), serialized with a comment line in the
+    header. Because the pixels are closed-form, a SQL oracle can
+    recompute any pixel statistic WITHOUT parsing PPM — which turns
+    the real decoder into a value-level-checked component instead of a
+    snapshot pin.
+
+    ``seed_mod`` plants exact duplicates: the pixel seed becomes
+    ``asset_id % seed_mod``, so assets ``seed_mod..n-1`` are
+    byte-identical copies of earlier assets under fresh ids — the
+    image-dedup fixture."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid in pdf["id"]:
+                aid = int(aid)
+                i = aid % seed_mod if seed_mod else aid
+                w, h = 8 + i % 5, 6 + i % 3
+                xs = np.arange(w, dtype=np.int64)
+                ys = np.arange(h, dtype=np.int64)
+                base = (
+                    i * 31
+                    + xs[None, :, None] * 7
+                    + ys[:, None, None] * 13
+                    + np.array([0, 97, 194], dtype=np.int64)[None, None, :]
+                ) % 256
+                payload = (
+                    b"P6\n# synthetic fixture\n%d %d\n255\n" % (w, h)
+                    + base.astype(np.uint8).tobytes()
+                )
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "kind": "image",
+                        "payload": payload,
+                        "meta": {
+                            "width": w,
+                            "height": h,
+                            "sample_rate": None,
+                            "duration_ms": None,
+                            "mime": "image/x-portable-pixmap",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(_gen, MEDIA_SCHEMA)
+
+
+def decode_netpbm(payload: bytes) -> np.ndarray:
+    """Pure-numpy binary Netpbm decoder — the pluggable real-decode
+    example the brief's multimodal surface needs without external
+    image libs. Supports P5 (grayscale → HxW) and P6 (RGB → HxWx3),
+    8-bit and 16-bit (big-endian, per the spec) rasters, ``#``
+    comments anywhere in the header whitespace. Raises ValueError on
+    anything malformed (wrong magic, truncated raster, maxval out of
+    range) — decode errors must surface, not produce garbage rows."""
+    if len(payload) < 2 or payload[0:1] != b"P" or payload[1:2] not in b"56":
+        raise ValueError("not a binary netpbm payload (want P5/P6 magic)")
+    is_rgb = payload[1:2] == b"6"
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed netpbm header")
+        fields.append(int(payload[start:pos]))
+    if pos >= len(payload) or not payload[pos : pos + 1].isspace():
+        raise ValueError("missing single whitespace after maxval")
+    pos += 1  # exactly ONE whitespace byte separates header and raster
+    w, h, maxval = fields
+    if not (0 < maxval < 65536):
+        raise ValueError(f"maxval {maxval} out of range")
+    channels = 3 if is_rgb else 1
+    dtype = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+    need = w * h * channels * dtype.itemsize
+    raster = payload[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError(
+            f"truncated raster: need {need} bytes, have {len(raster)}"
+        )
+    img = np.frombuffer(raster, dtype=dtype).astype(
+        np.uint16 if maxval > 255 else np.uint8
+    )
+    return img.reshape((h, w, 3)) if is_rgb else img.reshape((h, w))
+
+
+def netpbm_grid_features(
+    payload: bytes, meta: dict | None = None, grid: int = 4
+) -> np.ndarray:
+    """Real decode → grid-mean featurizer: decode the netpbm payload,
+    integer grayscale ``(r+g+b)//3``, then the floor-mean of each cell
+    of a ``grid×grid`` partition (cell of x = ``x*grid//w``) as a
+    ``grid²`` vector. All-integer arithmetic, so the feature values
+    are exactly restatable in SQL from the synthetic pixel formula —
+    the decoder is the only component between fixture and oracle."""
+    img = decode_netpbm(payload)
+    gray = (
+        img.astype(np.int64).sum(axis=2) // 3
+        if img.ndim == 3
+        else img.astype(np.int64)
+    )
+    h, w = gray.shape
+    gx = (np.arange(w) * grid) // w
+    gy = (np.arange(h) * grid) // h
+    feats = np.zeros(grid * grid, dtype=np.float32)
+    for cy in range(grid):
+        rows = gray[gy == cy]
+        for cx in range(grid):
+            cell = rows[:, gx == cx]
+            if cell.size:
+                feats[cy * grid + cx] = float(int(cell.sum()) // cell.size)
+    return feats
+
+
+#: dHash geometry: a 9-column × 8-row grid of grayscale floor-means;
+#: each row yields one byte of 8 left<right comparisons → 64 bits as
+#: 8 per-row band bytes (kept unpacked: packing bit 63 into a signed
+#: BIGINT would overflow, and the bands are what the near-dup join
+#: keys on anyway).
+DHASH_COLS = 9
+DHASH_ROWS = 8
+
+
+def image_dhash_bytes(payload: bytes) -> list[int]:
+    """Difference hash (the classic perceptual near-dup hash, integer
+    variant): decode → integer grayscale ``(r+g+b)//3`` → floor-mean
+    over a 9×8 cell partition (cell of x = ``x*9//w``) → per row, bit
+    ``cx`` set iff ``cell[cx+1] > cell[cx]``. Returns the 8 row bytes.
+    All-integer, so a SQL oracle recomputes it from closed-form
+    fixture pixels; unlike interpolation-based resizing, the grid
+    floor-means are exactly portable across engines."""
+    img = decode_netpbm(payload)
+    gray = (
+        img.astype(np.int64).sum(axis=2) // 3
+        if img.ndim == 3
+        else img.astype(np.int64)
+    )
+    h, w = gray.shape
+    gx = (np.arange(w) * DHASH_COLS) // w
+    gy = (np.arange(h) * DHASH_ROWS) // h
+    cells = np.zeros((DHASH_ROWS, DHASH_COLS), dtype=np.int64)
+    for cy in range(DHASH_ROWS):
+        rows = gray[gy == cy]
+        for cx in range(DHASH_COLS):
+            cell = rows[:, gx == cx]
+            if cell.size:
+                cells[cy, cx] = int(cell.sum()) // cell.size
+    out = []
+    for cy in range(DHASH_ROWS):
+        b = 0
+        for cx in range(DHASH_COLS - 1):
+            if cells[cy, cx + 1] > cells[cy, cx]:
+                b |= 1 << cx
+        out.append(b)
+    return out
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """``(asset_id, band_id, band)`` — the dHash row bytes per asset,
+    long format, via one zero-shuffle Arrow pass over the payloads."""
+    schema = "asset_id long, band_id int, band int"
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bids, vals = [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                for bi, b in enumerate(image_dhash_bytes(p)):
+                    ids.append(aid)
+                    bids.append(bi)
+                    vals.append(b)
+            yield pd.DataFrame(
+                {"asset_id": ids, "band_id": bids, "band": vals}
+            )
+
+    return media.select("asset_id", "payload").mapInPandas(_hash, schema)
+
+
+def image_near_dup(media: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Image near-duplicate pairs ``(id_a, id_b, hamming)`` with
+    dHash Hamming distance ≤ ``max_hamming`` — the multimodal member
+    of the dedup family, same banded shape as SimHash text dedup:
+    candidates must share one identical row byte (pigeonhole: with 8
+    bands of 8 bits, any pair within Hamming 7 shares ≥1 intact band
+    — EXACT recall for ``max_hamming ≤ 7``, enforced), then the full
+    8-band join verifies the exact distance. Only (asset_id, band)
+    integers ride the shuffles — payloads are read once by the hash
+    pass and never again."""
+    if not 0 <= max_hamming <= DHASH_ROWS - 1:
+        raise ValueError(
+            f"max_hamming must be in [0, {DHASH_ROWS - 1}] for exact "
+            f"recall with {DHASH_ROWS} bands (pigeonhole)"
+        )
+    bands = image_dhash(media).localCheckpoint(eager=True)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("id_a"),
+            F.col("b.asset_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    ja = bands.select(
+        F.col("asset_id").alias("id_a"), "band_id",
+        F.col("band").alias("_ba"),
+    )
+    jb = bands.select(
+        F.col("asset_id").alias("id_b"), "band_id",
+        F.col("band").alias("_bb"),
+    )
+    return (
+        cand.join(ja, "id_a")
+        .join(jb, ["id_b", "band_id"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                F.bit_count(
+                    F.col("_ba").bitwiseXOR(F.col("_bb")).cast("long")
+                )
+            )
+            .cast("long")
+            .alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: payload → payload' + updated meta. Decode is
     stubbed; the fake path re-stamps metadata deterministically so the
