@@ -384,3 +384,46 @@ def test_streaming_mg_summaries_match_batched_twin(spark, tmp_path):
     top3 = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     cand_keys = {k for d in got.values() for k in d}
     assert {k for k, _ in top3} <= cand_keys
+
+
+def test_streaming_classifier_gate_matches_batch(spark, tmp_path):
+    """The model gate (Arrow classifier_score) lifts onto a stream
+    unchanged — weights ship in the closure, each micro-batch is
+    annotated in place, streamed keep-set ≡ batch keep-set."""
+    import numpy as np
+
+    from wos_crawler_spark.streaming.ingest import (
+        run_stream_to_memory,
+        streaming_classifier_gate,
+    )
+
+    nb = 256
+    rng = np.arange(nb, dtype=np.int64)
+    weights = ((rng * 2654435761) % 2001 - 1000).astype(np.int64)
+
+    src = str(tmp_path / "pages_clf")
+    pages_table(spark, 200, partitions=2).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = run_stream_to_memory(
+        streaming_classifier_gate(stream, weights, nb), "clf_gate",
+        mode="append",
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["url"]: (r["w_sum"], r["n_feat"])
+            for r in spark.sql("select * from clf_gate").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        r["url"]: (r["w_sum"], r["n_feat"])
+        for r in streaming_classifier_gate(
+            spark.read.parquet(src), weights, nb
+        ).collect()
+    }
+    assert got == batch and len(got) > 0

@@ -119,6 +119,30 @@ def _merge_pass(syms_col, left: str, right: str) -> F.Column:
     )
 
 
+def _apply_merges(syms_col, pairs: list[tuple[str, str]]) -> F.Column:
+    """Apply a round's merges as ONE wrap-encoded replace chain —
+    the engine-side use of the same provable equivalence the DuckDB
+    oracle rests on: with every token wrapped in single spaces
+    (internal boundaries carry exactly two), a plain
+    ``replace(seq, ' a  b ', ' ab ')`` IS one left-to-right
+    non-overlapping merge pass, and tokens never contain spaces
+    (whitespace-split words; merges only concatenate). Native
+    codegen'd string ops run an order of magnitude faster than the
+    interpreted per-merge :func:`_merge_pass` fold over the word
+    table — the fold remains as the semantic reference (test-pinned
+    equal)."""
+    seq = F.concat(
+        F.lit(" "), F.array_join(syms_col, "  "), F.lit(" ")
+    )
+    for a, b in pairs:
+        seq = F.replace(
+            seq, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+        )
+    applied = F.split(F.trim(seq), "  ")
+    # split('') yields [''], not [] — preserve empty-syms inputs as-is
+    return F.when(F.size(syms_col) == 0, syms_col).otherwise(applied)
+
+
 def _pair_counts(words: DataFrame) -> DataFrame:
     """Adjacent-pair frequencies over the word table, weighted by
     word count. Partial aggregation caps the exchange at
@@ -247,12 +271,20 @@ def bpe_train(
         picked = select_merge_batch(
             [(r.a, r.b, int(r.cnt)) for r in top], want, saw_all=len(top) < k
         )
-        for a, b, cnt in picked:
-            merges.append((a, b, cnt))
-            cur = cur.withColumn("syms", _merge_pass(F.col("syms"), a, b))
-            since_ckpt += 1
-            if since_ckpt % checkpoint_every == 0:
-                cur = cur.localCheckpoint(eager=True)
+        merges.extend(picked)
+        cur = cur.withColumn(
+            "syms",
+            _apply_merges(F.col("syms"), [(a, b) for a, b, _ in picked]),
+        )
+        since_ckpt += len(picked)
+        if since_ckpt >= checkpoint_every:
+            # LAZY checkpoint: the next round's pair-count job (or the
+            # caller's first action) materializes it as a side effect —
+            # lineage still truncates every round, but no dedicated
+            # materialization job runs per checkpoint (with batch=B
+            # that halves the trainer's job count)
+            cur = cur.localCheckpoint(eager=False)
+            since_ckpt = 0
     return merges, cur
 
 

@@ -304,6 +304,28 @@ def streaming_curation(pages: DataFrame) -> DataFrame:
     )
 
 
+def streaming_classifier_gate(pages: DataFrame, weights, n_buckets: int) -> DataFrame:
+    """Streaming twin of the MODEL gate (textclassify.classifier_score
+    — the Arrow scale path): the trained weight vector ships once per
+    executor inside the mapInPandas closure and every micro-batch is
+    annotated in place, so the fastText-style quality gate lifts onto
+    a stream with no state, no watermark, and zero shuffles — the
+    steady-state ingest shape: score pages as they are fetched
+    instead of in a nightly batch. Same bit-exact integers as the
+    batch flavor (test-pinned by batch-equality)."""
+    from wos_crawler_spark.operators.textclassify import classifier_score
+
+    scored = classifier_score(
+        pages.select("url", "warc_ts", "text"),
+        weights,
+        id_col="url",
+        n_buckets=n_buckets,
+    )
+    return scored.filter(F.col("clf_keep")).select(
+        "url", "warc_ts", "w_sum", "n_feat"
+    )
+
+
 def run_stream_to_memory(
     agg: DataFrame, query_name: str, mode: str = "update"
 ) -> "object":
