@@ -201,13 +201,25 @@ def test_full_crawl_parity_with_simulator(spark):
     assert len(uncapped.fetch_order) > len(sim.fetch_order)
 
 
-def test_plan_single_exchange(spark):
+def test_plan_safe_path_never_sorted(spark):
+    """The round-4 shape: a zero-trap frontier passes through as the
+    IDENTICAL plan (no join, no sort, no extra branch); with traps,
+    the trap set is a driver literal (isin), the safe branch never
+    sorts, and only trap rows reach the rank window."""
+    f = _frontier(spark)
+    # zero traps (cap above every shape count) → the very same plan
+    assert trap_guard(f, cap=10_000) is f
     plan = (
-        trap_guard(_frontier(spark), cap=10)
+        trap_guard(f, cap=10)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    # both window operators (rank + max) share one shape exchange;
-    # the only other exchange is the fixture's own repartition
-    assert plan.count("Exchange hashpartitioning") == 1
+    # every Sort in the plan belongs to the trap branch's rank window
+    # (partial + final around its exchange); the safe branch and the
+    # count aggregates never sort a row
+    assert "dense_rank" in plan
+    before_window = plan.split("Window [")[0]
+    assert "+- Sort " not in before_window, before_window
+    # the trap set is a map-side literal filter, not a join
+    assert "Join" not in plan

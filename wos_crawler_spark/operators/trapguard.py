@@ -130,21 +130,52 @@ def trap_guard(
     if keep > cap:
         raise ValueError(f"keep ({keep}) must be <= cap ({cap})")
     shape = url_shape_expr(F.col(url_col))
-    w = Window.partitionBy("_tg_shape").orderBy(F.col(url_col))
-    # distinct-url count per shape = max(dense_rank) over the SAME
-    # partitioning — both window operators share one exchange+sort,
-    # and nothing per-shape is ever materialized as a collection
-    # (a collect_set here would rebuild the very explosion being
-    # guarded against).
-    out = (
-        frontier.withColumn("_tg_shape", shape)
-        .withColumn("_tg_rank", F.dense_rank().over(w))
-        .withColumn(
-            "_tg_n",
-            F.max("_tg_rank").over(Window.partitionBy("_tg_shape")),
+    tagged = frontier.withColumn("_tg_shape", shape)
+    # Find trap shapes FIRST, by counting — NOT by ranking the whole
+    # frontier: the original plan exchanged and SORTED every candidate
+    # row on (shape, url) each wave (+59% wave cost in the gate
+    # ledger) to rank rows that, in the common case, belong to no
+    # trap at all. The count uses the salted two-phase distinct idiom
+    # (a trap shape's urls would otherwise funnel through one reducer
+    # — the very explosion being guarded) and only (shape, salt,
+    # count) partials ride its exchanges. The trap-shape set is
+    # driver-scale BY DEFINITION (a shape must exceed ``cap`` urls to
+    # qualify), so it collects eagerly — one narrow extra job — and
+    # the common zero-trap wave returns the frontier plan UNCHANGED:
+    # no join, no sort, no extra branch. With traps, only their rows
+    # pay the rank window (where Spark now pushes WindowGroupLimit:
+    # top-``keep`` per shape survives the sort).
+    trap_rows = (
+        tagged.groupBy(
+            "_tg_shape",
+            F.pmod(F.hash(F.col(url_col)), F.lit(64)).alias("_tg_salt"),
         )
+        .agg(F.count_distinct(F.col(url_col)).alias("_c"))
+        .groupBy("_tg_shape")
+        .agg(F.sum("_c").alias("_tg_n"))
+        .filter(F.col("_tg_n") > F.lit(cap))
+        .select("_tg_shape")
+        .collect()
     )
-    kept = out.filter(
-        (F.col("_tg_n") <= F.lit(cap)) | (F.col("_tg_rank") <= F.lit(keep))
+    traps = [r["_tg_shape"] for r in trap_rows]
+    if not traps:
+        return frontier
+    if len(traps) <= 1024:
+        is_trap = F.col("_tg_shape").isin(traps)  # map-side literal set
+    else:
+        raise ValueError(
+            f"{len(traps)} shapes exceed cap={cap} — a frontier where "
+            "thousands of shapes are simultaneously exploding is "
+            "upstream breakage (seed flood / canonicalization bug), "
+            "not a trap-cap situation; refuse rather than build a "
+            "giant literal filter"
+        )
+    safe = tagged.filter(~is_trap)
+    w = Window.partitionBy("_tg_shape").orderBy(F.col(url_col))
+    kept_trap = (
+        tagged.filter(is_trap)
+        .withColumn("_tg_rank", F.dense_rank().over(w))
+        .filter(F.col("_tg_rank") <= F.lit(keep))
+        .drop("_tg_rank")
     )
-    return kept.drop("_tg_shape", "_tg_rank", "_tg_n")
+    return safe.unionByName(kept_trap).select(*frontier.columns)

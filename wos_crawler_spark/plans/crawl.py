@@ -539,13 +539,19 @@ def run_wave(
             url_keep_expr(F.col("url_canon"), **cfg.url_gate_kwargs)
         )
     gate_stages.append(("post_urlgate", filtered))
+    trap_cache = None
     if cfg.trap_cap is not None:
         # F1g: per-(host, shape) explosion cap on FRESH candidates —
-        # retries bypass (they already passed admission once).
+        # retries bypass (they already passed admission once). The
+        # guard reads its input three times (eager trap count, safe
+        # branch, trap branch) — cache the pre-trap image for the
+        # wave so the robots/urlgate chain executes once, released
+        # below as soon as the candidates cache has materialized.
         from wos_crawler_spark.operators.trapguard import trap_guard
 
+        trap_cache = filtered.cache()
         filtered = trap_guard(
-            filtered, cfg.trap_cap, keep=cfg.trap_keep,
+            trap_cache, cfg.trap_cap, keep=cfg.trap_keep,
             url_col="url_canon",
         )
     gate_stages.append(("post_trap", filtered))
@@ -643,6 +649,10 @@ def run_wave(
     scheduled_n, hits_n, max_ts_row, rec_n = fetched.agg(
         F.count(F.lit(1)), F.count(probe), F.max("scheduled_ts"), rec_count
     ).first()
+    if trap_cache is not None:
+        # the candidates cache materialized through the trap branches
+        # in the agg job above — the pre-trap image is no longer read
+        trap_cache.unpersist()
 
     # A4 (north_rule "per-partition lineage + metrics"): lazy
     # per-partition counter frame over the SAME cache — materialized
@@ -974,7 +984,10 @@ def run_crawl(
                 ckpt.write_host_stats(cfg.ckpt_dir, wave, host_stats)
                 host_stats = ckpt.read_host_stats(spark, cfg.ckpt_dir, wave)
             else:
-                host_stats = host_stats.localCheckpoint(eager=True)
+                # lazy: the next wave's backoff_plan/quarantine jobs
+                # materialize it — lineage still truncates per wave
+                # with no dedicated materialization job (small dim)
+                host_stats = host_stats.localCheckpoint(eager=False)
         if cfg.keep_wave_caches:
             fetch_logs.append(
                 res.fetched.select(
