@@ -107,6 +107,23 @@ def test_keep_default_is_cap_and_bounds(spark):
         trap_guard(_frontier(spark), cap=5, keep=6)
 
 
+def test_null_url_rows_pass_through_safe_branch(spark):
+    """NULL-url rows (shape NULL) must survive the guard whether or
+    not traps exist — isin() evaluates NULL for them, so without the
+    explicit route they'd vanish from trap-present frontiers."""
+    base = _frontier(spark)
+    with_null = base.unionByName(
+        spark.createDataFrame([(None, 999)], "url_canon string, meta int")
+    )
+    # trap present: NULL row still there, trap still capped
+    out = trap_guard(with_null, cap=10, keep=3).collect()
+    assert sum(r["url_canon"] is None for r in out) == 1
+    assert sum("/cal/" in (r["url_canon"] or "") for r in out) == 3
+    # no traps: identity plan keeps the NULL row trivially
+    out2 = trap_guard(with_null, cap=100).collect()
+    assert sum(r["url_canon"] is None for r in out2) == 1
+
+
 def test_partitioning_invariance(spark):
     a = sorted(
         (r["url_canon"], r["meta"])

@@ -124,7 +124,17 @@ def trap_guard(
     ``cap`` urls on its host keeps only its ``keep`` (default:
     ``cap``) lexicographically-smallest urls. Duplicate url rows
     (pre-F1 frontiers) count once toward the cap and are kept/dropped
-    as a unit via dense_rank. Input columns pass through untouched."""
+    as a unit via dense_rank. Input columns pass through untouched.
+
+    NULL contract: rows whose ``url_col`` is NULL (shape key NULL)
+    always pass through the safe branch — a NULL url can never
+    belong to a trap shape, and it never counts toward any cap.
+
+    EAGER semantics: the trap-shape set is computed (Spark jobs run)
+    at CALL time and frozen into the returned plan as a literal
+    filter. Callers that build the plan once and re-execute it
+    against changed input get the original call's trap set — rebuild
+    the plan per wave (run_wave does)."""
     if keep is None:
         keep = cap
     if keep > cap:
@@ -170,7 +180,9 @@ def trap_guard(
             "not a trap-cap situation; refuse rather than build a "
             "giant literal filter"
         )
-    safe = tagged.filter(~is_trap)
+    # NULL shapes (NULL url): isin() is NULL for them, so both
+    # branches would drop the row — route them through safe explicitly
+    safe = tagged.filter(~is_trap | F.col("_tg_shape").isNull())
     w = Window.partitionBy("_tg_shape").orderBy(F.col(url_col))
     kept_trap = (
         tagged.filter(is_trap)

@@ -550,10 +550,17 @@ def run_wave(
         from wos_crawler_spark.operators.trapguard import trap_guard
 
         trap_cache = filtered.cache()
-        filtered = trap_guard(
-            trap_cache, cfg.trap_cap, keep=cfg.trap_keep,
-            url_col="url_canon",
-        )
+        try:
+            # trap_guard is EAGER (runs the trap-count jobs at call
+            # time); unpersist the cache before re-raising so the
+            # refusal path (>1024 trap shapes) doesn't leak it
+            filtered = trap_guard(
+                trap_cache, cfg.trap_cap, keep=cfg.trap_keep,
+                url_col="url_canon",
+            )
+        except BaseException:
+            trap_cache.unpersist()
+            raise
     gate_stages.append(("post_trap", filtered))
     fresh = dedup_frontier(
         filtered, seen, bloom if cfg.bloom_prefilter else None, intra=False
@@ -984,9 +991,10 @@ def run_crawl(
                 ckpt.write_host_stats(cfg.ckpt_dir, wave, host_stats)
                 host_stats = ckpt.read_host_stats(spark, cfg.ckpt_dir, wave)
             else:
-                # lazy: the next wave's backoff_plan/quarantine jobs
-                # materialize it — lineage still truncates per wave
-                # with no dedicated materialization job (small dim)
+                # lazy here, but FORCED by the wave's concurrent tail
+                # jobs below while res.fetched is still cached (a
+                # post-unpersist materialization would re-execute the
+                # whole wave chain); lineage truncates per wave
                 host_stats = host_stats.localCheckpoint(eager=False)
         if cfg.keep_wave_caches:
             fetch_logs.append(
@@ -1148,13 +1156,33 @@ def run_crawl(
                         _t(f"    tail job {name}", ts)
                 return _run
 
-            with ThreadPoolExecutor(max_workers=3) as pool:
+            # Backoff's lazy host_stats localCheckpoint must
+            # materialize WHILE res.fetched is still cached: deferring
+            # to the next wave's backoff_plan jobs (its first natural
+            # action) lands after the unpersists below, silently
+            # re-executing this wave's admission/schedule/fetch chain
+            # once per wave. One narrow count over the cached fold —
+            # concurrent with the other tail jobs, so its stage-launch
+            # latency hides under theirs.
+            hs_force = (
+                host_stats
+                if cfg.backoff and host_stats is not None
+                else None
+            )
+            with ThreadPoolExecutor(max_workers=4) as pool:
                 f_bloom = pool.submit(_timed("bloom", _build_wave_bloom))
                 f_seen = pool.submit(_timed("seen", _seen_job))
                 f_frontier = pool.submit(_timed("frontier", _frontier_job))
+                f_hs = (
+                    pool.submit(_timed("host_stats", hs_force.count))
+                    if hs_force is not None
+                    else None
+                )
                 bloom = f_bloom.result()
                 seen = f_seen.result()
                 frontier, nf_n, retried_n = f_frontier.result()
+                if f_hs is not None:
+                    f_hs.result()
             _t("  bloom+seen+frontier ckpt (parallel)", t_ck)
 
         if cfg.ckpt_dir:
