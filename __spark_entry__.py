@@ -1844,6 +1844,57 @@ def q_multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_image_neardup16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit-band variant of the image near-dup (the 10^8-asset
+    scale path): adjacent dHash row bytes pair into 4 bands of 16
+    bits — a 65536-value keyspace per band instead of 256, killing
+    the 8-bit variant's ~all-pairs collision rate — at the price of a
+    tighter exact-recall bound (pigeonhole over 4 bands → Hamming ≤
+    3). The oracle brute-forces ALL pairs at threshold 3, so recall
+    exactness of the wider bands is value-level verified."""
+    from wos_crawler_spark.operators.multimodal import (
+        image_near_dup,
+        synth_ppm_media,
+    )
+
+    media = synth_ppm_media(spark, 200, seed_mod=150)
+    return image_near_dup(media, max_hamming=3, band_bits=16).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def q_multimodal_image_neardup_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Banded image near-dup under the ``bucket_cap`` guardrail, on a
+    fixture with degenerate skew: 60 of 240 assets are solid black
+    (solid_mod=4 — the web's placeholder/blank-scan case), whose
+    all-zero bands pile into one bucket per band_id; 60 planted exact
+    duplicates (seed_mod=180). With cap=20 the solid buckets (60
+    members) are dropped from candidate generation — solid×solid
+    pairs are NOT emitted (the documented recall trade) while every
+    planted non-solid duplicate pair survives via its own small
+    buckets. The oracle mirrors the cap IN SQL (band counts → bucket
+    filter → candidates → exact Hamming over the uncapped bands), so
+    the capped semantics are value-level verified, not just
+    'completes'."""
+    from wos_crawler_spark.operators.multimodal import (
+        image_near_dup,
+        synth_ppm_media,
+    )
+
+    media = synth_ppm_media(spark, 240, seed_mod=180, solid_mod=4)
+    return image_near_dup(
+        media, max_hamming=3, band_bits=16, bucket_cap=20
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-sampling plumbing: resize metadata restamp +
     per-video frame timestamps (sequence explode — decode stubbed, the
@@ -3748,6 +3799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_decode_real": q_multimodal_decode_real,
         "multimodal_image_neardup": q_multimodal_image_neardup,
+        "multimodal_image_neardup16": q_multimodal_image_neardup16,
+        "multimodal_image_neardup_capped": q_multimodal_image_neardup_capped,
         "multimodal_frames": q_multimodal_frames,
     }
 
@@ -6476,11 +6529,13 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_neardup": """
             -- closed-form dHash twin + BRUTE-FORCE all-pairs verify:
             -- asset i's pixel seed is j = i % 150 (assets 150..199
-            -- duplicate 0..49); gray/cell formulas as in
-            -- multimodal_decode_real but on the 9×8 dHash grid; a row
-            -- byte's bit cx is set iff cell[cx+1] > cell[cx]. Cells a
-            -- narrow image never occupies are 0 in the engine (numpy
-            -- zeros), so the full grid is materialized with COALESCE.
+            -- duplicate 0..49); gray formula as in
+            -- multimodal_decode_real but on the 9×8 dHash grid with
+            -- INTERVAL binning at minimum width 1 (grid cell cy,cx
+            -- covers pixel rows [cy*h//8, max((cy+1)*h//8, cy*h//8+1))
+            -- — short/narrow images share pixel rows across cells
+            -- instead of leaving structurally-zero cells); a row
+            -- byte's bit cx is set iff cell[cx+1] > cell[cx].
             WITH a AS (
                 SELECT i, i % 150 AS j
                 FROM (SELECT unnest(range(0, 200)) AS i)
@@ -6498,20 +6553,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM d, unnest(range(0, d.w)) ux(x),
                         unnest(range(0, d.h)) uy(y)
             ),
-            cells0 AS (
-                SELECT i, (y*8) // h AS cy, (x*9) // w AS cx,
-                       CAST(SUM(gray) // COUNT(*) AS BIGINT) AS cell
-                FROM px GROUP BY i, cy, cx
-            ),
-            grid AS (
-                SELECT a.i, cy.cy, cx.cx
-                FROM a, unnest(range(0, 8)) cy(cy),
-                        unnest(range(0, 9)) cx(cx)
-            ),
             cells AS (
-                SELECT g.i, g.cy, g.cx, COALESCE(c.cell, 0) AS cell
-                FROM grid g LEFT JOIN cells0 c
-                  ON c.i = g.i AND c.cy = g.cy AND c.cx = g.cx
+                SELECT px.i, cy.cy, cx.cx,
+                       CAST(SUM(px.gray) // COUNT(*) AS BIGINT) AS cell
+                FROM px, unnest(range(0, 8)) cy(cy),
+                         unnest(range(0, 9)) cx(cx)
+                WHERE px.y >= (cy.cy * px.h) // 8
+                  AND (px.y < ((cy.cy + 1) * px.h) // 8
+                       OR px.y = (cy.cy * px.h) // 8)
+                  AND px.x >= (cx.cx * px.w) // 9
+                  AND (px.x < ((cx.cx + 1) * px.w) // 9
+                       OR px.x = (cx.cx * px.w) // 9)
+                GROUP BY px.i, cy.cy, cx.cx
             ),
             bands AS (
                 SELECT c1.i, c1.cy AS band_id,
@@ -6530,6 +6583,138 @@ def oracle_sql() -> dict[str, str]:
               ON bb.band_id = ba.band_id AND ba.i < bb.i
             GROUP BY id_a, id_b
             HAVING SUM(bit_count(xor(ba.band, bb.band))) <= 4
+        """,
+        "multimodal_image_neardup16": """
+            -- same closed-form dHash + brute-force all-pairs twin as
+            -- multimodal_image_neardup, threshold 3: with 4 bands of
+            -- 16 bits the pigeonhole recall bound is Hamming <= 3, so
+            -- brute force == the engine's banded output exactly
+            WITH a AS (
+                SELECT i, i % 150 AS j
+                FROM (SELECT unnest(range(0, 200)) AS i)
+            ),
+            d AS (
+                SELECT a.i, a.j, 8 + a.j % 5 AS w, 6 + a.j % 3 AS h
+                FROM a
+            ),
+            px AS (
+                SELECT d.i, ux.x, uy.y, d.w, d.h,
+                       ((d.j*31 + ux.x*7 + uy.y*13) % 256
+                        + (d.j*31 + ux.x*7 + uy.y*13 + 97) % 256
+                        + (d.j*31 + ux.x*7 + uy.y*13 + 194) % 256) // 3
+                           AS gray
+                FROM d, unnest(range(0, d.w)) ux(x),
+                        unnest(range(0, d.h)) uy(y)
+            ),
+            cells AS (
+                SELECT px.i, cy.cy, cx.cx,
+                       CAST(SUM(px.gray) // COUNT(*) AS BIGINT) AS cell
+                FROM px, unnest(range(0, 8)) cy(cy),
+                         unnest(range(0, 9)) cx(cx)
+                WHERE px.y >= (cy.cy * px.h) // 8
+                  AND (px.y < ((cy.cy + 1) * px.h) // 8
+                       OR px.y = (cy.cy * px.h) // 8)
+                  AND px.x >= (cx.cx * px.w) // 9
+                  AND (px.x < ((cx.cx + 1) * px.w) // 9
+                       OR px.x = (cx.cx * px.w) // 9)
+                GROUP BY px.i, cy.cy, cx.cx
+            ),
+            bands AS (
+                SELECT c1.i, c1.cy AS band_id,
+                       CAST(SUM(CASE WHEN c2.cell > c1.cell
+                                     THEN 1 << c1.cx ELSE 0 END)
+                            AS BIGINT) AS band
+                FROM cells c1 JOIN cells c2
+                  ON c2.i = c1.i AND c2.cy = c1.cy AND c2.cx = c1.cx + 1
+                WHERE c1.cx < 8
+                GROUP BY c1.i, c1.cy
+            )
+            SELECT ba.i AS id_a, bb.i AS id_b,
+                   CAST(SUM(bit_count(xor(ba.band, bb.band))) AS BIGINT)
+                       AS hamming
+            FROM bands ba JOIN bands bb
+              ON bb.band_id = ba.band_id AND ba.i < bb.i
+            GROUP BY id_a, id_b
+            HAVING SUM(bit_count(xor(ba.band, bb.band))) <= 3
+        """,
+        "multimodal_image_neardup_capped": """
+            -- bucket_cap twin IN SQL: 16-bit bands (adjacent row-byte
+            -- pairs) are counted per (band_id, band); buckets over the
+            -- cap (20) are excluded from candidate generation; exact
+            -- Hamming runs over the UNCAPPED 8-bit bands. Fixture:
+            -- j = i % 180 (dups), gray = 0 when i % 4 = 0 (solids).
+            WITH a AS (
+                SELECT i, i % 180 AS j
+                FROM (SELECT unnest(range(0, 240)) AS i)
+            ),
+            d AS (
+                SELECT a.i, a.j, 8 + a.j % 5 AS w, 6 + a.j % 3 AS h
+                FROM a
+            ),
+            px AS (
+                SELECT d.i, ux.x, uy.y, d.w, d.h,
+                       CASE WHEN d.i % 4 = 0 THEN 0 ELSE
+                       ((d.j*31 + ux.x*7 + uy.y*13) % 256
+                        + (d.j*31 + ux.x*7 + uy.y*13 + 97) % 256
+                        + (d.j*31 + ux.x*7 + uy.y*13 + 194) % 256) // 3
+                       END AS gray
+                FROM d, unnest(range(0, d.w)) ux(x),
+                        unnest(range(0, d.h)) uy(y)
+            ),
+            cells AS (
+                SELECT px.i, cy.cy, cx.cx,
+                       CAST(SUM(px.gray) // COUNT(*) AS BIGINT) AS cell
+                FROM px, unnest(range(0, 8)) cy(cy),
+                         unnest(range(0, 9)) cx(cx)
+                WHERE px.y >= (cy.cy * px.h) // 8
+                  AND (px.y < ((cy.cy + 1) * px.h) // 8
+                       OR px.y = (cy.cy * px.h) // 8)
+                  AND px.x >= (cx.cx * px.w) // 9
+                  AND (px.x < ((cx.cx + 1) * px.w) // 9
+                       OR px.x = (cx.cx * px.w) // 9)
+                GROUP BY px.i, cy.cy, cx.cx
+            ),
+            bands AS (
+                SELECT c1.i, c1.cy AS band_id,
+                       CAST(SUM(CASE WHEN c2.cell > c1.cell
+                                     THEN 1 << c1.cx ELSE 0 END)
+                            AS BIGINT) AS band
+                FROM cells c1 JOIN cells c2
+                  ON c2.i = c1.i AND c2.cy = c1.cy AND c2.cx = c1.cx + 1
+                WHERE c1.cx < 8
+                GROUP BY c1.i, c1.cy
+            ),
+            b16 AS (
+                SELECT b0.i, b0.band_id // 2 AS band_id,
+                       b0.band + 256 * b1.band AS band
+                FROM bands b0 JOIN bands b1
+                  ON b1.i = b0.i AND b1.band_id = b0.band_id + 1
+                WHERE b0.band_id % 2 = 0
+            ),
+            counts AS (
+                SELECT band_id, band, COUNT(*) AS n
+                FROM b16 GROUP BY band_id, band
+            ),
+            surv AS (
+                SELECT b.i, b.band_id, b.band
+                FROM b16 b JOIN counts c
+                  ON c.band_id = b.band_id AND c.band = b.band
+                WHERE c.n <= 20
+            ),
+            cand AS (
+                SELECT DISTINCT sa.i AS id_a, sb.i AS id_b
+                FROM surv sa JOIN surv sb
+                  ON sb.band_id = sa.band_id AND sb.band = sa.band
+                 AND sa.i < sb.i
+            )
+            SELECT c.id_a, c.id_b,
+                   CAST(SUM(bit_count(xor(ba.band, bb.band))) AS BIGINT)
+                       AS hamming
+            FROM cand c
+            JOIN bands ba ON ba.i = c.id_a
+            JOIN bands bb ON bb.i = c.id_b AND bb.band_id = ba.band_id
+            GROUP BY c.id_a, c.id_b
+            HAVING SUM(bit_count(xor(ba.band, bb.band))) <= 3
         """,
         "multimodal_frames": """
             -- synth video i has duration (i % 30 + 1) seconds → one

@@ -140,27 +140,45 @@ def test_dhash_exact_duplicate_zero_distance(spark):
         assert pairs.get((i, i + 10)) == 0, i
 
 
+def _dhash_twin(payload):
+    """Independent nested-loop dHash recomputation from decoded
+    pixels — interval binning at minimum width 1 (the pinned rule)."""
+    img = mm.decode_netpbm(payload).astype("int64")
+    h, w = img.shape[:2]
+    want = []
+    for cy in range(8):
+        y0, y1 = cy * h // 8, max((cy + 1) * h // 8, cy * h // 8 + 1)
+        means = []
+        for cx in range(9):
+            x0 = cx * w // 9
+            x1 = max((cx + 1) * w // 9, x0 + 1)
+            vals = [
+                int(img[y, x].sum() // 3) if img.ndim == 3 else int(img[y, x])
+                for y in range(y0, y1)
+                for x in range(x0, x1)
+            ]
+            means.append(sum(vals) // len(vals))
+        b = 0
+        for cx in range(8):
+            if means[cx + 1] > means[cx]:
+                b |= 1 << cx
+        want.append(b)
+    return want
+
+
 def test_dhash_bytes_twin():
     """Engine row bytes == an independent nested-loop recomputation
     from decoded pixels."""
-    import numpy as np
+    assert mm.image_dhash_bytes(_ppm(12, 8)) == _dhash_twin(_ppm(12, 8))
 
-    payload = _ppm(12, 8)
-    got = mm.image_dhash_bytes(payload)
-    img = mm.decode_netpbm(payload).astype(np.int64)
-    cells = [[[] for _ in range(9)] for _ in range(8)]
-    for y in range(8):
-        for x in range(12):
-            cells[y * 8 // 8][x * 9 // 12].append(int(img[y, x].sum() // 3))
-    want = []
-    for cy in range(8):
-        m = [sum(c) // len(c) if c else 0 for c in cells[cy]]
-        b = 0
-        for cx in range(8):
-            if m[cx + 1] > m[cx]:
-                b |= 1 << cx
-        want.append(b)
-    assert got == want
+
+def test_dhash_bytes_twin_short_image():
+    """Images SHORTER/NARROWER than the 9×8 grid: interval binning at
+    min width 1 gives every cell at least one pixel (adjacent cells
+    share rows) — no structurally-zero bands, unlike the old
+    assignment rule that skipped grid rows for h<8."""
+    for w, h in [(4, 3), (8, 6), (2, 2), (1, 1), (9, 8)]:
+        assert mm.image_dhash_bytes(_ppm(w, h)) == _dhash_twin(_ppm(w, h))
 
 
 def test_dhash_banding_recall_vs_bruteforce(spark):
@@ -191,3 +209,53 @@ def test_dhash_guard(spark):
     media = mm.synth_ppm_media(spark, 4)
     with pytest.raises(ValueError, match="pigeonhole"):
         mm.image_near_dup(media, max_hamming=8)
+    # 16-bit bands: 4 bands -> exact-recall bound is Hamming <= 3
+    with pytest.raises(ValueError, match="pigeonhole"):
+        mm.image_near_dup(media, max_hamming=4, band_bits=16)
+    with pytest.raises(ValueError, match="band_bits"):
+        mm.image_dhash(media, band_bits=12)
+
+
+def test_band16_equals_band8_within_exact_bound(spark):
+    """Within the 4-band pigeonhole bound (Hamming <= 3) both band
+    widths are EXACT, so their outputs must be identical."""
+    media = mm.synth_ppm_media(spark, 60, seed_mod=40)
+    narrow = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.image_near_dup(media, max_hamming=3).collect()
+    }
+    wide = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.image_near_dup(
+            media, max_hamming=3, band_bits=16
+        ).collect()
+    }
+    assert narrow == wide and len(wide) >= 20
+
+
+def test_bucket_cap_solid_image_skew(spark):
+    """The degenerate web case bucket_cap guards: 1000 solid-black
+    placeholders hash to identical all-zero bands; uncapped, their
+    single bucket alone generates ~500k candidate pairs. With the cap
+    the solid buckets drop out of pair generation (documented recall
+    trade: no solid×solid pairs emitted) while planted duplicate
+    pairs among the normal images all survive via their own small
+    buckets."""
+    solids = mm.synth_ppm_media(spark, 1000, solid_mod=1)
+    normal = mm.synth_ppm_media(spark, 60, seed_mod=40).withColumn(
+        "asset_id", F.col("asset_id") + 1_000_000
+    )
+    media = solids.unionByName(normal)
+    out = mm.image_near_dup(
+        media, max_hamming=3, band_bits=16, bucket_cap=50
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    # no pair touches a solid asset (ids < 1000): every bucket a
+    # solid occupies is over-full, and solids share no other bucket
+    assert all(a >= 1_000_000 and b >= 1_000_000 for a, b in pairs)
+    # every planted duplicate among the normals is still found
+    for i in range(40, 60):
+        assert (1_000_000 + i - 40, 1_000_000 + i) in pairs, i
+    # sanity on the guardrail: candidate volume stayed far from the
+    # ~500k the solid bucket alone would contribute
+    assert len(pairs) < 5_000

@@ -127,7 +127,9 @@ def extract_features(
     )
 
 
-def synth_ppm_media(spark, n: int, seed_mod: int | None = None) -> DataFrame:
+def synth_ppm_media(
+    spark, n: int, seed_mod: int | None = None, solid_mod: int | None = None
+) -> DataFrame:
     """Deterministic REAL image fixture: valid binary PPM (P6) files
     generated per asset id with pure arithmetic — pixel (x, y) channel
     c is ``(i*31 + x*7 + y*13 + c*97) % 256`` over a w×h raster
@@ -140,7 +142,14 @@ def synth_ppm_media(spark, n: int, seed_mod: int | None = None) -> DataFrame:
     ``seed_mod`` plants exact duplicates: the pixel seed becomes
     ``asset_id % seed_mod``, so assets ``seed_mod..n-1`` are
     byte-identical copies of earlier assets under fresh ids — the
-    image-dedup fixture."""
+    image-dedup fixture.
+
+    ``solid_mod`` plants DEGENERATE images: assets with
+    ``asset_id % solid_mod == 0`` become solid black (every channel
+    0) at their usual dimensions — the solid-placeholder skew case
+    the near-dup ``bucket_cap`` guards (all-zero dHash bands pile
+    into one bucket). Closed form for the oracle:
+    ``gray = 0 WHEN i % solid_mod = 0``."""
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -157,6 +166,8 @@ def synth_ppm_media(spark, n: int, seed_mod: int | None = None) -> DataFrame:
                     + ys[:, None, None] * 13
                     + np.array([0, 97, 194], dtype=np.int64)[None, None, :]
                 ) % 256
+                if solid_mod is not None and aid % solid_mod == 0:
+                    base = np.zeros_like(base)
                 payload = (
                     b"P6\n# synthetic fixture\n%d %d\n255\n" % (w, h)
                     + base.astype(np.uint8).tobytes()
@@ -266,11 +277,21 @@ DHASH_ROWS = 8
 def image_dhash_bytes(payload: bytes) -> list[int]:
     """Difference hash (the classic perceptual near-dup hash, integer
     variant): decode → integer grayscale ``(r+g+b)//3`` → floor-mean
-    over a 9×8 cell partition (cell of x = ``x*9//w``) → per row, bit
-    ``cx`` set iff ``cell[cx+1] > cell[cx]``. Returns the 8 row bytes.
-    All-integer, so a SQL oracle recomputes it from closed-form
-    fixture pixels; unlike interpolation-based resizing, the grid
-    floor-means are exactly portable across engines."""
+    over a 9×8 cell partition → per row, bit ``cx`` set iff
+    ``cell[cx+1] > cell[cx]``. Returns the 8 row bytes. All-integer,
+    so a SQL oracle recomputes it from closed-form fixture pixels;
+    unlike interpolation-based resizing, the grid floor-means are
+    exactly portable across engines.
+
+    Cell binning is INTERVAL-based with a minimum width of one pixel:
+    grid row ``cy`` covers pixel rows ``[cy*h//R, max((cy+1)*h//R,
+    cy*h//R + 1))`` (same for columns with C=9). For images at least
+    as tall/wide as the grid this is the standard equal-interval
+    partition; for SMALLER images adjacent grid cells share pixel
+    rows instead of leaving structurally-zero cells — the old
+    assignment rule (``y*R//h``) left grid rows with no mapped pixel
+    row for h<8, so every short image trivially shared zero bands and
+    inflated the banded join's fan-out."""
     img = decode_netpbm(payload)
     gray = (
         img.astype(np.int64).sum(axis=2) // 3
@@ -278,15 +299,16 @@ def image_dhash_bytes(payload: bytes) -> list[int]:
         else img.astype(np.int64)
     )
     h, w = gray.shape
-    gx = (np.arange(w) * DHASH_COLS) // w
-    gy = (np.arange(h) * DHASH_ROWS) // h
     cells = np.zeros((DHASH_ROWS, DHASH_COLS), dtype=np.int64)
     for cy in range(DHASH_ROWS):
-        rows = gray[gy == cy]
+        y0 = cy * h // DHASH_ROWS
+        y1 = max((cy + 1) * h // DHASH_ROWS, y0 + 1)
+        rows = gray[y0:y1]
         for cx in range(DHASH_COLS):
-            cell = rows[:, gx == cx]
-            if cell.size:
-                cells[cy, cx] = int(cell.sum()) // cell.size
+            x0 = cx * w // DHASH_COLS
+            x1 = max((cx + 1) * w // DHASH_COLS, x0 + 1)
+            cell = rows[:, x0:x1]
+            cells[cy, cx] = int(cell.sum()) // cell.size
     out = []
     for cy in range(DHASH_ROWS):
         b = 0
@@ -297,16 +319,28 @@ def image_dhash_bytes(payload: bytes) -> list[int]:
     return out
 
 
-def image_dhash(media: DataFrame) -> DataFrame:
-    """``(asset_id, band_id, band)`` — the dHash row bytes per asset,
-    long format, via one zero-shuffle Arrow pass over the payloads."""
+def image_dhash(media: DataFrame, band_bits: int = 8) -> DataFrame:
+    """``(asset_id, band_id, band)`` — the dHash bands per asset, long
+    format, via one zero-shuffle Arrow pass over the payloads.
+    ``band_bits=8`` → 8 bands of one row byte each; ``band_bits=16``
+    → 4 bands pairing adjacent rows (``b[2i] | b[2i+1] << 8``) — a
+    65536-value keyspace per band instead of 256, which is what keeps
+    the banded join's collision rate sane at 10^8+ assets."""
+    if band_bits not in (8, 16):
+        raise ValueError("band_bits must be 8 or 16")
     schema = "asset_id long, band_id int, band int"
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, bids, vals = [], [], []
             for aid, p in zip(pdf["asset_id"], pdf["payload"]):
-                for bi, b in enumerate(image_dhash_bytes(p)):
+                bs = image_dhash_bytes(p)
+                if band_bits == 16:
+                    bs = [
+                        bs[2 * i] | (bs[2 * i + 1] << 8)
+                        for i in range(DHASH_ROWS // 2)
+                    ]
+                for bi, b in enumerate(bs):
                     ids.append(aid)
                     bids.append(bi)
                     vals.append(b)
@@ -317,26 +351,64 @@ def image_dhash(media: DataFrame) -> DataFrame:
     return media.select("asset_id", "payload").mapInPandas(_hash, schema)
 
 
-def image_near_dup(media: DataFrame, max_hamming: int = 4) -> DataFrame:
+def image_near_dup(
+    media: DataFrame,
+    max_hamming: int = 4,
+    band_bits: int = 8,
+    bucket_cap: int | None = None,
+) -> DataFrame:
     """Image near-duplicate pairs ``(id_a, id_b, hamming)`` with
     dHash Hamming distance ≤ ``max_hamming`` — the multimodal member
     of the dedup family, same banded shape as SimHash text dedup:
-    candidates must share one identical row byte (pigeonhole: with 8
-    bands of 8 bits, any pair within Hamming 7 shares ≥1 intact band
-    — EXACT recall for ``max_hamming ≤ 7``, enforced), then the full
-    8-band join verifies the exact distance. Only (asset_id, band)
-    integers ride the shuffles — payloads are read once by the hash
-    pass and never again."""
-    if not 0 <= max_hamming <= DHASH_ROWS - 1:
+    candidates must share one identical band (pigeonhole: with B
+    bands, any pair within Hamming B-1 shares ≥1 intact band — EXACT
+    recall for ``max_hamming ≤ B-1``, enforced), then the full band
+    join verifies the exact distance. Only (asset_id, band) integers
+    ride the shuffles — payloads are read once by the hash pass and
+    never again.
+
+    Scale guardrails (the SimHash twins' discipline,
+    textdedup.simhash_near_pairs):
+
+    - ``band_bits=16`` pairs adjacent row bytes into 4 bands of 16
+      bits: the per-band keyspace grows 256× (expected collision rate
+      of random non-dup pairs drops accordingly), at the price of a
+      tighter exact-recall bound (``max_hamming ≤ 3``). The 8-bit
+      default keeps ``max_hamming ≤ 7`` but its 2048-value total
+      keyspace makes banding ~all-pairs at 10^8 assets — use 16 bits
+      at scale.
+    - ``bucket_cap`` drops over-full ``(band_id, band)`` buckets from
+      candidate generation: degenerate-but-common web images (solid
+      placeholders, white scans) hash to identical bands and their
+      bucket's pair enumeration is quadratic. Pairs inside a dropped
+      bucket that share no other surviving band are NOT emitted — a
+      documented recall trade, exactly SimHash's ``bucket_cap``
+      contract. The exact-Hamming verify always runs on the UNCAPPED
+      band table, so emitted distances are exact regardless."""
+    n_bands = DHASH_ROWS if band_bits == 8 else DHASH_ROWS // 2
+    if not 0 <= max_hamming <= n_bands - 1:
         raise ValueError(
-            f"max_hamming must be in [0, {DHASH_ROWS - 1}] for exact "
-            f"recall with {DHASH_ROWS} bands (pigeonhole)"
+            f"max_hamming must be in [0, {n_bands - 1}] for exact "
+            f"recall with {n_bands} bands of {band_bits} bits "
+            f"(pigeonhole)"
         )
-    bands = image_dhash(media).localCheckpoint(eager=True)
+    bands = image_dhash(media, band_bits=band_bits).localCheckpoint(
+        eager=True
+    )
+    blocked = bands
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_id", "band")
+        blocked = (
+            bands.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= bucket_cap)
+            .drop("_bn")
+        )
     cand = (
-        bands.alias("a")
+        blocked.alias("a")
         .join(
-            bands.alias("b"),
+            blocked.alias("b"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.asset_id") < F.col("b.asset_id")),
