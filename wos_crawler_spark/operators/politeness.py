@@ -72,6 +72,7 @@ def schedule_wave(
     rows_per_bucket: int = 10_000,
     dedup_intra: bool = False,
     host_delays: DataFrame | None = None,
+    broadcast_dims: bool = True,
 ) -> DataFrame:
     """Assign politeness ``scheduled_ts`` to this wave's frontier,
     after the optional per-host priority quota (W1).
@@ -83,10 +84,20 @@ def schedule_wave(
     robots.txt ``Crawl-delay`` via
     :func:`~wos_crawler_spark.operators.robots.parse_robots_delays`);
     a listed host's token bucket runs at ITS delay, everyone else at
-    ``delay_s``. Broadcast-joined — a per-host dim is O(hosts), never a
-    frontier-scale shuffle. The bucket math is unchanged: delay is
-    constant per host, so the ≥delay inter-fetch gap proof in the
-    module docstring still holds verbatim.
+    ``delay_s``. Broadcast-joined by default — a per-host dim is
+    O(hosts), never a frontier-scale shuffle. The bucket math is
+    unchanged: delay is constant per host, so the ≥delay inter-fetch
+    gap proof in the module docstring still holds verbatim.
+
+    ``broadcast_dims=False`` drops the broadcast hints on BOTH
+    per-host dims (the salt-count dim and ``host_delays``) for
+    frontiers spanning more hosts than broadcast can carry (10^7+):
+    the dim joins then key on host — bounded exchanges that ride the
+    same hash partitioning as the politeness shuffle — and AQE may
+    still convert them back to broadcast from runtime stats.
+    run_crawl derives the verdict from CrawlConfig.
+    dim_broadcast_threshold; scheduling output is identical either
+    way (parity-tested).
 
     ``dedup_intra=True`` folds intra-wave url_hash dedup INTO this
     operator's (host, salt) shuffle: because equal hashes imply equal
@@ -99,12 +110,18 @@ def schedule_wave(
     salt-count pass necessarily sees the pre-dedup multiset — the
     bucket count S(host) is a layout knob, so only the simulator
     contract needs to mirror that (plans/simulator.py does)."""
-    counts = salt_counts(frontier, rows_per_bucket)
-    f = frontier.join(F.broadcast(counts.select("host", "n_buckets")), "host", "left")
-    if host_delays is not None:
-        f = f.join(
-            F.broadcast(host_delays.select("host", "crawl_delay")), "host", "left"
-        )
+    counts = salt_counts(frontier, rows_per_bucket).select("host", "n_buckets")
+    delays = (
+        host_delays.select("host", "crawl_delay")
+        if host_delays is not None
+        else None
+    )
+    if broadcast_dims:
+        counts = F.broadcast(counts)
+        delays = F.broadcast(delays) if delays is not None else None
+    f = frontier.join(counts, "host", "left")
+    if delays is not None:
+        f = f.join(delays, "host", "left")
     f = f.withColumn("salt", F.pmod(F.col("url_hash"), F.col("n_buckets")).cast("int"))
 
     w_bucket = Window.partitionBy("host", "salt").orderBy(*order_cols())

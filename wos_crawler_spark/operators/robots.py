@@ -318,6 +318,7 @@ def robots_filter(
     frontier: DataFrame,
     robots: DataFrame | None,
     wildcards: bool = False,
+    broadcast_dims: bool = True,
 ) -> DataFrame:
     """Drop frontier rows whose winning robots rule disallows.
 
@@ -326,7 +327,18 @@ def robots_filter(
     match (the simulator-pinned crawl contract); ``wildcards=True``
     switches to full RFC 9309 ``*``/``$`` semantics
     (CrawlConfig.robots_wildcards plumbs this through run_crawl) —
-    byte-identical verdicts on wildcard-free rule sets."""
+    byte-identical verdicts on wildcard-free rule sets.
+
+    ``broadcast_dims``: the per-host rules dim broadcasts by default —
+    right whenever it fits the driver/executors. At the 10^10-URL
+    design point a Common-Crawl-shaped robots table spans 10^7–10^8
+    hosts with rule arrays and will NOT broadcast (driver OOM / 8 GB
+    hard cap); ``False`` drops the hint so the join keys on host —
+    one bounded host-keyed exchange that AQE may still convert back
+    to broadcast if runtime stats allow. run_crawl sizes the dim once
+    per crawl (CrawlConfig.dim_broadcast_threshold) and plumbs the
+    verdict here; verdict semantics are identical either way
+    (parity-tested in both modes)."""
     if robots is None:
         return frontier
     path = url_path(F.col("url_canon"))
@@ -336,8 +348,10 @@ def robots_filter(
     else:
         by_host = robots_rules_by_host(robots)
         verdict = robots_verdict(path, F.col("_rules"))
+    if broadcast_dims:
+        by_host = F.broadcast(by_host)
     return (
-        frontier.join(F.broadcast(by_host), "host", "left")
+        frontier.join(by_host, "host", "left")
         .filter(verdict)
         .drop("_rules")
     )

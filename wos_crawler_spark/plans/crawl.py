@@ -161,6 +161,16 @@ class CrawlConfig:
     #: record), so executor storage stays O(1) in wave count instead
     #: of accumulating every wave's page payloads.
     keep_wave_caches: bool = True
+    #: Per-host dims (robots rules, Crawl-delay/backoff delays,
+    #: quarantine set, salt counts) broadcast while they fit; above
+    #: this many hosts the broadcast hints are DROPPED and the dim
+    #: joins key on host — a bounded exchange instead of a driver
+    #: OOM. At the 10^10-URL design point a Common-Crawl-shaped
+    #: robots table spans 10^7–10^8 hosts and cannot broadcast; the
+    #: robots dim is sized ONCE per crawl (one distinct-count job),
+    #: the backoff dim per wave (piggybacked on its existing agg).
+    #: None = always broadcast (trusted-small dims, no sizing jobs).
+    dim_broadcast_threshold: int | None = 5_000_000
     #: StorageLevel NAME for the two pre-bucketed join-side caches
     #: (pages fetch side, links side). None = Spark's MEMORY_AND_DISK.
     #: "DISK_ONLY" moves both caches out of the JVM heap — the fix for
@@ -498,10 +508,16 @@ def run_wave(
     host_delays: DataFrame | None = None,
     inter_wave_gap_s: float | None = None,
     rmap: DataFrame | None = None,
+    broadcast_dims: bool = True,
 ) -> tuple[WaveResult, DataFrame, DataFrame]:
     """One wave. ``pages``/``links`` should be pre-partitioned via
     ``prepare_fetch_side``/``prepare_links_side`` (run_crawl does).
-    Returns (result, next_frontier, seen_delta)."""
+    Returns (result, next_frontier, seen_delta).
+
+    ``broadcast_dims``: whether the per-host dims (robots rules,
+    host_delays, salt counts) carry broadcast hints — run_crawl sizes
+    them against cfg.dim_broadcast_threshold and passes the verdict;
+    semantics are identical either way."""
     timing = os.environ.get("WCS_TIMING", "") not in ("", "0")
 
     def _t(label: str, t0: float) -> None:
@@ -510,7 +526,10 @@ def run_wave(
 
     t0 = time.time()
     # F3: robots gate (map-only broadcast LPM / RFC-9309 wildcards)
-    allowed = robots_filter(frontier, robots, wildcards=cfg.robots_wildcards)
+    allowed = robots_filter(
+        frontier, robots, wildcards=cfg.robots_wildcards,
+        broadcast_dims=broadcast_dims,
+    )
 
     # F1/J1: dedup — retries (dont_filter) bypass, like Scrapy.
     # intra=False: the intra-wave url_hash dedup rides the politeness
@@ -608,6 +627,7 @@ def run_wave(
             rows_per_bucket=cfg.rows_per_bucket,
             dedup_intra=True,
             host_delays=host_delays,
+            broadcast_dims=broadcast_dims,
         ).withColumn("host", F.col("_true_host")).drop("_true_host")
     else:
         sched = schedule_wave(
@@ -618,6 +638,7 @@ def run_wave(
             rows_per_bucket=cfg.rows_per_bucket,
             dedup_intra=True,
             host_delays=host_delays,
+            broadcast_dims=broadcast_dims,
         )
 
     # J3: "fetch" — resolve url → page payload (left join keeps misses).
@@ -828,6 +849,20 @@ def run_crawl(
         max_delay = host_delays.agg(F.max("crawl_delay")).first()[0]
         inter_wave_gap = max(cfg.delay_s, float(max_delay or 0.0))
 
+    # Size-gate the per-host broadcast dims ONCE per crawl: a robots/
+    # delay dim spanning more hosts than dim_broadcast_threshold
+    # drops its broadcast hints for the whole run (the dim joins key
+    # on host; AQE may still convert small ones back at runtime).
+    # The wave-variant backoff dim is re-sized per wave below.
+    dims_bcast = True
+    if cfg.dim_broadcast_threshold is not None:
+        n_dim = 0
+        if robots is not None:
+            n_dim = robots.select("host").distinct().count()
+        if host_delays is not None:
+            n_dim = max(n_dim, host_delays.count())
+        dims_bcast = n_dim <= cfg.dim_broadcast_threshold
+
     start_wave = 0
     frontier = None
     seen: DataFrame | None = None
@@ -918,6 +953,7 @@ def run_crawl(
         eff_delays, eff_gap = host_delays, inter_wave_gap
         bo = None
         pre_bo_frontier = None
+        wave_bcast = dims_bcast
         if cfg.backoff and host_stats is not None:
             from wos_crawler_spark.operators.backoff import backoff_plan
 
@@ -925,9 +961,22 @@ def run_crawl(
                 host_stats, cfg.delay_s, host_delays,
                 **cfg.backoff_kwargs,
             ).cache()
+            # one agg materializes the bo cache AND sizes the wave's
+            # backoff dim (the broadcast gate needs the count anyway
+            # — no extra job vs the old max-only agg)
+            max_eff, bo_n = bo.agg(
+                F.max("crawl_delay"), F.count(F.lit(1))
+            ).first()
+            eff_gap = max(cfg.delay_s, float(max_eff or 0.0))
+            if cfg.dim_broadcast_threshold is not None:
+                wave_bcast = (
+                    dims_bcast and bo_n <= cfg.dim_broadcast_threshold
+                )
             quar = bo.filter(F.col("quarantined")).select(
                 F.col("host").alias("_qkey")
             )
+            if wave_bcast:
+                quar = F.broadcast(quar)
             # with politeness_domain, stats/delays/quarantine all key
             # on the registrable domain (see the stats fold below) —
             # quarantining one dead subdomain cuts off the registrant
@@ -942,16 +991,14 @@ def run_crawl(
                 )
             pre_bo_frontier = frontier
             frontier = frontier.join(
-                F.broadcast(quar), fkey == F.col("_qkey"), "left_anti"
+                quar, fkey == F.col("_qkey"), "left_anti"
             )
             eff_delays = bo.select("host", "crawl_delay")
-            max_eff = bo.agg(F.max("crawl_delay")).first()[0]
-            eff_gap = max(cfg.delay_s, float(max_eff or 0.0))
         res, next_frontier, seen_delta = run_wave(
             spark, wave, frontier, pages_kv, links_kv, robots, seen, bloom,
             cfg, wave_start,
             host_delays=eff_delays, inter_wave_gap_s=eff_gap,
-            rmap=rmap,
+            rmap=rmap, broadcast_dims=wave_bcast,
         )
         if pre_bo_frontier is not None and res.gate_metrics is not None:
             # prepend the backoff-quarantine boundary so the funnel
