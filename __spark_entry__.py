@@ -3655,6 +3655,109 @@ def _opic_oracle_sql(n_iter: int = 5) -> str:
     )
 
 
+def q_w1_opic_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-driven W1 frontier priority (round 5): INTEGER-exact OPIC
+    (operators/linkgraph.py::opic_int — all cash in integer units,
+    every floor remainder conserved through the virtual-page pool, so
+    Spark ≡ python simulator twin ≡ this unrolled-CTE oracle with NO
+    float rounding protocol) over a synthetic 20-node link graph with
+    5 dangling nodes, joined onto a frontier as its priority, then
+    the per-host fetch rank the priority queue would dequeue by. The
+    run_crawl wiring (CrawlConfig.opic_priority re-prioritizing every
+    next-wave row) is parity-tested against the simulator in
+    tests/test_opic_priority.py; this entry pins the score values and
+    the rank derivation."""
+    from wos_crawler_spark.operators.linkgraph import opic_int
+
+    edges = spark.range(45).select(
+        F.concat(F.lit("u"), (F.col("id") % 15).cast("string")).alias("src"),
+        F.concat(F.lit("u"), ((F.col("id") * 7 + 3) % 20).cast("string")).alias(
+            "dst"
+        ),
+    )
+    scores = opic_int(edges, n_iter=3, scale=1_000_000)
+    frontier = spark.range(20).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 4).cast("string")).alias("host"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("url").asc()
+    )
+    return (
+        frontier.join(scores, frontier.url == scores.node)
+        .select(
+            "url", "host", F.col("importance").cast("long").alias("priority")
+        )
+        .withColumn(
+            "fetch_rank", F.row_number().over(w).cast("long")
+        )
+    )
+
+
+def _opic_int_oracle_sql(n_iter: int = 3, scale: int = 1_000_000) -> str:
+    """Unrolled INTEGER OPIC twin of linkgraph.opic_int over the
+    w1_opic_priority fixture graph — floor divisions and conserved
+    remainders restated round by round; no rounding protocol because
+    there are no floats."""
+    ctes = [
+        "e0 AS (SELECT 'u' || (i % 15) AS src,"
+        " 'u' || ((i*7+3) % 20) AS dst"
+        " FROM (SELECT unnest(range(0, 45)) AS i))",
+        "ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM ed UNION SELECT dst FROM ed))",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "outd AS MATERIALIZED (SELECT src, COUNT(*) AS outd"
+        " FROM ed GROUP BY src)",
+        f"s0 AS MATERIALIZED (SELECT node,"
+        f" {scale} // (SELECT n FROM nn) AS cash,"
+        f" CAST(0 AS BIGINT) AS hist FROM nodes)",
+        f"p0 AS (SELECT {scale} - (SELECT n FROM nn)"
+        f" * ({scale} // (SELECT n FROM nn)) AS pool)",
+    ]
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        ctes += [
+            f"dg{k} AS (SELECT COALESCE(SUM(cash), 0) AS dm FROM s{p}"
+            f" WHERE node NOT IN (SELECT src FROM ed))",
+            f"rs{k} AS (SELECT COALESCE(SUM(s.cash"
+            f" - o.outd * (s.cash // o.outd)), 0) AS rs"
+            f" FROM s{p} s JOIN outd o ON o.src = s.node)",
+            f"i{k} AS (SELECT (SELECT pool FROM p{p})"
+            f" + (SELECT dm FROM dg{k}) + (SELECT rs FROM rs{k}) AS tin)",
+            f"sh{k} AS (SELECT (SELECT tin FROM i{k})"
+            f" // (SELECT n FROM nn) AS share)",
+            f"p{k} AS (SELECT (SELECT tin FROM i{k}) - (SELECT n FROM nn)"
+            f" * (SELECT share FROM sh{k}) AS pool)",
+            f"c{k} AS MATERIALIZED (SELECT e.dst AS node,"
+            f" SUM(s.cash // o.outd) AS s"
+            f" FROM ed e JOIN s{p} s ON s.node = e.src"
+            f" JOIN outd o ON o.src = e.src GROUP BY e.dst)",
+            f"s{k} AS MATERIALIZED (SELECT n.node,"
+            f" COALESCE(c.s, 0) + (SELECT share FROM sh{k}) AS cash,"
+            f" s.hist + s.cash AS hist"
+            f" FROM nodes n JOIN s{p} s USING (node)"
+            f" LEFT JOIN c{k} c ON c.node = n.node)",
+        ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+        sc AS (SELECT node, hist + cash AS importance FROM s{n_iter}),
+        fr AS (SELECT 'u' || k AS url, 'h' || (k % 4) AS host
+               FROM (SELECT unnest(range(0, 20)) AS k))
+        SELECT f.url, f.host,
+               CAST(s.importance AS BIGINT) AS priority,
+               CAST(row_number() OVER (
+                     PARTITION BY f.host
+                     ORDER BY s.importance DESC, f.url ASC
+                   ) AS BIGINT) AS fetch_rank
+        FROM fr f JOIN sc s ON s.node = f.url
+    """
+    )
+
+
 def q_graph_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host PageRank (Cho/Garcia-Molina/Page crawl ordering), 5 power
     iterations with the deterministic rounding protocol
@@ -3784,6 +3887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_backoff_plan": q_f_backoff_plan,
         "graph_hits_hosts": q_graph_hits_hosts,
         "graph_opic_hosts": q_graph_opic_hosts,
+        "w1_opic_priority": q_w1_opic_priority,
         "text_script_profile": q_text_script_profile,
         "corpus_delta": q_corpus_delta,
         # rows-only engine surfaces (non-SQL-expressible)
@@ -5610,6 +5714,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank_hosts": _pagerank_oracle_sql(),
         "graph_hits_hosts": _hits_oracle_sql(),
         "graph_opic_hosts": _opic_oracle_sql(),
+        "w1_opic_priority": _opic_int_oracle_sql(),
         "text_script_profile": _script_profile_oracle_sql(),
         "corpus_delta": """
             -- the whole diff restated from doc_id arithmetic + md5

@@ -330,3 +330,154 @@ def opic(
         "cash",
         "history",
     )
+
+
+def opic_int(
+    edges: DataFrame, n_iter: int = 3, scale: int = 1_000_000
+) -> DataFrame:
+    """``(node, importance)`` — INTEGER-exact synchronous OPIC
+    (Abiteboul, Preda & Cobena 2003), the crawl-PRIORITY variant of
+    :func:`opic`: all cash lives in integer units of ``1/scale``, so
+    the result is bit-identical across Spark, the python simulator
+    twin (:func:`opic_int_python` — CrawlConfig.opic_priority's
+    fetch-order parity rests on it) and an unrolled-CTE SQL oracle —
+    no floating-point rounding protocol needed, and the importance
+    integers drop straight into the frontier's int ``priority``.
+
+    Protocol (every division is a floor; all remainders are
+    conserved, never dropped):
+
+    - every node starts with ``scale // n`` units; the seed remainder
+      opens the undistributed pool,
+    - per round: each node banks its cash into history, then
+      distributes ``cash // outd`` per out-edge; per-node residues,
+      dangling nodes' whole cash and the carried pool pour into the
+      round's pool, of which every node receives ``pool // n`` (the
+      paper's uniform virtual page) with the remainder carrying over,
+    - importance = history + final cash ∈ [0, (n_iter+1)·scale] —
+      pick ``scale`` so that bound fits the consumer (int32 for the
+      frontier priority: ``(n_iter+1)·scale < 2^31``) and resolution
+      survives the node count (``scale >> n``).
+
+    Scale shape mirrors :func:`opic`: per round one edge-keyed
+    exchange (contributions) + two driver-scalar aggregates (dangling
+    sum, residue sum); state is ``(node, cash, history)`` longs with
+    per-round ``localCheckpoint`` lineage truncation."""
+    if n_iter < 1 or scale < 1:
+        raise ValueError("n_iter and scale must be >= 1")
+    ed = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        ed.select(F.col("src").alias("node"))
+        .unionByName(ed.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("opic_int: empty edge set")
+    outd = ed.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    dangling = nodes.join(
+        ed.select("src").distinct(), nodes.node == F.col("src"), "left_anti"
+    )
+
+    unit = scale // n
+    pool = scale - n * unit
+    state = nodes.select(
+        "node",
+        F.lit(unit).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("history"),
+    ).localCheckpoint()
+
+    for _ in range(n_iter):
+        dm = (
+            state.join(F.broadcast(dangling), "node", "semi")
+            .agg(F.coalesce(F.sum("cash"), F.lit(0)))
+            .first()[0]
+        )
+        # `div` = exact integral division on longs (F.floor(a/b) would
+        # round-trip through double — loses exactness past 2^53 at
+        # production scales)
+        resid = (
+            state.join(outd, state.node == outd.src)
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.col("cash")
+                        - F.col("outd") * F.expr("cash div outd")
+                    ),
+                    F.lit(0),
+                )
+            )
+            .first()[0]
+        )
+        pool_in = pool + int(dm) + int(resid)
+        share = pool_in // n
+        pool = pool_in - share * n
+        contribs = (
+            ed.join(state.select("node", "cash"), ed.src == F.col("node"))
+            .join(outd, "src")
+            .select("dst", F.expr("cash div outd").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        prev = state
+        state = (
+            state.join(contribs, state.node == contribs.dst, "left")
+            .select(
+                "node",
+                (F.coalesce(F.col("s"), F.lit(0)) + F.lit(share))
+                .cast("long")
+                .alias("cash"),
+                (F.col("history") + F.col("cash")).cast("long").alias("history"),
+            )
+            .localCheckpoint()
+        )
+        prev.unpersist()
+
+    return state.select(
+        "node", (F.col("history") + F.col("cash")).cast("long").alias("importance")
+    )
+
+
+def opic_int_python(
+    edges: list[tuple[str, str]], n_iter: int = 3, scale: int = 1_000_000
+) -> dict[str, int]:
+    """Pure-python twin of :func:`opic_int` — identical integer
+    protocol (the crawl simulator's priority source under
+    CrawlConfig.opic_priority; fetch-order parity is the contract)."""
+    if n_iter < 1 or scale < 1:
+        raise ValueError("n_iter and scale must be >= 1")
+    ed = sorted(set(edges))
+    if not ed:
+        raise ValueError("opic_int: empty edge set")
+    outs: dict[str, list[str]] = {}
+    nodes_s: set[str] = set()
+    for s, d in ed:
+        outs.setdefault(s, []).append(d)
+        nodes_s.add(s)
+        nodes_s.add(d)
+    nodes = sorted(nodes_s)
+    n = len(nodes)
+    unit = scale // n
+    pool = scale - n * unit
+    cash = {v: unit for v in nodes}
+    hist = {v: 0 for v in nodes}
+    for _ in range(n_iter):
+        pool_in = pool
+        new_cash = {v: 0 for v in nodes}
+        for v in nodes:
+            c = cash[v]
+            deg = len(outs.get(v, ()))
+            if deg == 0:
+                pool_in += c
+            else:
+                q = c // deg
+                for d in outs[v]:
+                    new_cash[d] += q
+                pool_in += c - q * deg
+        share = pool_in // n
+        pool = pool_in - share * n
+        for v in nodes:
+            hist[v] += cash[v]
+            cash[v] = new_cash[v] + share
+    return {v: hist[v] + cash[v] for v in nodes}

@@ -161,6 +161,22 @@ class CrawlConfig:
     #: record), so executor storage stays O(1) in wave count instead
     #: of accumulating every wave's page payloads.
     keep_wave_caches: bool = True
+    #: Score-driven frontier ordering (SURVEY W1 end-to-end): after
+    #: each wave, re-prioritize EVERY next-frontier row (expansions,
+    #: retries, quota overflow) by integer OPIC importance
+    #: (operators/linkgraph.py::opic_int — Abiteboul 2003, the online
+    #: estimate OPIC exists for) computed over the cumulative link
+    #: edges observed from fetched pages; rows without a score keep
+    #: their inherited priority. All-integer cash units make the
+    #: python simulator twin (opic_int_python) bit-identical, so the
+    #: fetch-order parity contract extends to score-driven ordering.
+    opic_priority: bool = False
+    #: opic_int rounds per wave (importance ∈ [0, (iters+1)·scale]
+    #: must fit the frontier's int32 priority — guarded at run_crawl).
+    opic_iters: int = 3
+    #: integer cash units per unit of total importance mass; pick
+    #: scale >> expected node count for resolution.
+    opic_scale: int = 1_000_000
     #: Per-host dims (robots rules, Crawl-delay/backoff delays,
     #: quarantine set, salt counts) broadcast while they fit; above
     #: this many hosts the broadcast hints are DROPPED and the dim
@@ -863,11 +879,21 @@ def run_crawl(
             n_dim = max(n_dim, host_delays.count())
         dims_bcast = n_dim <= cfg.dim_broadcast_threshold
 
+    if cfg.opic_priority:
+        bound = (cfg.opic_iters + 1) * cfg.opic_scale
+        if bound >= 2**31:
+            raise ValueError(
+                f"opic_priority: importance bound (opic_iters+1)*"
+                f"opic_scale = {bound} overflows the frontier's int32 "
+                f"priority; lower opic_scale or opic_iters"
+            )
+
     start_wave = 0
     frontier = None
     seen: DataFrame | None = None
     bloom: AnyBloom | None = None
     wave_start = 0.0
+    hit_log: DataFrame | None = None  # opic_priority: cumulative hits
 
     host_stats: DataFrame | None = None  # backoff: (host, sched, miss)
     if resume and cfg.ckpt_dir:
@@ -1012,6 +1038,56 @@ def run_crawl(
                 F.lit("pre_backoff").alias("stage"),
                 "rows",
             ).unionByName(res.gate_metrics)
+        if cfg.opic_priority and links_kv is not None:
+            # Score-driven W1: importance over the CUMULATIVE observed
+            # edge set (every fetched hit's outlinks, canon space —
+            # raw-dst canon, redirect-blind by design: a landed row
+            # whose canon differs simply keeps its inherited
+            # priority, mirrored exactly by the simulator twin).
+            # Runs BEFORE the frontier checkpoint so the committed
+            # frontier carries the new priorities; res.fetched is
+            # still cached, so the hits scan is a cache read.
+            _probe = "_page_hit" if "_page_hit" in res.fetched.columns else (
+                "text" if "text" in res.fetched.columns else "warc_ts"
+            )
+            wave_hits = res.fetched.filter(
+                F.col(_probe).isNotNull()
+            ).select("url", "url_canon")
+            hit_log = (
+                wave_hits
+                if hit_log is None
+                else hit_log.unionByName(wave_hits)
+            ).localCheckpoint()
+            e0 = hit_log.join(
+                links_kv, hit_log.url == links_kv.src_url
+            ).select(
+                F.col("url_canon").alias("src"),
+                F.col("dst_url").alias("url"),
+            )
+            edges = with_url_canon(e0).select(
+                "src", F.col("url_canon").alias("dst")
+            )
+            if not edges.isEmpty():
+                from wos_crawler_spark.operators.linkgraph import opic_int
+
+                scores = opic_int(
+                    edges, n_iter=cfg.opic_iters, scale=cfg.opic_scale
+                )
+                next_frontier = (
+                    next_frontier.join(
+                        scores,
+                        next_frontier.url_canon == scores.node,
+                        "left",
+                    )
+                    .withColumn(
+                        "priority",
+                        F.coalesce(
+                            F.col("importance").cast("int"),
+                            F.col("priority"),
+                        ),
+                    )
+                    .select(FRONTIER_COLS)
+                )
         out.waves.append(res)
         if cfg.backoff:
             from wos_crawler_spark.operators.backoff import fold_host_stats

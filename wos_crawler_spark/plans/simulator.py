@@ -108,6 +108,9 @@ def simulate_crawl(
     domain_map: dict[str, str] | None = None,
     redirect_edges: dict[str, str] | None = None,
     redirect_max_hops: int = 8,
+    opic_priority: bool = False,
+    opic_iters: int = 3,
+    opic_scale: int = 1_000_000,
 ) -> SimResult:
     res = SimResult()
     robots_allows = _robots_allows_rfc if robots_wildcards else _robots_allows
@@ -164,6 +167,10 @@ def simulate_crawl(
 
     wave_start = 0.0
     host_stats: dict[str, list] = {}  # host -> [sched, miss]
+    # opic_priority twin: cumulative (canon(src), canon(dst)) edges
+    # observed from every fetched HIT's outlinks — raw-dst canon
+    # (redirect-blind), exactly the engine's edge definition
+    opic_edges: set[tuple[str, str]] = set()
     for wave in range(max_waves):
         if not frontier:
             break
@@ -330,6 +337,11 @@ def simulate_crawl(
         nxt = []
         for r in scheduled:
             if r.get("_hit"):
+                if opic_priority:
+                    # edges accumulate for EVERY hit (depth-blind,
+                    # like the engine's hit_log ⋈ links join)
+                    for dst in links.get(r["url"], []):
+                        opic_edges.add((r["url_canon"], url_meta[dst][0]))
                 if r["depth"] + 1 <= max_depth:
                     for dst in links.get(r["url"], []):
                         landed = via_redirects(dst)
@@ -349,5 +361,16 @@ def simulate_crawl(
                     rr["dont_filter"] = True
                     nxt.append(rr)
         nxt.extend(overflow)
+        if opic_priority and opic_edges:
+            from wos_crawler_spark.operators.linkgraph import (
+                opic_int_python,
+            )
+
+            scores = opic_int_python(
+                sorted(opic_edges), n_iter=opic_iters, scale=opic_scale
+            )
+            for r in nxt:
+                if r["url_canon"] in scores:
+                    r["priority"] = scores[r["url_canon"]]
         frontier = nxt
     return res
