@@ -1298,6 +1298,36 @@ def q_f_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f_registrable_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-PSL eTLD+1 (round 5 — blocklist.registrable_domain_psl):
+    wildcard (``*.ck``, ``*.wfarm.org``) and exception (``!www.ck``)
+    rules honored through the zero-shuffle Arrow path. Six host
+    shapes cycle every branch of the PSL algorithm: exact rule,
+    exception-beats-wildcard, wildcard match, host-IS-public-suffix
+    (NULL), deep wildcard suffix, and the implicit last-label rule.
+    The oracle states every expected domain independently from
+    doc_id arithmetic — no rule logic is re-run."""
+    from wos_crawler_spark.operators.blocklist import registrable_domain_psl
+
+    rules = ("com", "co.uk", "zz", "*.ck", "!www.ck", "*.wfarm.org")
+    d = F.col("doc_id")
+    s = d.cast("string")
+    host = (
+        F.when(d % 6 == 0, F.concat(F.lit("a"), s, F.lit(".b.example.com")))
+        .when(d % 6 == 1, F.concat(F.lit("x"), s, F.lit(".shop.www.ck")))
+        .when(d % 6 == 2, F.concat(F.lit("a"), s, F.lit(".b"), s, F.lit(".ck")))
+        .when(d % 6 == 3, F.concat(F.lit("b"), s, F.lit(".ck")))
+        .when(d % 6 == 4,
+              F.concat(F.lit("h"), s, F.lit(".w.wfarm.org")))
+        .otherwise(F.concat(F.lit("only"), s, F.lit(".unknowntld")))
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", host.alias("host"))
+        .withColumn("rd", registrable_domain_psl(F.col("host"), rules))
+    )
+
+
 def q_f_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level quality gate (operators/urlgate.py) — the pre-fetch
     filter (RefinedWeb runs it FIRST: every URL dropped here saves a
@@ -3861,6 +3891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_mirror_hosts": q_f_mirror_hosts,
         "f_url_gate": q_f_url_gate,
         "f_registrable_domain": q_f_registrable_domain,
+        "f_registrable_domain_psl": q_f_registrable_domain_psl,
         "sample_host_cap": q_sample_host_cap,
         "pack_shards": q_pack_shards,
         "chunk_sliding_windows": q_chunk_sliding_windows,
@@ -5795,6 +5826,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
                                       || 'mix'), 1, 8))::BIGINT
                   / 4294967296.0 < rate
+        """,
+        "f_registrable_domain_psl": """
+            -- independent restatement of every PSL branch from doc_id
+            -- arithmetic (exact / exception-beats-wildcard / wildcard
+            -- / bare-public-suffix NULL / deep wildcard / implicit):
+            -- rules were (com, co.uk, zz, *.ck, !www.ck, *.wfarm.org)
+            SELECT doc_id,
+                   CASE doc_id % 6
+                     WHEN 0 THEN 'a' || doc_id || '.b.example.com'
+                     WHEN 1 THEN 'x' || doc_id || '.shop.www.ck'
+                     WHEN 2 THEN 'a' || doc_id || '.b' || doc_id || '.ck'
+                     WHEN 3 THEN 'b' || doc_id || '.ck'
+                     WHEN 4 THEN 'h' || doc_id || '.w.wfarm.org'
+                     ELSE 'only' || doc_id || '.unknowntld'
+                   END AS host,
+                   CASE doc_id % 6
+                     WHEN 0 THEN 'example.com'
+                     WHEN 1 THEN 'www.ck'
+                     WHEN 2 THEN 'a' || doc_id || '.b' || doc_id || '.ck'
+                     WHEN 3 THEN NULL
+                     WHEN 4 THEN 'h' || doc_id || '.w.wfarm.org'
+                     ELSE 'only' || doc_id || '.unknowntld'
+                   END AS rd
+            FROM documents
         """,
         "f_registrable_domain": """
             -- independent restatement: the expected eTLD+1 for each

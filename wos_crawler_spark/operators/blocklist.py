@@ -22,6 +22,7 @@ the final anti join, so the full gate moves no frontier bytes."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -154,3 +155,106 @@ def registrable_domain(
         n >= np + 1,
         F.concat_ws(".", F.slice(labels, n - np, np + 1)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Full Public-Suffix-List path (round 5): the real PSL is ~9k rules
+# including wildcard (`*.ck`) and exception (`!www.ck`) rules that the
+# literal-array expr above deliberately excludes. Rules are parsed
+# ONCE on the driver into three frozensets (driver-scale by
+# definition — the PSL is a static ~9k-line reference file) and
+# evaluated in one zero-shuffle Arrow pass; the python twin shares
+# the match function verbatim, so crawl parity extends to PSL mode.
+# ---------------------------------------------------------------------------
+
+
+def psl_parse_rules(rules) -> tuple[frozenset, frozenset, frozenset]:
+    """Parse PSL rule strings → (exact, wildcard_bases, exceptions).
+    ``*.ck`` stores base ``ck`` in wildcard_bases; ``!www.ck`` stores
+    ``www.ck`` in exceptions; comments (``//``) and blanks skipped —
+    the accepted syntax is exactly the public file's."""
+    exact, wild, exc = set(), set(), set()
+    for r in rules:
+        r = r.strip().lower()
+        if not r or r.startswith("//"):
+            continue
+        if r.startswith("!"):
+            exc.add(r[1:])
+        elif r.startswith("*."):
+            wild.add(r[2:])
+        else:
+            exact.add(r)
+    return frozenset(exact), frozenset(wild), frozenset(exc)
+
+
+def registrable_domain_python(
+    host: str | None, parsed: tuple[frozenset, frozenset, frozenset]
+) -> str | None:
+    """Pure-python registrable-domain (eTLD+1) under full PSL
+    semantics — THE match function (the Arrow path maps this over
+    batches; the crawl simulator twin calls it directly):
+
+    - a suffix matches an exact rule by equality, a wildcard rule
+      ``*.b`` when its parent equals ``b``, an exception rule by
+      equality (public suffix = the matched suffix minus its leftmost
+      label),
+    - prevailing rule: any exception wins outright (PSL §algorithm),
+      else the match with the most labels; no match → the implicit
+      ``*`` rule (last label),
+    - registrable domain = public suffix + one label; None when the
+      host IS a public suffix or is None."""
+    if host is None:
+        return None
+    labels = host.lower().split(".")
+    n = len(labels)
+    exact, wild, exc = parsed
+    ps_labels = 0
+    for i in range(n):
+        suf = ".".join(labels[i:])
+        k = n - i
+        if suf in exc:
+            # exception rule prevails immediately: public suffix is
+            # the matched suffix minus its leftmost label
+            ps_labels = k - 1
+            break
+        if suf in exact:
+            ps_labels = max(ps_labels, k)
+        if k >= 2 and ".".join(labels[i + 1:]) in wild:
+            ps_labels = max(ps_labels, k)
+    if ps_labels == 0:
+        ps_labels = 1  # implicit "*" rule
+    if n >= ps_labels + 1:
+        return ".".join(labels[n - ps_labels - 1:])
+    return None
+
+
+def registrable_domain_psl(host: Column, rules) -> Column:
+    """eTLD+1 under the FULL Public Suffix List: ``rules`` is the raw
+    rule-string iterable (the public file's lines — exact, ``*.``
+    wildcard and ``!`` exception rules all honored). Parsed once on
+    the driver, shipped to executors in the closure, evaluated as one
+    Arrow pass — zero shuffles, zero joins, no 9k-literal expression
+    tree. Equivalent by test to :func:`registrable_domain` on
+    wildcard-free rule sets; plugs into the crawl's politeness_domain
+    mode via ``CrawlConfig.psl_rules``."""
+    parsed = psl_parse_rules(rules)
+
+    @F.pandas_udf("string")
+    def _rd(hosts: pd.Series) -> pd.Series:
+        return hosts.map(lambda h: registrable_domain_python(h, parsed))
+
+    return _rd(host)
+
+
+def synth_psl_rules(n_extra: int = 9000) -> list[str]:
+    """Deterministic ~9k-rule PSL-shaped fixture: the shipped subset
+    as exact rules, plus generated ccTLD-style exacts, a wildcard
+    family and its exceptions — the size/shape of the real public
+    file for tests and benches (no external data)."""
+    rules = list(DEFAULT_PUBLIC_SUFFIXES)
+    for i in range(n_extra):
+        rules.append(f"s{i}.zz{i % 97}")
+    for i in range(0, 50):
+        rules.append(f"*.w{i}")
+        rules.append(f"!ok.w{i}")
+    return rules

@@ -130,6 +130,13 @@ class CrawlConfig:
     #: domain too (one dead subdomain farm escalates as ONE
     #: registrant), matching the scheduling key by construction.
     politeness_domain: bool = False
+    #: Full-Public-Suffix-List rules for politeness_domain's eTLD+1
+    #: (raw PSL rule strings incl. ``*.`` wildcards and ``!``
+    #: exceptions — operators/blocklist.py::registrable_domain_psl,
+    #: one driver-side parse + zero-shuffle Arrow evaluation). None =
+    #: the literal-subset expression (the r1–r4 default). Tuple so
+    #: the config stays hashable/serializable.
+    psl_rules: tuple | None = None
     #: Per-host adaptive backoff + circuit breaker
     #: (operators/backoff.py): cumulative fetch-outcome stats per host
     #: (bounded by hosts, folded per wave) drive two integer-threshold
@@ -510,6 +517,25 @@ def rewrite_through_redirects(frontier: DataFrame, rmap: DataFrame) -> DataFrame
     )
 
 
+def _sched_domain_expr(cfg: "CrawlConfig"):
+    """Scheduling-unit key for politeness_domain mode: registrable
+    domain via the literal-subset expr (default) or the full-PSL
+    Arrow path when ``cfg.psl_rules`` is set (wildcard/exception
+    rules honored — operators/blocklist.py::registrable_domain_psl;
+    the simulator twin maps hosts through the shared python match
+    function, so fetch-order parity covers PSL mode too)."""
+    from wos_crawler_spark.operators.blocklist import (
+        registrable_domain,
+        registrable_domain_psl,
+    )
+
+    if cfg.psl_rules is not None:
+        rd = registrable_domain_psl(F.col("host"), cfg.psl_rules)
+    else:
+        rd = registrable_domain(F.col("host"))
+    return F.coalesce(rd, F.col("host"))
+
+
 def run_wave(
     spark: SparkSession,
     wave: int,
@@ -623,18 +649,9 @@ def run_wave(
         # then the true host is restored — map-side both ways, no
         # extra exchange (the politeness shuffle just keys on the
         # rewritten column).
-        from wos_crawler_spark.operators.blocklist import (
-            registrable_domain,
-        )
-
         to_sched = candidates.withColumn(
             "_true_host", F.col("host")
-        ).withColumn(
-            "host",
-            F.coalesce(
-                registrable_domain(F.col("host")), F.col("host")
-            ),
-        )
+        ).withColumn("host", _sched_domain_expr(cfg))
         sched = schedule_wave(
             to_sched,
             delay_s=cfg.delay_s,
@@ -1008,13 +1025,7 @@ def run_crawl(
             # quarantining one dead subdomain cuts off the registrant
             fkey = F.col("host")
             if cfg.politeness_domain:
-                from wos_crawler_spark.operators.blocklist import (
-                    registrable_domain,
-                )
-
-                fkey = F.coalesce(
-                    registrable_domain(F.col("host")), F.col("host")
-                )
+                fkey = _sched_domain_expr(cfg)
             pre_bo_frontier = frontier
             frontier = frontier.join(
                 quar, fkey == F.col("_qkey"), "left_anti"
@@ -1097,15 +1108,8 @@ def run_crawl(
             )
             wave_src = res.fetched
             if cfg.politeness_domain:
-                from wos_crawler_spark.operators.blocklist import (
-                    registrable_domain,
-                )
-
                 wave_src = wave_src.withColumn(
-                    "host",
-                    F.coalesce(
-                        registrable_domain(F.col("host")), F.col("host")
-                    ),
+                    "host", _sched_domain_expr(cfg)
                 )
             host_stats = fold_host_stats(host_stats, wave_src, probe)
             if cfg.ckpt_dir:
