@@ -1874,6 +1874,32 @@ def q_multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the Arrow multimodal path (round 5 —
+    the second modality done the multimodal_decode_real way): valid
+    RIFF/WAVE PCM payloads (synth_wav_media — closed-form 16-bit
+    samples) → pure-numpy WAV decoder → unsigned mono mix → 4
+    segment floor-means (multimodal.wav_segment_features), one row
+    per (asset, segment). The oracle recomputes every segment mean
+    from the sample formula WITHOUT parsing WAV — value-level, the
+    decoder is the only component in between."""
+    from wos_crawler_spark.operators.multimodal import (
+        extract_features,
+        synth_wav_media,
+        wav_segment_features,
+    )
+
+    media = synth_wav_media(spark, 200)
+    feats = extract_features(media, decode_fn=wav_segment_features)
+    return feats.select(
+        "asset_id", F.posexplode("features").alias("seg", "_m")
+    ).select(
+        "asset_id",
+        F.col("seg").cast("long").alias("seg"),
+        F.col("_m").cast("long").alias("seg_mean"),
+    )
+
+
 def q_multimodal_image_neardup16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit-band variant of the image near-dup (the 10^8-asset
     scale path): adjacent dHash row bytes pair into 4 bands of 16
@@ -3933,6 +3959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_end_to_end": q_crawl_end_to_end,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode_real": q_multimodal_decode_real,
+        "multimodal_decode_audio": q_multimodal_decode_audio,
         "multimodal_image_neardup": q_multimodal_image_neardup,
         "multimodal_image_neardup16": q_multimodal_image_neardup16,
         "multimodal_image_neardup_capped": q_multimodal_image_neardup_capped,
@@ -6743,6 +6770,35 @@ def oracle_sql() -> dict[str, str]:
               ON bb.band_id = ba.band_id AND ba.i < bb.i
             GROUP BY id_a, id_b
             HAVING SUM(bit_count(xor(ba.band, bb.band))) <= 4
+        """,
+        "multimodal_decode_audio": """
+            -- closed-form sample twin of the WAV fixture: channel c
+            -- sample t of asset i is (i*31 + t*7 + c*97) % 65536 on
+            -- the unsigned grid; mono = floor-mean over channels
+            -- (1 + i % 2), segment binning = min-width-1 intervals of
+            -- 4 over nf = 50 + i % 13 frames; the engine must arrive
+            -- at the same integers THROUGH real RIFF bytes and the
+            -- real decoder
+            WITH a AS (
+                SELECT i, 50 + i % 13 AS nf, 1 + i % 2 AS ch
+                FROM (SELECT unnest(range(0, 200)) AS i)
+            ),
+            sm AS (
+                SELECT a.i, a.nf, t.t,
+                       CASE WHEN a.ch = 1
+                            THEN (a.i*31 + t.t*7) % 65536
+                            ELSE ((a.i*31 + t.t*7) % 65536
+                                  + (a.i*31 + t.t*7 + 97) % 65536) // 2
+                       END AS mono
+                FROM a, unnest(range(0, a.nf)) t(t)
+            )
+            SELECT sm.i AS asset_id, s.seg,
+                   CAST(SUM(sm.mono) // COUNT(*) AS BIGINT) AS seg_mean
+            FROM sm, unnest(range(0, 4)) s(seg)
+            WHERE sm.t >= (s.seg * sm.nf) // 4
+              AND (sm.t < ((s.seg + 1) * sm.nf) // 4
+                   OR sm.t = (s.seg * sm.nf) // 4)
+            GROUP BY asset_id, s.seg
         """,
         "multimodal_image_neardup16": """
             -- same closed-form dHash + brute-force all-pairs twin as

@@ -216,6 +216,106 @@ def test_dhash_guard(spark):
         mm.image_dhash(media, band_bits=12)
 
 
+def _wav(frames=6, ch=1, rate=8000, bits=16, data=None, fmt_code=1):
+    import struct
+
+    import numpy as np
+
+    if data is None:
+        arr = (np.arange(frames * ch, dtype=np.int64) * 1000 - 2000) % 65536
+        if bits == 16:
+            data = arr.astype("<u2").tobytes()
+        else:
+            data = (arr % 256).astype("u1").tobytes()
+    step = bits // 8
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, fmt_code, ch, rate, rate * ch * step,
+                      ch * step, bits)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def test_decode_wav_golden():
+    import numpy as np
+
+    s, rate = mm.decode_wav(_wav(frames=4, ch=2))
+    assert s.shape == (4, 2) and s.dtype == np.int16 and rate == 8000
+    # sample 0: (0*1000-2000)%65536 = 63536 → int16 wrap = -2000
+    assert int(s[0, 0]) == -2000
+    g, _ = mm.decode_wav(_wav(frames=3, ch=1, bits=8))
+    assert g.shape == (3, 1) and g.dtype == np.uint8
+
+
+def test_decode_wav_skips_unknown_chunks():
+    import struct
+
+    w = _wav(frames=2)
+    # splice a LIST chunk between fmt and data
+    head, data_part = w[:36], w[36:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd + pad
+    s, _ = mm.decode_wav(head + extra + data_part)
+    assert s.shape == (2, 1)
+
+
+def test_decode_wav_malformed_raises(spark):
+    import struct
+
+    with pytest.raises(ValueError, match="RIFF"):
+        mm.decode_wav(b"RIFX" + _wav()[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_wav(_wav()[:-3])
+    with pytest.raises(ValueError, match="PCM"):
+        mm.decode_wav(_wav(fmt_code=3))
+    with pytest.raises(ValueError, match="bit depth"):
+        mm.decode_wav(_wav(bits=24))
+    with pytest.raises(ValueError, match="before fmt"):
+        w = _wav(frames=2)
+        # data chunk alone, no fmt
+        mm.decode_wav(w[:12] + w[36:])
+    with pytest.raises(ValueError, match="whole number"):
+        base = _wav(frames=2, ch=2)
+        # RIFF(12) + fmt(8+16) = 36 header bytes; replace the data
+        # chunk with a 2-byte body (block align is 4)
+        mm.decode_wav(base[:36] + b"data" + struct.pack("<I", 2) + b"\x00\x00")
+
+
+def test_wav_features_twin():
+    """Engine segment means == an independent nested-loop
+    recomputation from decoded samples (unsigned view, min-width-1
+    interval binning)."""
+    p = _wav(frames=11, ch=2)
+    got = mm.wav_segment_features(p).tolist()
+    s, _ = mm.decode_wav(p)
+    u = [[(int(v) + 65536) % 65536 for v in row] for row in s]
+    mono = [sum(row) // len(row) for row in u]
+    n = len(mono)
+    want = []
+    for k in range(4):
+        t0, t1 = k * n // 4, max((k + 1) * n // 4, k * n // 4 + 1)
+        seg = mono[t0:t1]
+        want.append(float(sum(seg) // len(seg)))
+    assert got == want
+
+
+def test_wav_through_arrow_path(spark):
+    """synth_wav_media → extract_features(decode_fn=wav_segment_
+    features): the real-audio Arrow pipeline, duplicate planting
+    included."""
+    media = mm.synth_wav_media(spark, 30, seed_mod=20)
+    feats = mm.extract_features(media, decode_fn=mm.wav_segment_features)
+    rows = {r["asset_id"]: r["features"] for r in feats.collect()}
+    assert len(rows) == 30 and all(len(v) == 4 for v in rows.values())
+    for i in range(10):
+        assert rows[i] == rows[i + 20], i  # planted duplicates
+    assert rows[0] != rows[1]
+
+
 def test_band16_equals_band8_within_exact_bound(spark):
     """Within the 4-band pigeonhole bound (Hamming <= 3) both band
     widths are EXACT, so their outputs must be identical."""

@@ -265,6 +265,148 @@ def netpbm_grid_features(
     return feats
 
 
+def synth_wav_media(spark, n: int, seed_mod: int | None = None) -> DataFrame:
+    """Deterministic REAL audio fixture: valid RIFF/WAVE PCM files
+    generated per asset id with pure arithmetic — sample t of channel
+    c is the signed-16-bit wrap of ``(i*31 + t*7 + c*97) % 65536``
+    over ``50 + i % 13`` frames of ``1 + i % 2`` channels at
+    ``8000 + 4000·(i % 3)`` Hz. Because the samples are closed-form,
+    a SQL oracle recomputes any sample statistic WITHOUT parsing WAV
+    — the audio twin of :func:`synth_ppm_media`'s recipe.
+
+    ``seed_mod`` plants exact duplicates exactly like the PPM
+    fixture (sample seed = ``asset_id % seed_mod``)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for aid in pdf["id"]:
+                aid = int(aid)
+                i = aid % seed_mod if seed_mod else aid
+                frames, ch = 50 + i % 13, 1 + i % 2
+                rate = 8000 + 4000 * (i % 3)
+                ts = np.arange(frames, dtype=np.int64)
+                cs = np.arange(ch, dtype=np.int64)
+                u = (i * 31 + ts[:, None] * 7 + cs[None, :] * 97) % 65536
+                data = u.astype(np.uint16).astype("<u2").tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack(
+                        "<IHHIIHH", 16, 1, ch, rate, rate * ch * 2,
+                        ch * 2, 16,
+                    )
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "kind": "audio",
+                        "payload": hdr + data,
+                        "meta": {
+                            "width": None,
+                            "height": None,
+                            "sample_rate": rate,
+                            "duration_ms": frames * 1000 // rate,
+                            "mime": "audio/wav",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(_gen, MEDIA_SCHEMA)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-numpy RIFF/WAVE PCM decoder — the audio member of the
+    real-decode family (images: :func:`decode_netpbm`). Returns
+    ``(samples, sample_rate)`` with samples shaped ``(frames,
+    channels)``: dtype uint8 for 8-bit (WAV stores it unsigned),
+    int16 for 16-bit little-endian. Walks RIFF chunks generically
+    (unknown chunks skipped with even padding, ``fmt `` required
+    before ``data``); raises ValueError on anything malformed —
+    wrong magic, non-PCM format codes, unsupported bit depths,
+    truncated chunks — decode errors must surface, not produce
+    garbage rows."""
+    import struct
+
+    if len(payload) < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated {cid!r} chunk: need {size} bytes")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            audio_fmt, ch, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1:
+                raise ValueError(
+                    f"unsupported audio format {audio_fmt} (PCM=1 only)"
+                )
+            if bits not in (8, 16):
+                raise ValueError(f"unsupported bit depth {bits} (8/16 only)")
+            if ch < 1:
+                raise ValueError("channel count must be >= 1")
+            fmt = (ch, rate, bits)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt chunk")
+            ch, rate, bits = fmt
+            step = bits // 8
+            if size % (ch * step):
+                raise ValueError("data size not a whole number of frames")
+            dt = np.dtype("<i2") if bits == 16 else np.dtype("u1")
+            arr = np.frombuffer(body, dtype=dt)
+            return arr.reshape((-1, ch)), rate
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("missing fmt/data chunk")
+
+
+#: audio feature geometry: segment means over the unsigned-16 view,
+#: interval binning at minimum width 1 (the image grid rule).
+WAV_SEGMENTS = 4
+
+
+def wav_segment_features(
+    payload: bytes, meta: dict | None = None, segments: int = WAV_SEGMENTS
+) -> np.ndarray:
+    """Real decode → segment-mean featurizer: decode the WAV payload,
+    mix channels to mono by integer floor-mean of the UNSIGNED-16
+    sample view (non-negative, so floor division is portable across
+    engines), then the floor-mean of each of ``segments`` frame
+    intervals (min-width-1 binning, the dHash rule). All-integer, so
+    the feature values are exactly restatable in SQL from the
+    synthetic sample formula — the decoder is the only component
+    between fixture and oracle."""
+    samples, _rate = decode_wav(payload)
+    u = samples.astype(np.int64)
+    if samples.dtype == np.int16:
+        u = (u + 65536) % 65536  # unsigned view
+    else:
+        u = u * 257  # scale 8-bit to the 16-bit grid (0..65535)
+    mono = u.sum(axis=1) // u.shape[1]
+    n = mono.shape[0]
+    feats = np.zeros(segments, dtype=np.float32)
+    for k in range(segments):
+        t0 = k * n // segments
+        t1 = max((k + 1) * n // segments, t0 + 1)
+        seg = mono[t0:t1]
+        feats[k] = float(int(seg.sum()) // seg.size)
+    return feats
+
+
 #: dHash geometry: a 9-column × 8-row grid of grayscale floor-means;
 #: each row yields one byte of 8 left<right comparisons → 64 bits as
 #: 8 per-row band bytes (kept unpacked: packing bit 63 into a signed
