@@ -80,6 +80,10 @@ ENTRY_QUERIES = [
     "text_classifier_train",
     "multimodal_image_neardup",
     "pipeline_curation_v5",
+    "multimodal_image_neardup_capped",
+    "multimodal_decode_audio",
+    "w1_opic_priority",
+    "f_registrable_domain_psl",
 ]
 
 

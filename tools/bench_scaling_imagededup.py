@@ -1,0 +1,203 @@
+"""Two-parallelism scaling protocol (north rule: throughput
+efficiency ≥ 0.8 from N to 4N cores) for the multimodal dedup family
+— the one major family without a scaling cert before round 5.
+
+Workload: real PPM decode → integer dHash (Arrow pass) → 16-bit
+banded candidate join with bucket_cap → exact Hamming verify
+(`multimodal.image_near_dup(band_bits=16, bucket_cap=...)`) over
+hundreds of thousands of synthetic binary P6 images generated ONCE
+to tmpfs.
+
+Generator notes: pixels are avalanche-mixed hashes of (asset, x, y,
+c) — NOT the oracle fixture's arithmetic formula, whose pixel space
+cycles with period lcm(256,5,3)=3840 and would collapse a 10^6-asset
+corpus into ~4k identical classes (quadratic pair explosion = an
+output-size measurement, not a scaling one). Every 5th asset replays
+its predecessor's payload under a fresh id, so the verify join
+carries ~n/5 real duplicate pairs. Random 16-bit bands at n=4·10^5
+give ~6-member buckets (load factor n/65536); bucket_cap bounds the
+tail exactly as it would on degenerate web corpora.
+
+Protocol identical to the sibling tools: interleaved pairs at
+local[lo] vs local[hi]; efficiency = median over pairs of
+(thr_hi/thr_lo)/(hi/lo); fixed-work CPU probe flags co-tenant
+storms; result invariants (pair count, Hamming sum) asserted
+identical across levels.
+
+Usage: python tools/bench_scaling_imagededup.py [--n 400000]
+           [--pairs 3] [--levels 2 8]
+Writes BENCH/SCALING_IMAGEDEDUP_r05.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from tools.bench_scaling import (  # noqa: E402
+    _cpu_probe,
+    _fresh_spark,
+    _warm_python_workers,
+)
+
+INPUT = "/dev/shm/wcs-scaling-imagededup"
+W, H = 16, 12
+
+
+def prepare_input(n: int) -> None:
+    shutil.rmtree(INPUT, ignore_errors=True)
+    spark = _fresh_spark(32)
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        def raster(i: int) -> bytes:
+            idx = np.arange(W * H * 3, dtype=np.uint64)
+            v = (i * np.uint64(2654435761) + idx * np.uint64(1013904223)) & np.uint64(
+                0xFFFFFFFF
+            )
+            v ^= v >> np.uint64(16)
+            v = (v * np.uint64(2246822519)) & np.uint64(0xFFFFFFFF)
+            v ^= v >> np.uint64(13)
+            return (v % np.uint64(256)).astype(np.uint8).tobytes()
+
+        hdr = b"P6\n%d %d\n255\n" % (W, H)
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            payloads = []
+            for i in ids:
+                i = int(i)
+                seed = i - 1 if (i % 5 == 0 and i > 0) else i
+                payloads.append(hdr + raster(seed))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    spark.range(n, numPartitions=64).mapInPandas(
+        _gen, "asset_id long, payload binary"
+    ).write.parquet(INPUT)
+    spark.stop()
+
+
+def run_neardup(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from wos_crawler_spark.operators.multimodal import image_near_dup
+
+    media = spark.read.parquet(INPUT)
+    n = media.count()
+    t0 = time.time()
+    pairs = image_near_dup(media, max_hamming=3, band_bits=16, bucket_cap=64)
+    row = pairs.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.coalesce(F.sum("hamming"), F.lit(0)).alias("ham_sum"),
+    ).first()
+    dt = time.time() - t0
+    return {
+        "sec": round(dt, 3),
+        "assets_per_sec": round(n / dt, 1),
+        "pairs": int(row["pairs"]),
+        "ham_sum": int(row["ham_sum"]),
+        "n_assets": n,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=400_000)
+    ap.add_argument("--pairs", type=int, default=3)
+    ap.add_argument("--levels", type=int, nargs=2, default=[2, 8])
+    ap.add_argument("--reuse-input", action="store_true")
+    args = ap.parse_args()
+    lo, hi = args.levels
+    factor = hi / lo
+
+    if not args.reuse_input:
+        print(f"generating {args.n} images → {INPUT}", flush=True)
+        prepare_input(args.n)
+
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    best_probe = float("inf")
+    for pair in range(args.pairs):
+        for cores in (lo, hi):
+            spark = _fresh_spark(cores)
+            _warm_python_workers(spark, cores)
+            probe = _cpu_probe()
+            best_probe = min(best_probe, probe)
+            r = run_neardup(spark)
+            r["probe"] = round(probe, 3)
+            r["pair"] = pair
+            runs[cores].append(r)
+            print(json.dumps({"cores": cores, **r}), flush=True)
+            spark.stop()
+
+    vals = {
+        (r["pairs"], r["ham_sum"]) for lvl in (lo, hi) for r in runs[lvl]
+    }
+    assert len(vals) == 1, f"results differ across levels: {vals}"
+
+    effs = []
+    for pair in range(args.pairs):
+        a, b = runs[lo][pair], runs[hi][pair]
+        effs.append((b["assets_per_sec"] / a["assets_per_sec"]) / factor)
+    med = statistics.median(effs)
+
+    lines = [
+        "# Scaling — image near-dup (round 5: the multimodal dedup cert)",
+        "",
+        f"Protocol: tools/bench_scaling_imagededup.py — {args.n:,} real"
+        f" binary P6 images ({W}×{H}, avalanche-mixed pixels, every 5th"
+        f" asset a planted byte-identical duplicate) generated once to"
+        f" tmpfs; measured job = decode → dHash (Arrow) → 16-bit banded"
+        f" join (bucket_cap=64) → exact Hamming ≤ 3."
+        f" Interleaved pairs at local[{lo}] vs local[{hi}]; efficiency ="
+        f" median over pairs of (thr_{hi}/thr_{lo})/{factor:.0f}."
+        f" CPU probe best {best_probe:.3f}s. Pair count and Hamming sum"
+        f" asserted identical across levels (partitioning invariance at"
+        f" bench scale).",
+        "",
+        "| cores | run | sec | assets/s | pairs found | probe |",
+        "|---|---|---|---|---|---|",
+    ]
+    for cores in (lo, hi):
+        for r in runs[cores]:
+            storm = " ⚠" if r["probe"] > 1.5 * best_probe else ""
+            lines.append(
+                f"| {cores} | {r['pair']} | {r['sec']} |"
+                f" {r['assets_per_sec']} | {r['pairs']} |"
+                f" {r['probe']}{storm} |"
+            )
+    lines += [
+        "",
+        f"**Median efficiency {med:.3f}** (pairs: "
+        + ", ".join(f"{e:.3f}" for e in effs)
+        + f"); criterion ≥ 0.8 (BASELINE.json north_rule): "
+        + ("**PASS**" if med >= 0.8 else "**FAIL**"),
+        "",
+        "JSON: `"
+        + json.dumps(
+            {
+                "n": args.n,
+                "levels": [lo, hi],
+                "median_efficiency": round(med, 3),
+                "per_pair": [round(e, 3) for e in effs],
+                "best_thr_lo": max(r["assets_per_sec"] for r in runs[lo]),
+                "best_thr_hi": max(r["assets_per_sec"] for r in runs[hi]),
+                "pairs_found": runs[lo][0]["pairs"],
+            }
+        )
+        + "`",
+    ]
+    md = Path(__file__).resolve().parents[1] / "BENCH" / "SCALING_IMAGEDEDUP_r05.md"
+    md.write_text("\n".join(lines) + "\n")
+    print(f"wrote {md}; median efficiency {med:.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -229,6 +229,7 @@ def bpe_train(
     n_merges: int,
     checkpoint_every: int = 8,
     batch: int = 8,
+    progress=None,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges from a ``(word, n)`` table.
 
@@ -277,6 +278,11 @@ def bpe_train(
             _apply_merges(F.col("syms"), [(a, b) for a, b, _ in picked]),
         )
         since_ckpt += len(picked)
+        if progress is not None:
+            # measurement hook (tools/bench_bpe_merges): called with
+            # the applied-merge count after each round — no effect on
+            # the merge list or the plan
+            progress(len(merges))
         if since_ckpt >= checkpoint_every:
             # LAZY checkpoint: the next round's pair-count job (or the
             # caller's first action) materializes it as a side effect —
