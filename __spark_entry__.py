@@ -1874,6 +1874,96 @@ def q_multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize (round 5 — multimodal.resize_netpbm_bytes):
+    closed-form P6 payloads are box-downsampled to 3×2 (integer cell
+    floor-means over the min-width-1 interval grid), RE-SERIALIZED as
+    valid PPM, then decoded AGAIN by a second Arrow pass that emits
+    every resized pixel channel. The oracle recomputes each resized
+    value from the pixel formula — so the check covers decode →
+    resize arithmetic → serialize → re-decode, round trip included."""
+    import pandas as pd
+
+    from wos_crawler_spark.operators.multimodal import (
+        decode_netpbm,
+        resize_images_real,
+        synth_ppm_media,
+    )
+
+    media = synth_ppm_media(spark, 200)
+    resized = resize_images_real(media, 3, 2)
+
+    def _pixels(batches):
+        for pdf in batches:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_netpbm(p)
+                h, w, _ = img.shape
+                for y in range(h):
+                    for x in range(w):
+                        for c in range(3):
+                            rows.append(
+                                {
+                                    "asset_id": aid,
+                                    "y": y,
+                                    "x": x,
+                                    "c": c,
+                                    "v": int(img[y, x, c]),
+                                }
+                            )
+            yield pd.DataFrame(rows)
+
+    return resized.select("asset_id", "payload").mapInPandas(
+        _pixels, "asset_id long, y long, x long, c long, v long"
+    )
+
+
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode + frame sampling (round 5 — the third
+    modality done the multimodal_decode_real way): valid YUV4MPEG2
+    mono streams (synth_y4m_media — closed-form luma, 5 fps) →
+    pure-numpy y4m decoder → one row per 100 ms sample instant
+    carrying the on-screen frame as a valid P5 payload
+    (multimodal.sample_frames_real), then a second Arrow pass
+    re-decodes each sampled frame and emits its exact luma sum. The
+    oracle recomputes every (ts, frame, sum) from the pixel formula
+    WITHOUT parsing y4m or PGM — covering decode → sample → P5
+    serialization → re-decode."""
+    import pandas as pd
+
+    from wos_crawler_spark.operators.multimodal import (
+        decode_netpbm,
+        sample_frames_real,
+        synth_y4m_media,
+    )
+
+    media = synth_y4m_media(spark, 200)
+    frames = sample_frames_real(media, every_ms=100)
+
+    def _sums(batches):
+        for pdf in batches:
+            rows = []
+            for aid, ts, k, p in zip(
+                pdf["asset_id"], pdf["frame_ts_ms"], pdf["frame_idx"],
+                pdf["frame_payload"],
+            ):
+                img = decode_netpbm(p)
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "frame_ts_ms": ts,
+                        "frame_idx": k,
+                        "y_sum": int(img.astype("int64").sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return frames.mapInPandas(
+        _sums,
+        "asset_id long, frame_ts_ms long, frame_idx long, y_sum long",
+    )
+
+
 def q_multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode through the Arrow multimodal path (round 5 —
     the second modality done the multimodal_decode_real way): valid
@@ -3960,6 +4050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_decode_real": q_multimodal_decode_real,
         "multimodal_decode_audio": q_multimodal_decode_audio,
+        "multimodal_resize_real": q_multimodal_resize_real,
+        "multimodal_video_frames": q_multimodal_video_frames,
         "multimodal_image_neardup": q_multimodal_image_neardup,
         "multimodal_image_neardup16": q_multimodal_image_neardup16,
         "multimodal_image_neardup_capped": q_multimodal_image_neardup_capped,
@@ -6770,6 +6862,61 @@ def oracle_sql() -> dict[str, str]:
               ON bb.band_id = ba.band_id AND ba.i < bb.i
             GROUP BY id_a, id_b
             HAVING SUM(bit_count(xor(ba.band, bb.band))) <= 4
+        """,
+        "multimodal_resize_real": """
+            -- closed-form resize twin: target pixel (cx, cy) channel c
+            -- of asset i = floor-mean of the fixture formula over the
+            -- min-width-1 interval cell of the w×h source — the engine
+            -- must arrive at the same integers through real PPM bytes,
+            -- the real decoder, integer resize, RE-serialization and a
+            -- second real decode
+            WITH d AS (
+                SELECT i, 8 + i % 5 AS w, 6 + i % 3 AS h
+                FROM (SELECT unnest(range(0, 200)) AS i)
+            ),
+            px AS (
+                SELECT d.i, ux.x, uy.y, d.w, d.h, c.c,
+                       (d.i*31 + ux.x*7 + uy.y*13 + c.c*97) % 256 AS v
+                FROM d, unnest(range(0, d.w)) ux(x),
+                        unnest(range(0, d.h)) uy(y),
+                        unnest(range(0, 3)) c(c)
+            )
+            SELECT px.i AS asset_id, cy.y, cx.x, px.c,
+                   CAST(SUM(px.v) // COUNT(*) AS BIGINT) AS v
+            FROM px, unnest(range(0, 2)) cy(y),
+                     unnest(range(0, 3)) cx(x)
+            WHERE px.y >= (cy.y * px.h) // 2
+              AND (px.y < ((cy.y + 1) * px.h) // 2
+                   OR px.y = (cy.y * px.h) // 2)
+              AND px.x >= (cx.x * px.w) // 3
+              AND (px.x < ((cx.x + 1) * px.w) // 3
+                   OR px.x = (cx.x * px.w) // 3)
+            GROUP BY asset_id, cy.y, cx.x, px.c
+        """,
+        "multimodal_video_frames": """
+            -- closed-form luma twin of the y4m fixture: frame k pixel
+            -- (x, y) of asset i is (i*31 + k*41 + x*7 + y*13) % 256
+            -- over w×h = (8+i%5)×(6+i%3); nf = 3 + i % 4 frames at
+            -- 5 fps → duration nf*200 ms, sample instants every
+            -- 100 ms, on-screen frame k = ts // 200; the engine must
+            -- arrive at the same sums THROUGH real y4m bytes, the
+            -- real decoder, P5 re-serialization and a second decode
+            WITH a AS (
+                SELECT i, 8 + i % 5 AS w, 6 + i % 3 AS h,
+                       3 + i % 4 AS nf
+                FROM (SELECT unnest(range(0, 200)) AS i)
+            ),
+            samples AS (
+                SELECT a.i, a.w, a.h, t.ts, t.ts // 200 AS k
+                FROM a, unnest(range(0, a.nf * 200, 100)) t(ts)
+            )
+            SELECT s.i AS asset_id, s.ts AS frame_ts_ms,
+                   s.k AS frame_idx,
+                   CAST(SUM((s.i*31 + s.k*41 + ux.x*7 + uy.y*13) % 256)
+                        AS BIGINT) AS y_sum
+            FROM samples s, unnest(range(0, s.w)) ux(x),
+                            unnest(range(0, s.h)) uy(y)
+            GROUP BY asset_id, frame_ts_ms, frame_idx
         """,
         "multimodal_decode_audio": """
             -- closed-form sample twin of the WAV fixture: channel c

@@ -216,6 +216,142 @@ def test_dhash_guard(spark):
         mm.image_dhash(media, band_bits=12)
 
 
+def test_resize_netpbm_golden():
+    import numpy as np
+
+    # 4x2 P6 downsampled to 2x1: each target pixel = floor-mean of a
+    # 2x2 cell per channel
+    src = mm.decode_netpbm(_ppm(4, 2)).astype(np.int64)
+    out = mm.decode_netpbm(mm.resize_netpbm_bytes(_ppm(4, 2), 2, 1))
+    assert out.shape == (1, 2, 3)
+    for cx in range(2):
+        for c in range(3):
+            want = int(src[0:2, 2 * cx : 2 * cx + 2, c].sum()) // 4
+            assert int(out[0, cx, c]) == want
+    # upscale: cells of width 1 repeat source pixels
+    up = mm.decode_netpbm(mm.resize_netpbm_bytes(_ppm(2, 1), 4, 2))
+    assert up.shape == (2, 4, 3)
+    assert up[0, 0].tolist() == up[1, 1].tolist()  # both map to src (0,0)
+    # P5 and 16-bit round-trip preserve magic/depth
+    g = mm.decode_netpbm(
+        mm.resize_netpbm_bytes(_ppm(4, 2, magic=b"P5"), 2, 2)
+    )
+    assert g.shape == (2, 2) and g.dtype == np.uint8
+    big = mm.decode_netpbm(
+        mm.resize_netpbm_bytes(
+            _ppm(2, 2, maxval=65535, magic=b"P5", px=[0, 300, 65535, 7]),
+            1, 1,
+        )
+    )
+    assert big.dtype == np.uint16 and int(big[0, 0]) == (0 + 300 + 65535 + 7) // 4
+    with pytest.raises(ValueError, match=">= 1"):
+        mm.resize_netpbm_bytes(_ppm(2, 2), 0, 1)
+
+
+def test_resize_images_real_arrow(spark):
+    media = mm.synth_ppm_media(spark, 12)
+    out = mm.resize_images_real(media, 3, 2).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r["meta"]["width"] == 3 and r["meta"]["height"] == 2
+        img = mm.decode_netpbm(bytes(r["payload"]))
+        assert img.shape == (2, 3, 3)
+
+
+def _y4m(w=4, h=2, frames=2, cs=b"mono", fps=b"5:1", frame_params=b""):
+    import numpy as np
+
+    if cs == b"mono":
+        fsz = w * h
+    elif cs == b"444":
+        fsz = 3 * w * h
+    else:
+        fsz = w * h + 2 * ((w // 2) * (h // 2))
+    out = [b"YUV4MPEG2 W%d H%d F%s C%s\n" % (w, h, fps, cs)]
+    for k in range(frames):
+        out.append(b"FRAME" + frame_params + b"\n")
+        out.append(
+            (np.arange(fsz, dtype=np.int64) * 7 + k * 11)
+            .astype(np.uint8)
+            .tobytes()
+        )
+    return b"".join(out)
+
+
+def test_decode_y4m_golden():
+    import numpy as np
+
+    luma, num, den = mm.decode_y4m(_y4m())
+    assert luma.shape == (2, 2, 4) and (num, den) == (5, 1)
+    assert int(luma[0, 0, 1]) == 7 and int(luma[1, 0, 0]) == 11
+    # C444: chroma planes present in the stream, skipped in output
+    luma444, _, _ = mm.decode_y4m(_y4m(cs=b"444"))
+    assert luma444.shape == (2, 2, 4)
+    assert np.array_equal(luma444, luma)
+    # FRAME parameter tails are legal and ignored
+    lp, _, _ = mm.decode_y4m(_y4m(frame_params=b" Xinterlace"))
+    assert np.array_equal(lp, luma)
+
+
+def test_decode_y4m_malformed_raises():
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        mm.decode_y4m(b"RIFF....")
+    with pytest.raises(ValueError, match="geometry"):
+        mm.decode_y4m(b"YUV4MPEG2 F5:1 Cmono\nFRAME\n")
+    with pytest.raises(ValueError, match="colorspace"):
+        mm.decode_y4m(_y4m(cs=b"411"))
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_y4m(_y4m()[:-3])
+    with pytest.raises(ValueError, match="FRAME"):
+        good = _y4m(frames=1)
+        mm.decode_y4m(good + b"JUNK")
+    with pytest.raises(ValueError, match="no frames"):
+        mm.decode_y4m(b"YUV4MPEG2 W4 H2 F5:1 Cmono\n")
+
+
+def test_sample_frames_real_twin(spark):
+    """Sampled rows == arithmetic: fps 5 → frame k = ts // 200;
+    every sampled payload is a VALID P5 of the on-screen luma."""
+    media = mm.synth_y4m_media(spark, 20)
+    rows = mm.sample_frames_real(media, every_ms=100).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    for aid, rs in by_asset.items():
+        nf = 3 + aid % 4
+        assert [r["frame_ts_ms"] for r in rs] == list(
+            range(0, nf * 200, 100)
+        )
+        for r in rs:
+            assert r["frame_idx"] == r["frame_ts_ms"] // 200
+            img = mm.decode_netpbm(bytes(r["frame_payload"]))
+            assert img.shape == (6 + aid % 3, 8 + aid % 5)
+            # spot pixel from the closed form
+            k = r["frame_idx"]
+            assert int(img[0, 0]) == (aid * 31 + k * 41) % 256
+
+
+def test_video_frames_compose_with_image_family(spark):
+    """The emitted P5 frames flow straight into the image dedup
+    family: identical frames from planted duplicate videos land at
+    dHash distance 0."""
+    from pyspark.sql import functions as F
+
+    media = mm.synth_y4m_media(spark, 8, seed_mod=4)
+    frames = mm.sample_frames_real(media, every_ms=200)
+    as_images = frames.select(
+        (F.col("asset_id") * 100 + F.col("frame_idx")).alias("asset_id"),
+        F.col("frame_payload").alias("payload"),
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in mm.image_near_dup(as_images, max_hamming=0).collect()
+    }
+    # video 4 duplicates video 0 → frame (0,k) pairs with (4,k)
+    for k in range(3):
+        assert (k, 400 + k) in pairs
+
+
 def _wav(frames=6, ch=1, rate=8000, bits=16, data=None, fmt_code=1):
     import struct
 

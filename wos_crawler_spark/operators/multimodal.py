@@ -586,6 +586,74 @@ def image_near_dup(
     )
 
 
+def resize_netpbm_bytes(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize for binary Netpbm payloads: decode → integer
+    box-downsample (cell floor-means over the min-width-1 interval
+    grid — the dHash/grid-features binning rule, so resized pixels
+    are exactly restatable in SQL from closed-form fixture pixels) →
+    re-serialize. P6 stays P6 (per-channel means), P5 stays P5;
+    16-bit rasters keep 16-bit output. Upscaling repeats source
+    pixels (cells of width 1), downscaling floor-averages — both are
+    the same interval rule."""
+    if width < 1 or height < 1:
+        raise ValueError("resize target must be >= 1x1")
+    img = decode_netpbm(payload)
+    is_rgb = img.ndim == 3
+    maxval = 65535 if img.dtype == np.uint16 else 255
+    h, w = img.shape[:2]
+    src = img.astype(np.int64).reshape((h, w, -1))
+    ch = src.shape[2]
+    out = np.zeros((height, width, ch), dtype=np.int64)
+    for cy in range(height):
+        y0 = cy * h // height
+        y1 = max((cy + 1) * h // height, y0 + 1)
+        rows = src[y0:y1]
+        for cx in range(width):
+            x0 = cx * w // width
+            x1 = max((cx + 1) * w // width, x0 + 1)
+            cell = rows[:, x0:x1]
+            npix = cell.shape[0] * cell.shape[1]
+            out[cy, cx] = cell.sum(axis=(0, 1)) // npix
+    magic = b"P6" if is_rgb else b"P5"
+    dt = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+    return (
+        magic + b"\n%d %d\n%d\n" % (width, height, maxval)
+        + out.astype(dt).tobytes()
+    )
+
+
+def resize_images_real(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Real image resize through the Arrow path: every payload is
+    box-downsampled via :func:`resize_netpbm_bytes` and re-stamped.
+    Zero shuffles — one mapInPandas projection; malformed payloads
+    hard-error (the decode contract). Non-image kinds pass through
+    untouched payload-wise but are NOT restamped — resize only means
+    something for rasters."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            metas = []
+            for k, p, m in zip(pdf["kind"], pdf["payload"], pdf["meta"]):
+                if k == "image":
+                    payloads.append(resize_netpbm_bytes(p, width, height))
+                    m = dict(m)
+                    m["width"], m["height"] = width, height
+                else:
+                    payloads.append(p)
+                metas.append(m)
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            pdf["meta"] = metas
+            yield pdf
+
+    return media.select("asset_id", "kind", "payload", "meta").mapInPandas(
+        _resize, MEDIA_SCHEMA
+    )
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: payload → payload' + updated meta. Decode is
     stubbed; the fake path re-stamps metadata deterministically so the
@@ -600,6 +668,159 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             F.col("meta.mime").alias("mime"),
         ),
     )
+
+
+def synth_y4m_media(spark, n: int, seed_mod: int | None = None) -> DataFrame:
+    """Deterministic REAL video fixture: valid YUV4MPEG2 (y4m) mono
+    streams generated per asset id with pure arithmetic — luma pixel
+    (x, y) of frame k is ``(i*31 + k*41 + x*7 + y*13) % 256`` over a
+    w×h raster (w = 8+i%5, h = 6+i%3), ``3 + i % 4`` frames at 5 fps,
+    ``C mono`` colorspace. Closed-form pixels → a SQL oracle
+    recomputes any frame statistic WITHOUT parsing y4m — the video
+    member of the real-decode family (images: synth_ppm_media,
+    audio: synth_wav_media). ``seed_mod`` plants exact duplicates."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid in pdf["id"]:
+                aid = int(aid)
+                i = aid % seed_mod if seed_mod else aid
+                w, h = 8 + i % 5, 6 + i % 3
+                nf = 3 + i % 4
+                xs = np.arange(w, dtype=np.int64)
+                ys = np.arange(h, dtype=np.int64)
+                parts = [b"YUV4MPEG2 W%d H%d F5:1 Cmono\n" % (w, h)]
+                for k in range(nf):
+                    plane = (
+                        i * 31 + k * 41 + xs[None, :] * 7 + ys[:, None] * 13
+                    ) % 256
+                    parts.append(b"FRAME\n")
+                    parts.append(plane.astype(np.uint8).tobytes())
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "kind": "video",
+                        "payload": b"".join(parts),
+                        "meta": {
+                            "width": w,
+                            "height": h,
+                            "sample_rate": None,
+                            "duration_ms": nf * 200,  # 5 fps
+                            "mime": "video/x-yuv4mpeg",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(_gen, MEDIA_SCHEMA)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Pure-numpy YUV4MPEG2 decoder — the video member of the
+    real-decode family. Returns ``(luma, fps_num, fps_den)`` with
+    luma shaped ``(frames, h, w)`` uint8 (the Y plane; chroma planes
+    of C420/C422/C444 streams are skipped, mono streams have none).
+    Parses the header parameter list generically (W/H/F required,
+    unknown params ignored), accepts FRAME parameter tails, and
+    raises ValueError on anything malformed — wrong magic, missing
+    geometry, unsupported colorspace, truncated frames."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("missing y4m header terminator")
+    w = h = None
+    num, den = 30, 1
+    cs = b"420jpeg"  # spec default is 4:2:0
+    for tok in payload[9:nl].split(b" "):
+        if not tok:
+            continue
+        key, val = tok[:1], tok[1:]
+        if key == b"W":
+            w = int(val)
+        elif key == b"H":
+            h = int(val)
+        elif key == b"F":
+            num, den = (int(v) for v in val.split(b":"))
+        elif key == b"C":
+            cs = val
+    if not w or not h:
+        raise ValueError("y4m header missing W/H geometry")
+    if num < 1 or den < 1:
+        raise ValueError("bad y4m frame rate")
+    y_size = w * h
+    if cs.startswith(b"420"):
+        frame_size = y_size + 2 * ((w // 2) * (h // 2))
+    elif cs.startswith(b"422"):
+        frame_size = y_size + 2 * ((w // 2) * h)
+    elif cs.startswith(b"444"):
+        frame_size = 3 * y_size
+    elif cs == b"mono":
+        frame_size = y_size
+    else:
+        raise ValueError(f"unsupported y4m colorspace {cs!r}")
+    pos = nl + 1
+    frames = []
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("expected FRAME marker")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("unterminated FRAME header")
+        pos = fnl + 1
+        body = payload[pos : pos + frame_size]
+        if len(body) != frame_size:
+            raise ValueError(
+                f"truncated frame: need {frame_size} bytes, have {len(body)}"
+            )
+        frames.append(
+            np.frombuffer(body[:y_size], dtype=np.uint8).reshape((h, w))
+        )
+        pos += frame_size
+    if not frames:
+        raise ValueError("y4m stream has no frames")
+    return np.stack(frames), num, den
+
+
+def sample_frames_real(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video frame sampling: decode each y4m payload, then one
+    row per sample instant ``t = 0, every_ms, … < duration`` carrying
+    the frame on screen at ``t`` (``k = t·num // (1000·den)``) as a
+    VALID P5 payload of its luma plane — directly composable with the
+    image family (grid features, dHash near-dup across frames). One
+    zero-shuffle Arrow pass; payloads are read once."""
+    if every_ms < 1:
+        raise ValueError("every_ms must be >= 1")
+    schema = (
+        "asset_id long, frame_ts_ms long, frame_idx long, frame_payload binary"
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                luma, num, den = decode_y4m(p)
+                nf, h, w = luma.shape
+                duration_ms = nf * 1000 * den // num
+                hdr = b"P5\n%d %d\n255\n" % (w, h)
+                t = 0
+                while t < duration_ms:
+                    k = t * num // (1000 * den)
+                    rows.append(
+                        {
+                            "asset_id": aid,
+                            "frame_ts_ms": t,
+                            "frame_idx": k,
+                            "frame_payload": hdr + luma[k].tobytes(),
+                        }
+                    )
+                    t += every_ms
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "video").select(
+        "asset_id", "payload"
+    ).mapInPandas(_sample, schema)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
