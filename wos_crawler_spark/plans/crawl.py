@@ -1049,7 +1049,14 @@ def run_crawl(
                 F.lit("pre_backoff").alias("stage"),
                 "rows",
             ).unionByName(res.gate_metrics)
-        if cfg.opic_priority and links_kv is not None:
+        if (
+            cfg.opic_priority
+            and links_kv is not None
+            and not (wave == cfg.max_waves - 1 and not cfg.ckpt_dir)
+        ):
+            # (final non-checkpointed wave skipped: its next_frontier
+            # is discarded, so scoring it would be throwaway jobs —
+            # the same rule as the is_final tail-job skip below)
             # Score-driven W1: importance over the CUMULATIVE observed
             # edge set (every fetched hit's outlinks, canon space —
             # raw-dst canon, redirect-blind by design: a landed row
