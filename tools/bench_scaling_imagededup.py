@@ -61,9 +61,12 @@ def prepare_input(n: int) -> None:
 
         def raster(i: int) -> bytes:
             idx = np.arange(W * H * 3, dtype=np.uint64)
-            v = (i * np.uint64(2654435761) + idx * np.uint64(1013904223)) & np.uint64(
-                0xFFFFFFFF
-            )
+            # np.uint64(i): legacy numpy promotes python-int × uint64
+            # to float64, which breaks the bitwise ops
+            v = (
+                np.uint64(i) * np.uint64(2654435761)
+                + idx * np.uint64(1013904223)
+            ) & np.uint64(0xFFFFFFFF)
             v ^= v >> np.uint64(16)
             v = (v * np.uint64(2246822519)) & np.uint64(0xFFFFFFFF)
             v ^= v >> np.uint64(13)
