@@ -109,6 +109,13 @@ AUDIT = [
     "multimodal_decode_real",
     "multimodal_image_neardup",
     "pipeline_curation_v5",
+    "multimodal_image_neardup16",
+    "multimodal_image_neardup_capped",
+    "multimodal_decode_audio",
+    "multimodal_resize_real",
+    "multimodal_video_frames",
+    "w1_opic_priority",
+    "f_registrable_domain_psl",
 ]
 
 
