@@ -77,6 +77,16 @@ def main() -> None:
         "politeness_domain": {"politeness_domain": True},
         "robots_wildcards": {"robots_wildcards": True},
     }
+    # round-5 additions: the FULL-PSL scheduling key (Arrow pass over
+    # the ~9k-rule fixture — vs politeness_domain's literal-subset HOF
+    # expr, the r4 open question) and score-driven OPIC priority
+    from wos_crawler_spark.operators.blocklist import synth_psl_rules
+
+    variants["politeness_domain_psl"] = {
+        "politeness_domain": True,
+        "psl_rules": tuple(synth_psl_rules()),
+    }
+    variants["opic_priority"] = {"opic_priority": True}
 
     results: dict[str, dict] = {}
     for name, extra in variants.items():
@@ -105,7 +115,7 @@ def main() -> None:
 
     b = results["baseline_all_off"]
     lines = [
-        "# Crawl per-gate cost ledger (round 4)",
+        "# Crawl per-gate cost ledger (rounds 4-5)",
         "",
         f"Workload: the bench crawl ({args.n} pages, 3 waves, parse off,",
         f"local[{args.cores}], prepared join sides, best-of-{args.reps}",

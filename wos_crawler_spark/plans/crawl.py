@@ -536,6 +536,49 @@ def _sched_domain_expr(cfg: "CrawlConfig"):
     return F.coalesce(rd, F.col("host"))
 
 
+def _with_sched_domain(
+    df: DataFrame, cfg: "CrawlConfig", broadcast_dims: bool = True
+) -> DataFrame:
+    """``df`` + a ``_sched_dom`` column carrying the politeness
+    scheduling unit (registrable domain, raw host fallback).
+
+    Two shapes by rule source:
+
+    - literal-subset expr (default): pure map-side projection — zero
+      added exchanges, unchanged from rounds 1–4.
+    - full PSL (``cfg.psl_rules``): the Arrow match runs over the
+      DISTINCT hosts only, then joins back as a per-host dim — the
+      python cost drops from O(frontier rows × call sites) to
+      O(hosts) per site (measured on the gate ledger: the per-row
+      Arrow pass cost +126% wave time vs the dim join's ~+35%). The
+      dim join rides the same size gate as every other per-host dim
+      (``broadcast_dims``); the VALUES are identical either way, so
+      the simulator fetch-order parity contract is unchanged."""
+    if cfg.psl_rules is None:
+        return df.withColumn("_sched_dom", _sched_domain_expr(cfg))
+    from wos_crawler_spark.operators.blocklist import (
+        registrable_domain_psl,
+    )
+
+    dim = (
+        df.select("host")
+        .distinct()
+        .withColumn(
+            "_sched_dom",
+            F.coalesce(
+                registrable_domain_psl(F.col("host"), cfg.psl_rules),
+                F.col("host"),
+            ),
+        )
+    )
+    if broadcast_dims:
+        dim = F.broadcast(dim)
+    # inner join is safe (every df host appears in its own distinct)
+    return df.join(dim, "host", "left").withColumn(
+        "_sched_dom", F.coalesce(F.col("_sched_dom"), F.col("host"))
+    )
+
+
 def run_wave(
     spark: SparkSession,
     wave: int,
@@ -649,9 +692,12 @@ def run_wave(
         # then the true host is restored — map-side both ways, no
         # extra exchange (the politeness shuffle just keys on the
         # rewritten column).
-        to_sched = candidates.withColumn(
-            "_true_host", F.col("host")
-        ).withColumn("host", _sched_domain_expr(cfg))
+        to_sched = (
+            _with_sched_domain(candidates, cfg, broadcast_dims)
+            .withColumn("_true_host", F.col("host"))
+            .withColumn("host", F.col("_sched_dom"))
+            .drop("_sched_dom")
+        )
         sched = schedule_wave(
             to_sched,
             delay_s=cfg.delay_s,
@@ -1023,13 +1069,16 @@ def run_crawl(
             # with politeness_domain, stats/delays/quarantine all key
             # on the registrable domain (see the stats fold below) —
             # quarantining one dead subdomain cuts off the registrant
-            fkey = F.col("host")
-            if cfg.politeness_domain:
-                fkey = _sched_domain_expr(cfg)
             pre_bo_frontier = frontier
-            frontier = frontier.join(
-                quar, fkey == F.col("_qkey"), "left_anti"
-            )
+            if cfg.politeness_domain:
+                fr_keyed = _with_sched_domain(frontier, cfg, wave_bcast)
+            else:
+                fr_keyed = frontier.withColumn(
+                    "_sched_dom", F.col("host")
+                )
+            frontier = fr_keyed.join(
+                quar, F.col("_sched_dom") == F.col("_qkey"), "left_anti"
+            ).drop("_sched_dom")
             eff_delays = bo.select("host", "crawl_delay")
         res, next_frontier, seen_delta = run_wave(
             spark, wave, frontier, pages_kv, links_kv, robots, seen, bloom,
@@ -1115,8 +1164,10 @@ def run_crawl(
             )
             wave_src = res.fetched
             if cfg.politeness_domain:
-                wave_src = wave_src.withColumn(
-                    "host", _sched_domain_expr(cfg)
+                wave_src = (
+                    _with_sched_domain(res.fetched, cfg, wave_bcast)
+                    .withColumn("host", F.col("_sched_dom"))
+                    .drop("_sched_dom")
                 )
             host_stats = fold_host_stats(host_stats, wave_src, probe)
             if cfg.ckpt_dir:
